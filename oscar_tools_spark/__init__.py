@@ -1,0 +1,15 @@
+"""oscar_tools_spark — a PySpark-native corpus-curation engine.
+
+A brand-new, Spark-first rebuild of the capabilities of
+oscar-project/oscar-tools (reference at /root/reference, Rust CLI):
+language identification -> quality annotation -> tag filtering ->
+PII/toxicity scrubbing over tables of multi-turn transcripts, plus the
+large-scale training-data operators (dedup families, similarity search,
+text analysis, multimodal plumbing) such a pipeline needs at 100 TB.
+
+Everything is declared through the DataFrame API so Catalyst/Tungsten
+pick the physical plan; Python appears only inside Arrow-vectorized
+pandas UDFs (langid model, perplexity model, media decode).
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,211 @@
+"""Deterministic synthetic multi-turn transcripts.
+
+The north-rule input is an Iceberg/parquet table
+``transcripts(conv_id string, turn_idx int, role string, text string,
+tool string, ts timestamp)`` (BASELINE.json ``input_hint``). This module
+synthesises it at any scale as a **pure function of
+(conv_id, turn_idx, seed)** — no external data, reproducible across
+partitionings and scale factors, per FIXTURES.md §1.
+
+Known injected frequencies (per 100 turns, by hash bucket): tiny/empty
+turns, short-sentence-heavy turns, header/footer boilerplate, low-alpha
+noisy turns, adult blocklist terms, PII (emails, phones, IPs, SSNs),
+exact duplicate lines shared across conversations, non-English turns,
+and normal English prose; ~1/997 conversations are "mega" (1500 turns)
+to exercise skew handling.
+
+Spark-first: conversation structure is built with ``range`` +
+``sequence``/``explode`` column expressions; only the text itself goes
+through Arrow-vectorized pandas UDFs wrapping the same pure functions
+the tests call directly.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import random
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DEFAULT_SEED = 42
+MEGA_EVERY = 997  # conv index stride for mega-conversations
+MEGA_TURNS = 1500
+
+_WORDS = (
+    "the quick brown fox jumps over a lazy dog while many ordinary people "
+    "write perfectly normal sentences about work life code data models "
+    "systems design quality metrics and other everyday engineering topics "
+    "that flow together into plausible paragraphs of english text"
+).split()
+
+_DUP_POOL = [
+    "Please see the attached document for details.",
+    "Thanks, that works for me.",
+    "Let me know if you have any questions.",
+    "This line is intentionally duplicated across conversations.",
+    "Best regards, The Team",
+    "",
+]
+
+_NON_EN = {
+    "fr": "le chat est sur la table et nous allons pour une promenade dans le parc vous savez je pense que c'est une bonne idée pour tout le monde ici",
+    "de": "der hund ist nicht mit der katze und ich gehe von das haus mit ein freund das ist nicht so schlecht und die sonne scheint heute",
+    "es": "el perro corre por las calles y es una buena idea para todos los que viven con nosotros por la mañana del verano como siempre",
+    "it": "il gatto non vuole che il cane sono della casa per anche questo motivo come sempre di mattina presto quando tutto è tranquillo",
+}
+
+_HEADERS = ["Subject: weekly sync notes", "From: automation pipeline", "Menu", "Sign in to continue"]
+_FOOTERS = [
+    "Copyright 2024 Example Corp. All rights reserved",
+    "Unsubscribe | Privacy Policy",
+    "Powered by ExampleBot",
+]
+_ADULT_SENTENCES = [
+    "this spam message advertises porn sites all day long",
+    "flagged content mentions xxx material repeatedly",
+    "the crawler hit an nsfw page full of hentai banners",
+]
+_PII_TEMPLATES = [
+    "you can reach me at {name}@example.com for follow up on this thread",
+    "call the office at +1 555-{d3}-{d4} before the end of the week okay",
+    "the server at 10.{o}.{o2}.{o3} stopped responding again last night",
+    "their ssn {d3}-{d2}-{d4} should never have appeared in these logs",
+]
+_TOOLS = ["search", "calculator", "browser", "code_interpreter", "db_query"]
+_ROLES_CYCLE = ["user", "assistant"]
+
+
+def _h(*parts: object) -> int:
+    """Stable 64-bit hash of the key parts (md5-based, platform-independent)."""
+    raw = ":".join(str(p) for p in parts).encode()
+    return int.from_bytes(hashlib.md5(raw).digest()[:8], "big")
+
+
+def conv_id_for(conv_idx: int) -> str:
+    return f"conv_{conv_idx:08d}"
+
+
+def n_turns_for(conv_idx: int, seed: int = DEFAULT_SEED) -> int:
+    if conv_idx % MEGA_EVERY == 0 and conv_idx > 0:
+        return MEGA_TURNS
+    return 2 + _h("nturns", seed, conv_idx) % 19
+
+
+def role_for(conv_idx: int, turn_idx: int, seed: int = DEFAULT_SEED) -> tuple[str, str | None]:
+    """(role, tool) for a turn: user/assistant alternate; ~8% tool turns."""
+    h = _h("role", seed, conv_idx, turn_idx)
+    if turn_idx == 0 and h % 5 == 0:
+        return "system", None
+    if h % 100 < 8:
+        return "tool", _TOOLS[h % len(_TOOLS)]
+    return _ROLES_CYCLE[turn_idx % 2], None
+
+
+def gen_turn_text(conv_id: str, turn_idx: int, seed: int = DEFAULT_SEED) -> str:
+    """Pure deterministic text for one turn."""
+    h = _h("text", seed, conv_id, turn_idx)
+    rng = random.Random(h)
+    bucket = h % 100
+
+    def prose(n_words: int) -> str:
+        return " ".join(rng.choice(_WORDS) for _ in range(n_words))
+
+    if bucket < 5:  # tiny / empty
+        return rng.choice(["", "ok", "thanks", "yes", "sure thing"])
+    if bucket < 15:  # short-sentence-heavy
+        n = rng.randrange(4, 12)
+        return "\n".join(prose(rng.randrange(1, 4)) for _ in range(n))
+    if bucket < 20:  # header boilerplate
+        return rng.choice(_HEADERS) + "\n" + prose(40) + "\n" + prose(35)
+    if bucket < 25:  # footer boilerplate
+        return prose(40) + "\n" + prose(35) + "\n" + rng.choice(_FOOTERS)
+    if bucket < 35:  # noisy
+        chunks = [str(rng.randrange(10**4)) + " ### $$$ %%" for _ in range(rng.randrange(8, 20))]
+        return " ".join(chunks)
+    if bucket < 40:  # adult
+        return rng.choice(_ADULT_SENTENCES) + " " + prose(30)
+    if bucket < 50:  # PII
+        t = rng.choice(_PII_TEMPLATES)
+        filled = t.format(
+            name="user" + str(rng.randrange(1000)),
+            d2=f"{rng.randrange(100):02d}",
+            d3=f"{rng.randrange(1000):03d}",
+            d4=f"{rng.randrange(10000):04d}",
+            o=rng.randrange(256),
+            o2=rng.randrange(256),
+            o3=rng.randrange(256),
+        )
+        return prose(15) + " " + filled + " " + prose(15)
+    if bucket < 58:  # non-English
+        return _NON_EN[rng.choice(list(_NON_EN))]
+    if bucket < 66:  # duplicate lines across conversations
+        n = rng.randrange(2, 5)
+        return "\n".join(rng.choice(_DUP_POOL) for _ in range(n))
+    # normal English prose
+    return prose(rng.randrange(30, 120))
+
+
+def synth_transcripts(
+    spark: SparkSession, n_convs: int, seed: int = DEFAULT_SEED, partitions: int | None = None
+) -> DataFrame:
+    """Build the transcripts DataFrame at any scale.
+
+    ``range -> explode(sequence)`` keeps generation fully distributed;
+    the two pandas UDFs (turn count, text) wrap the pure functions above
+    so the table is identical for any partitioning.
+    """
+    seed_ = seed
+
+    @F.pandas_udf("int")
+    def n_turns_udf(idx: pd.Series) -> pd.Series:
+        return idx.map(lambda i: n_turns_for(int(i), seed_))
+
+    @F.pandas_udf("string")
+    def text_udf(conv_id: pd.Series, turn_idx: pd.Series) -> pd.Series:
+        return pd.Series(
+            [gen_turn_text(c, int(t), seed_) for c, t in zip(conv_id, turn_idx)]
+        )
+
+    @F.pandas_udf("string")
+    def role_udf(conv_idx: pd.Series, turn_idx: pd.Series) -> pd.Series:
+        return pd.Series(
+            [role_for(int(c), int(t), seed_)[0] for c, t in zip(conv_idx, turn_idx)]
+        )
+
+    @F.pandas_udf("string")
+    def tool_udf(conv_idx: pd.Series, turn_idx: pd.Series) -> pd.Series:
+        return pd.Series(
+            [role_for(int(c), int(t), seed_)[1] for c, t in zip(conv_idx, turn_idx)]
+        )
+
+    convs = (
+        spark.range(n_convs, numPartitions=partitions)
+        .withColumnRenamed("id", "conv_idx")
+        .withColumn("conv_id", F.format_string("conv_%08d", F.col("conv_idx")))
+        .withColumn("n_turns", n_turns_udf("conv_idx"))
+    )
+    turns = convs.select(
+        "conv_idx",
+        "conv_id",
+        F.explode(F.sequence(F.lit(0), F.col("n_turns") - 1)).alias("turn_idx"),
+    )
+    return (
+        turns.withColumn("role", role_udf("conv_idx", "turn_idx"))
+        .withColumn("text", text_udf("conv_id", "turn_idx"))
+        .withColumn("tool", tool_udf("conv_idx", "turn_idx"))
+        .withColumn(
+            "ts",
+            F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+            + F.make_interval(secs=F.col("conv_idx") * 3600 + F.col("turn_idx") * 7),
+        )
+        .select(
+            "conv_id",
+            F.col("turn_idx").cast("int").alias("turn_idx"),
+            "role",
+            "text",
+            "tool",
+            "ts",
+        )
+    )

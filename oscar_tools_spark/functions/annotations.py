@@ -1,0 +1,70 @@
+"""Heuristic quality annotations as pure DataFrame column expressions.
+
+Produces the reference's annotation vocabulary (``tiny,
+short_sentences, header, footer, noisy, adult`` — see
+/root/reference/src/impls/oscar_doc/filter_tags.rs:306-319) as a
+nullable ``array<string>`` column, matching the reference's data model
+where ``metadata.annotation`` is ``Option<Vec<String>>``
+(/root/reference/src/impls/oscar_doc/oscar_doc.rs:361-364): a document
+with no triggered tag carries NULL, not ``[]``.
+
+Everything here is a column expression — no UDFs, fully inside
+whole-stage codegen — and uses integer arithmetic only, so the same
+rules re-expressed in ANSI SQL (DuckDB oracle) agree exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .lexicons import (
+    ADULT_PATTERN,
+    FOOTER_PATTERN,
+    HEADER_PATTERN,
+    SHORT_LINE_MAX_CHARS,
+    SHORT_SENTENCES_MIN_LINES,
+    TAG_ADULT,
+    TAG_FOOTER,
+    TAG_HEADER,
+    TAG_NOISY,
+    TAG_SHORT_SENTENCES,
+    TAG_TINY,
+    TINY_MAX_CHARS,
+)
+
+
+def tag_conditions(text: Column) -> dict[str, Column]:
+    """Boolean condition per tag, evaluated on a text column."""
+    lines = F.split(text, "\n")
+    n_lines = F.size(lines)
+    short_lines = F.size(
+        F.filter(lines, lambda line: F.length(line) < F.lit(SHORT_LINE_MAX_CHARS))
+    )
+    total_chars = F.length(text)
+    alpha_chars = F.length(F.regexp_replace(text, "[^A-Za-z]", ""))
+    lower = F.lower(text)
+
+    return {
+        TAG_TINY: total_chars < F.lit(TINY_MAX_CHARS),
+        TAG_SHORT_SENTENCES: (n_lines >= F.lit(SHORT_SENTENCES_MIN_LINES))
+        & (short_lines * 2 > n_lines),
+        TAG_HEADER: F.lower(F.element_at(lines, 1)).rlike(HEADER_PATTERN),
+        TAG_FOOTER: F.lower(F.element_at(lines, -1)).rlike(FOOTER_PATTERN),
+        TAG_NOISY: alpha_chars * 2 < total_chars,
+        TAG_ADULT: lower.rlike(ADULT_PATTERN),
+    }
+
+
+def annotations_expr(text: Column) -> Column:
+    """Nullable array<string> of triggered tags (NULL when none)."""
+    conds = tag_conditions(text)
+    arr = F.array_compact(
+        F.array(*[F.when(cond, F.lit(tag)) for tag, cond in conds.items()])
+    )
+    return F.when(F.size(arr) > 0, arr)
+
+
+def annotate(df: DataFrame, text_col: str = "text", out_col: str = "annotations") -> DataFrame:
+    """Attach the annotation column; one narrow projection, no shuffle."""
+    return df.withColumn(out_col, annotations_expr(F.col(text_col)))

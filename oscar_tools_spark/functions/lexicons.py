@@ -1,0 +1,92 @@
+"""Shared lexical constants: thresholds, blocklists, stopwords, regexes.
+
+Single source of truth for the heuristic annotators (annotations.py),
+the scrubber (operators/scrub.py), the expression langid
+(functions/langid.py), and the DuckDB oracle SQL built in
+``__spark_entry__.py`` — all four are generated from these constants so
+Spark, the SQL oracle, and the pure-Python reference model in tests can
+never drift apart.
+
+The tag vocabulary mirrors the reference's observed annotation values
+(``tiny, short_sentences, header, footer, noisy, adult`` —
+/root/reference/src/impls/oscar_doc/filter_tags.rs:306-319 and
+oscar_doc.rs:362-363). The reference consumes these tags; this engine
+*produces* them with deterministic, integer-arithmetic heuristics in the
+spirit of OSCAR's upstream annotator.
+"""
+
+from __future__ import annotations
+
+# ---------------------------------------------------------------- tags
+TAG_TINY = "tiny"
+TAG_SHORT_SENTENCES = "short_sentences"
+TAG_HEADER = "header"
+TAG_FOOTER = "footer"
+TAG_NOISY = "noisy"
+TAG_ADULT = "adult"
+
+ALL_TAGS = [TAG_TINY, TAG_SHORT_SENTENCES, TAG_HEADER, TAG_FOOTER, TAG_NOISY, TAG_ADULT]
+
+# ----------------------------------------------------------- thresholds
+# All heuristics use integer arithmetic only (counts and cross-multiplied
+# ratios) so Spark and the DuckDB oracle agree bit-for-bit.
+TINY_MAX_CHARS = 140          # tiny: strictly fewer characters than this
+SHORT_LINE_MAX_CHARS = 30     # a "short" line is strictly shorter than this
+SHORT_SENTENCES_MIN_LINES = 3  # need at least this many lines to judge
+# short_sentences: 2 * short_line_count > line_count  (i.e. ratio > 0.5)
+NOISY_ALPHA_NUM = 1           # noisy: 2 * alpha_chars < total_chars (ratio < 0.5)
+
+# ------------------------------------------------------------ patterns
+# Anchored on the lowercased first / last line.
+HEADER_PATTERN = (
+    r"^(subject:|from:|to:|date:|re:|fwd:|fw:|menu|home\b|log ?in\b|sign ?(in|up)\b|"
+    r"navigation|skip to (main |)content|cookie notice)"
+)
+FOOTER_PATTERN = (
+    r"(all rights reserved|unsubscribe|terms of (service|use)|privacy policy|"
+    r"cookie policy|copyright \d{4}|\(c\) \d{4}|powered by \w+)"
+)
+
+# Small UT1-style adult blocklist (term match on lowercased text).
+ADULT_TERMS = ["xxx", "porn", "pornhub", "xvideos", "hentai", "escort", "nsfw"]
+ADULT_PATTERN = r"\b(" + "|".join(ADULT_TERMS) + r")\b"
+
+# ------------------------------------------------------- scrub patterns
+# Ordered list of (rule_name, pattern, replacement). Patterns are kept in
+# the common subset of Java regex (Spark) and RE2 (DuckDB): no lookaround,
+# no backreferences. Order matters: SSN before PHONE (the phone pattern
+# would otherwise swallow SSNs), IP before PHONE.
+SCRUB_RULES: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?\d[\d \-()]{7,}\d", "<PHONE>"),
+    ("adult_term", ADULT_PATTERN, "<TERM>"),
+]
+
+# ------------------------------------------------------------ stopwords
+# Expression-level language ID: per-language stopword alternations over
+# lowercased text; the language with the most hits wins (ties broken by
+# this ordering; zero hits everywhere -> 'und'). Word lists are chosen to
+# be mutually exclusive across languages so the argmax is stable.
+LANGID_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "is", "of", "to", "in", "that", "you", "for", "with"],
+    "fr": ["le", "les", "et", "est", "une", "que", "pour", "dans", "vous", "je"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "mit", "ich", "von"],
+    "es": ["el", "los", "las", "es", "una", "para", "con", "por", "del", "como"],
+    "it": ["il", "di", "che", "non", "per", "sono", "della", "anche", "come", "questo"],
+}
+LANGID_ORDER = list(LANGID_STOPWORDS)
+LANGID_UNKNOWN = "und"
+
+
+def langid_pattern(lang: str) -> str:
+    return r"\b(" + "|".join(LANGID_STOPWORDS[lang]) + r")\b"
+
+
+# English stopwords for the quality-score stopword-density feature.
+QUALITY_STOPWORDS = [
+    "the", "and", "is", "of", "to", "in", "that", "it", "you", "for",
+    "with", "on", "as", "are", "this", "be", "at", "or", "was", "not",
+]
+QUALITY_STOPWORD_PATTERN = r"\b(" + "|".join(QUALITY_STOPWORDS) + r")\b"

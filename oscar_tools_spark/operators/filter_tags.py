@@ -1,0 +1,81 @@
+"""The quality tag filter — the reference's `v2 extract-tags` operator.
+
+Reproduces the keep/drop truth table of
+/root/reference/src/impls/oscar_doc/filter_tags.rs:32-122 exactly,
+including its two quirks:
+
+* a tagged document with NO include and NO exclude constraints is
+  DROPPED (filter_tags.rs:105-112, asserted by the reference's test
+  case 4 at :239-248);
+* the ``clean`` flag only applies to tag-less documents — once a
+  document has annotations, ``clean`` is ignored (filter_tags.rs:51-53).
+
+Decision per document:
+
+1. annotations NULL/empty            -> keep iff (clean OR include == {})
+2. tags ∩ exclude != {}              -> drop
+3. include == {}                     -> keep iff exclude != {}
+4. otherwise                         -> keep iff include ⊆ tags
+
+``include ∩ exclude != {}`` (both non-empty) is a hard error, as in the
+reference (filter_tags.rs:136-144).
+
+The whole decision is one boolean column expression over the
+``array<string>`` annotations column (array_intersect + size + null
+handling) — no UDF, fully codegen'd, and Catalyst pushes it into the
+scan where the source supports it.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def validate_tag_sets(include: Iterable[str], exclude: Iterable[str]) -> tuple[list[str], list[str]]:
+    """Dedupe and validate the constraint sets (reference filter_tags.rs:136-144)."""
+    inc = sorted(set(include))
+    exc = sorted(set(exclude))
+    overlap = set(inc) & set(exc)
+    if overlap:
+        raise ValueError(
+            f"include and exclude tag sets must be disjoint; both contain {sorted(overlap)}"
+        )
+    return inc, exc
+
+
+def keep_expr(
+    annotations: Column,
+    include: Iterable[str] = (),
+    exclude: Iterable[str] = (),
+    clean: bool = False,
+) -> Column:
+    """Boolean keep/drop column implementing the truth table above."""
+    inc, exc = validate_tag_sets(include, exclude)
+    no_tags = annotations.isNull() | (F.size(annotations) == 0)
+
+    expr = F.when(no_tags, F.lit(clean or not inc))
+    if exc:
+        expr = expr.when(
+            F.size(F.array_intersect(annotations, F.lit(exc))) > 0, F.lit(False)
+        )
+    if not inc:
+        # tagged doc, no include constraint: kept only if an exclude
+        # constraint exists (the reference's drop-by-default quirk).
+        return expr.otherwise(F.lit(bool(exc)))
+    return expr.otherwise(
+        F.size(F.array_intersect(annotations, F.lit(inc))) == F.lit(len(inc))
+    )
+
+
+def filter_tags(
+    df: DataFrame,
+    include: Iterable[str] = (),
+    exclude: Iterable[str] = (),
+    clean: bool = False,
+    annotations_col: str = "annotations",
+) -> DataFrame:
+    """Keep the rows the reference's extract-tags would keep."""
+    return df.filter(keep_expr(F.col(annotations_col), include, exclude, clean))

@@ -1,0 +1,58 @@
+"""PII / toxicity scrubbing as an ordered ``regexp_replace`` chain.
+
+North-rule addition (no analog in the reference CLI, which only filters;
+BASELINE.json ``north_star`` mandates per-turn regex scrubbing with
+lineage). The chain is a fixed, ordered rule list from
+``functions.lexicons.SCRUB_RULES`` — email, SSN, IP, phone, adult-term —
+each a plain JVM-side ``regexp_replace`` so the whole scrub stays inside
+whole-stage codegen; ``rule_hits`` records, per row, which rules fired
+on the ORIGINAL text (lineage for downstream audits).
+
+Scale note: each rule is a narrow map over the text column; no shuffle,
+no Python. Rule regexes are restricted to the Java∩RE2 regex subset so
+the DuckDB oracle can replay them exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.lexicons import SCRUB_RULES
+
+
+def scrubbed_expr(text: Column) -> Column:
+    """The scrubbed text: ordered regexp_replace chain."""
+    out = text
+    for _name, pattern, repl in SCRUB_RULES:
+        out = F.regexp_replace(out, pattern, repl)
+    return out
+
+
+def rule_hits_expr(text: Column) -> Column:
+    """array<string> of rule names whose pattern matches, in rule order.
+
+    Matches are evaluated the way the sequential chain sees the text:
+    rule N is tested against the text after rules 1..N-1 ran, so e.g. an
+    IP already rewritten to <IP> can't also count as a phone hit.
+    """
+    hits = []
+    staged = text
+    for name, pattern, _repl in SCRUB_RULES:
+        hits.append(F.when(staged.rlike(pattern), F.lit(name)))
+        staged = F.regexp_replace(staged, pattern, _repl)
+    return F.array_compact(F.array(*hits))
+
+
+def scrub(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str | None = None,
+    hits_col: str = "rule_hits",
+) -> DataFrame:
+    """Rewrite ``text_col`` (in place by default) and attach rule-hit lineage."""
+    out_col = out_col or text_col
+    text = F.col(text_col)
+    return df.withColumn(hits_col, rule_hits_expr(text)).withColumn(
+        out_col, scrubbed_expr(text)
+    )

@@ -1,0 +1,67 @@
+"""Pure-Python reference model of the curation semantics.
+
+An independent reimplementation of (a) the reference's keep/drop truth
+table (/root/reference/src/impls/oscar_doc/filter_tags.rs:32-122) and
+(b) this engine's heuristic annotation rules, used as the oracle for
+pytest equality and the F1 measurement. Deliberately written in plain
+imperative Python so a bug in the Spark expressions can't hide in a
+shared implementation.
+"""
+
+from __future__ import annotations
+
+import re
+
+from oscar_tools_spark.functions import lexicons as lx
+
+
+def ref_filter_keep(
+    annotations: list[str] | None,
+    include: set[str],
+    exclude: set[str],
+    clean: bool = False,
+) -> bool:
+    """Mirror of filter_single_document + apply_filter_rules (filter_tags.rs:32-122)."""
+    if include & exclude:
+        raise ValueError("include/exclude must be disjoint")
+    if not annotations:  # None or []
+        return clean or not include
+    tags = set(annotations)
+    if exclude and tags & exclude:
+        return False
+    if not include:
+        return bool(exclude)
+    return include <= tags
+
+
+def ref_annotations(text: str) -> list[str] | None:
+    """Mirror of the annotation heuristics in functions/annotations.py."""
+    lines = text.split("\n")
+    lower = text.lower()
+    tags = []
+    if len(text) < lx.TINY_MAX_CHARS:
+        tags.append(lx.TAG_TINY)
+    short = sum(1 for line in lines if len(line) < lx.SHORT_LINE_MAX_CHARS)
+    if len(lines) >= lx.SHORT_SENTENCES_MIN_LINES and short * 2 > len(lines):
+        tags.append(lx.TAG_SHORT_SENTENCES)
+    if re.search(lx.HEADER_PATTERN, lines[0].lower()):
+        tags.append(lx.TAG_HEADER)
+    if re.search(lx.FOOTER_PATTERN, lines[-1].lower()):
+        tags.append(lx.TAG_FOOTER)
+    alpha = sum(1 for ch in text if ("a" <= ch <= "z") or ("A" <= ch <= "Z"))
+    if alpha * 2 < len(text):
+        tags.append(lx.TAG_NOISY)
+    if re.search(lx.ADULT_PATTERN, lower):
+        tags.append(lx.TAG_ADULT)
+    return tags or None
+
+
+def ref_scrub(text: str) -> tuple[str, list[str]]:
+    """Mirror of operators/scrub.py: ordered regex chain + rule hits."""
+    hits = []
+    out = text
+    for name, pattern, repl in lx.SCRUB_RULES:
+        if re.search(pattern, out):
+            hits.append(name)
+        out = re.sub(pattern, repl, out)
+    return out, hits

@@ -1,0 +1,54 @@
+"""Heuristic annotation tests: Spark expressions vs the pure-Python model."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from oscar_tools_spark.functions.annotations import annotate
+from tests.reference_model import ref_annotations
+
+TEXTS = [
+    "hi",  # tiny (+noisy: 50% alpha exactly? 'hi' = 2 alpha / 2 chars -> not noisy)
+    "a" * 200,  # long single line, no tags
+    "Subject: hello there\n" + ("this is a normal length sentence for sure. " * 5)
+    + "\n" + ("real words all the way down here too. " * 5),  # header
+    ("ok\n" * 10) + "done",  # short_sentences (+tiny? 33 chars -> tiny too)
+    "1234 5678 !!! ### $$$ %%% 90210 --- +++ === ~~~ 00000 11111 22222 33333 44444 "
+    * 3,  # noisy (low alpha)
+    ("a perfectly ordinary paragraph of english text that rambles on for a while. " * 4)
+    + "\nCopyright 2024 Example Corp. All rights reserved",  # footer
+    ("we can talk about porn filters in a corpus curation engine. " * 4),  # adult
+    "",  # empty text: tiny + noisy(0*2<0 false) -> tiny only
+    "line one is quite long and verbose indeed\nline two also stretches far enough\n"
+    + "line three keeps the pattern going on",  # 3 long lines, no tags (>140 chars)
+]
+
+
+@pytest.mark.parametrize("idx", range(len(TEXTS)))
+def test_annotations_match_reference_model(spark, idx):
+    text = TEXTS[idx]
+    df = spark.createDataFrame([(idx, text)], "id int, text string")
+    row = annotate(df).select("annotations").first()
+    got = row.annotations
+    want = ref_annotations(text)
+    assert (got is None and want is None) or list(got) == want, text[:60]
+
+
+def test_null_when_untagged_and_order_stable(spark):
+    df = spark.createDataFrame(
+        [(0, "x" * 150 + " plenty of alphabetic characters here to stay clean")],
+        "id int, text string",
+    )
+    assert annotate(df).first().annotations is None
+
+    # tag order in the array is the fixed vocabulary order
+    df2 = spark.createDataFrame([(0, "porn !!!!!!")], "id int, text string")
+    assert list(annotate(df2).first().annotations) == ["tiny", "noisy", "adult"]
+
+
+def test_annotate_plan_is_narrow(spark):
+    """No shuffle: annotation is a single projection over the scan."""
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = annotate(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

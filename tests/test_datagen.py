@@ -1,0 +1,53 @@
+"""Transcripts generator: determinism, schema, injected-feature coverage."""
+
+from __future__ import annotations
+
+import re
+
+from oscar_tools_spark.datagen import (
+    MEGA_EVERY,
+    MEGA_TURNS,
+    gen_turn_text,
+    n_turns_for,
+    synth_transcripts,
+)
+
+
+def test_pure_function_determinism():
+    assert gen_turn_text("conv_00000007", 3) == gen_turn_text("conv_00000007", 3)
+    assert n_turns_for(12) == n_turns_for(12)
+    assert n_turns_for(MEGA_EVERY) == MEGA_TURNS
+
+
+def test_spark_generation_matches_pure_function(spark):
+    df = synth_transcripts(spark, 30).cache()
+    rows = df.collect()
+    assert df.columns == ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    for r in rows[:200]:
+        assert r.text == gen_turn_text(r.conv_id, r.turn_idx)
+    # repartitioning does not change content
+    df2 = synth_transcripts(spark, 30, partitions=7)
+    assert sorted((r.conv_id, r.turn_idx, r.text) for r in df2.collect()) == sorted(
+        (r.conv_id, r.turn_idx, r.text) for r in rows
+    )
+    df.unpersist()
+
+
+def test_injected_feature_coverage(spark):
+    """All FIXTURES.md §1 feature classes appear at 300 conversations."""
+    rows = synth_transcripts(spark, 300).collect()
+    texts = [r.text for r in rows]
+    blob = "\n".join(texts)
+    assert any(len(t) < 10 for t in texts)  # tiny/empty
+    assert "@example.com" in blob  # email PII
+    assert re.search(r"\d+\.\d+\.\d+\.\d+", blob)  # IP
+    assert "porn" in blob  # adult
+    assert "le chat est sur la table" in blob  # non-English
+    dup_counts = sum(
+        1 for t in texts if "intentionally duplicated across conversations" in t
+    )
+    assert dup_counts >= 2  # cross-conversation duplicate lines
+    roles = {r.role for r in rows}
+    assert {"user", "assistant", "tool"} <= roles
+    tools = {r.tool for r in rows if r.role == "tool"}
+    assert tools and None not in tools

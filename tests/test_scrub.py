@@ -1,0 +1,68 @@
+"""Scrub golden pairs, idempotence, and lineage (FIXTURES.md §7)."""
+
+from __future__ import annotations
+
+import pytest
+
+from oscar_tools_spark.operators.scrub import scrub
+from tests.reference_model import ref_scrub
+
+GOLDEN = [
+    (
+        "contact me at jane.doe+x@mail.example.org asap",
+        "contact me at <EMAIL> asap",
+        ["email"],
+    ),
+    ("my ssn is 123-45-6789 ok", "my ssn is <SSN> ok", ["ssn"]),
+    ("ping 192.168.0.12 please", "ping <IP> please", ["ip"]),
+    ("call +1 555-123-4567 today", "call <PHONE> today", ["phone"]),
+    (
+        "that porn site again",
+        "that <TERM> site again",
+        ["adult_term"],
+    ),
+    (
+        "a@b.co and 10.0.0.1 and 555-123-4567 and xxx",
+        "<EMAIL> and <IP> and <PHONE> and <TERM>",
+        ["email", "ip", "phone", "adult_term"],
+    ),
+    ("nothing sensitive here", "nothing sensitive here", []),
+]
+
+
+@pytest.mark.parametrize("original,expected,expected_hits", GOLDEN)
+def test_scrub_golden(spark, original, expected, expected_hits):
+    # pure-Python model agrees with the golden pair
+    got_text, got_hits = ref_scrub(original)
+    assert got_text == expected
+    assert got_hits == expected_hits
+    # Spark chain agrees too
+    df = spark.createDataFrame([(0, original)], "id int, text string")
+    row = scrub(df).select("text", "rule_hits").first()
+    assert row.text == expected
+    assert list(row.rule_hits) == expected_hits
+
+
+def test_scrub_idempotent(spark):
+    texts = [t for t, _, _ in GOLDEN]
+    df = spark.createDataFrame(list(enumerate(texts)), "id int, text string")
+    once = scrub(df)
+    twice = scrub(once.select("id", "text"))
+    a = {r.id: r.text for r in once.collect()}
+    b = {r.id: r.text for r in twice.collect()}
+    assert a == b
+    # and a second pass reports no hits
+    assert all(len(r.rule_hits) == 0 for r in twice.collect())
+
+
+def test_scrub_keeps_original_when_out_col_given(spark):
+    df = spark.createDataFrame([(0, "mail a@b.co")], "id int, text string")
+    row = scrub(df, out_col="scrubbed").first()
+    assert row.text == "mail a@b.co"
+    assert row.scrubbed == "mail <EMAIL>"
+
+
+def test_scrub_plan_is_narrow(spark):
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = scrub(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
