@@ -1,0 +1,167 @@
+"""Language identification.
+
+Two interchangeable annotators producing the reference's
+``identification struct<label:string, prob:float>`` shape
+(/root/reference/src/impls/oscar_doc/oscar_doc.rs:357-360):
+
+* ``langid_expr`` — stopword-hit argmax as a pure column expression
+  (JVM-side, SQL-expressible, used for the DuckDB oracle and as the
+  fast path when only coarse routing is needed);
+* ``langid_model_udf`` — a deterministic hashed character-trigram
+  classifier inside an Arrow-vectorized pandas UDF, with the profile
+  table broadcast once per executor. Stands in for a fastText lid.176
+  model (not shippable in this sandbox) behind the same interface: to
+  swap in fastText, only ``_score_batch`` changes.
+
+Per-line (sentence) identification — the reference's
+``metadata.sentence_identifications`` aligned with ``split(text, '\n')``
+(oscar_doc.rs:365-380) — is built by exploding lines and re-assembling
+with ``collect_list`` ordered by line index, or cheaply via
+``transform`` with the expression scorer.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .lexicons import LANGID_ORDER, LANGID_STOPWORDS, LANGID_UNKNOWN, langid_pattern
+
+# ------------------------------------------------------------------ expression path
+
+
+def stopword_hits_expr(text: Column, lang: str) -> Column:
+    return F.size(F.regexp_extract_all(F.lower(text), F.lit(langid_pattern(lang)), F.lit(0)))
+
+
+def langid_label_expr(text: Column) -> Column:
+    """argmax over per-language stopword hits; ties break by LANGID_ORDER."""
+    hits = [stopword_hits_expr(text, lang) for lang in LANGID_ORDER]
+    best = F.greatest(*hits)
+    expr = F.when(best == 0, F.lit(LANGID_UNKNOWN))
+    for lang, h in zip(LANGID_ORDER, hits):
+        expr = expr.when(h == best, F.lit(lang))
+    return expr
+
+
+def langid_expr(text: Column) -> Column:
+    """struct<label,prob> where prob = best_hits / total_hits (0.0 when unknown)."""
+    hits = [stopword_hits_expr(text, lang) for lang in LANGID_ORDER]
+    best = F.greatest(*hits)
+    total = sum(hits[1:], hits[0])
+    prob = F.when(best == 0, F.lit(0.0)).otherwise(
+        best.cast("double") / total.cast("double")
+    )
+    return F.struct(
+        langid_label_expr(text).alias("label"), prob.cast("float").alias("prob")
+    )
+
+
+# ------------------------------------------------------------------ model path
+
+# Deterministic seed corpus per language: the model is a pure function of
+# these strings, so scores are bit-stable across partitionings and runs
+# (SURVEY.md §7 risk 2).
+_SEED_CORPUS = {
+    "en": "the quick brown fox jumps over the lazy dog and this is a perfectly "
+    "normal english sentence that people write with the usual words for things "
+    "you would expect to see in everyday text about work and life",
+    "fr": "le chat est sur la table et nous allons pour une promenade dans le parc "
+    "vous savez je pense que c'est une bonne idée pour tout le monde il faut que "
+    "nous soyons là demain matin avec les autres personnes du groupe",
+    "de": "der hund ist nicht mit der katze und ich gehe von dem haus mit einem "
+    "freund das ist nicht so schlecht und die sonne scheint heute über der stadt "
+    "wir müssen morgen früh wieder arbeiten und dann sehen wir weiter",
+    "es": "el perro corre por las calles y es una buena idea para todos los que "
+    "viven con nosotros por la mañana del verano como siempre hay que hacer las "
+    "cosas bien y luego podemos descansar un poco en la casa",
+    "it": "il gatto non vuole che il cane sia della casa per anche questo motivo "
+    "come sempre di mattina presto quando tutto è tranquillo possiamo lavorare "
+    "bene e poi andare a prendere un caffè con gli amici",
+}
+_PROFILE_SIZE = 200
+MODEL_VERSION = "trigram-profile-v1"
+
+
+def _trigrams(text: str) -> list[str]:
+    t = " " + "".join(ch if ch.isalpha() or ch == " " else " " for ch in text.lower()) + " "
+    return [t[i : i + 3] for i in range(len(t) - 2)]
+
+
+def _build_profiles() -> dict[str, list[str]]:
+    """Ranked top trigrams per language; ties broken by md5 for stability."""
+    profiles = {}
+    for lang, corpus in _SEED_CORPUS.items():
+        counts: dict[str, int] = {}
+        for g in _trigrams(corpus):
+            counts[g] = counts.get(g, 0) + 1
+        ranked = sorted(
+            counts, key=lambda g: (-counts[g], hashlib.md5(g.encode()).hexdigest())
+        )
+        profiles[lang] = ranked[:_PROFILE_SIZE]
+    return profiles
+
+
+PROFILES = _build_profiles()
+
+
+def _score_batch(texts: pd.Series) -> tuple[list[str], list[float]]:
+    """Out-of-place rank-overlap scorer (Cavnar–Trenkle style, simplified)."""
+    labels, probs = [], []
+    prof_ranks = {
+        lang: {g: r for r, g in enumerate(prof)} for lang, prof in PROFILES.items()
+    }
+    for text in texts:
+        grams = set(_trigrams(text or ""))
+        best_lang, best_score, total = LANGID_UNKNOWN, 0, 0
+        for lang in LANGID_ORDER:
+            ranks = prof_ranks[lang]
+            score = sum(1 for g in grams if g in ranks)
+            total += score
+            if score > best_score:
+                best_lang, best_score = lang, score
+        # minimum-coverage gate: noise shares a stray trigram or two with
+        # every profile; require the winner to cover >=15% of the text's
+        # distinct trigrams before asserting a language.
+        coverage = best_score / len(grams) if grams else 0.0
+        confident = best_score > 0 and coverage >= 0.15
+        labels.append(best_lang if confident else LANGID_UNKNOWN)
+        probs.append(float(best_score) / float(total) if (total and confident) else 0.0)
+    return labels, probs
+
+
+def langid_model_udf():
+    """Arrow-vectorized UDF (created lazily: pandas_udf needs an active
+    session to parse its DDL return type)."""
+
+    @F.pandas_udf("struct<label:string, prob:float>")
+    def _udf(texts: pd.Series) -> pd.DataFrame:
+        labels, probs = _score_batch(texts)
+        return pd.DataFrame({"label": labels, "prob": probs})
+
+    return _udf
+
+
+# ------------------------------------------------------------------ operators
+
+
+def identify(df: DataFrame, text_col: str = "text", out_col: str = "identification",
+             use_model: bool = True) -> DataFrame:
+    scorer = (
+        langid_model_udf()(F.col(text_col)) if use_model else langid_expr(F.col(text_col))
+    )
+    return df.withColumn(out_col, scorer)
+
+
+def sentence_identifications_expr(text: Column) -> Column:
+    """Per-line identification array aligned with split(text, '\\n'),
+    NULL entry for empty/unidentifiable lines (reference
+    oscar_doc.rs:365-380 has a null at :371). Expression scorer only —
+    keeps the whole thing inside codegen with no explode/shuffle."""
+    return F.transform(
+        F.split(text, "\n"),
+        lambda line: F.when(F.length(line) > 0, langid_expr(line)),
+    )

@@ -1,0 +1,83 @@
+"""KenLM-style n-gram perplexity scoring as a vectorized pandas UDF.
+
+A character-bigram language model with Laplace smoothing, trained at
+import time from the fixed seed corpus (pure function of in-repo
+constants — bit-stable across runs/partitionings, SURVEY.md §7 risk 2).
+Stands in for a real KenLM binary (not shippable here) behind the same
+interface: swap ``_LOGPROB``/``_score`` for a kenlm.Model call and
+nothing else changes.
+
+The log-prob matrix is tiny (28×28 float64) and is captured in the UDF
+closure — shipped once per executor via the Arrow UDF machinery, the
+moral equivalent of a broadcast variable for model weights.
+
+Per-row scores are order-independent (mean over the row's own bigrams),
+so results don't depend on partitioning.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .langid import _SEED_CORPUS
+
+MODEL_VERSION = "char-bigram-lm-v1"
+
+# vocab: a-z, space, OOV bucket
+_VOCAB = "abcdefghijklmnopqrstuvwxyz "
+_OOV = len(_VOCAB)
+_V = _OOV + 1
+
+
+def _char_ids(text: str) -> np.ndarray:
+    ids = np.full(len(text), _OOV, dtype=np.int32)
+    for i, ch in enumerate(text.lower()):
+        j = _VOCAB.find(ch)
+        if j >= 0:
+            ids[i] = j
+    return ids
+
+
+def _train() -> np.ndarray:
+    counts = np.ones((_V, _V), dtype=np.float64)  # Laplace
+    for corpus in _SEED_CORPUS.values():
+        ids = _char_ids(corpus)
+        np.add.at(counts, (ids[:-1], ids[1:]), 1.0)
+    return np.log(counts / counts.sum(axis=1, keepdims=True))
+
+
+_LOGPROB = _train()
+
+
+def score_text(text: str) -> float:
+    """Perplexity of one string under the char-bigram LM (pure function)."""
+    ids = _char_ids(text or "")
+    if len(ids) < 2:
+        return float(math.exp(-_LOGPROB.mean()))  # degenerate: worst-ish score
+    lp = _LOGPROB[ids[:-1], ids[1:]]
+    return float(np.exp(-lp.mean()))
+
+
+def perplexity_udf():
+    """Arrow-vectorized UDF (created lazily: pandas_udf needs an active
+    session to parse its DDL return type)."""
+
+    @F.pandas_udf("double")
+    def _udf(texts: pd.Series) -> pd.Series:
+        return texts.map(score_text)
+
+    return _udf
+
+
+def score(df: DataFrame, text_col: str = "text", out_col: str = "perplexity") -> DataFrame:
+    return df.withColumn(out_col, perplexity_udf()(F.col(text_col)))
+
+
+def high_perplexity_expr(ppl: Column, threshold: float = 30.0) -> Column:
+    """Quality gate: True when the text looks unlike natural language."""
+    return ppl > F.lit(threshold)

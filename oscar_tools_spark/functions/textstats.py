@@ -1,0 +1,79 @@
+"""Text analysis columns: token counts, quality score, fingerprints.
+
+All pure column expressions (JVM-side, codegen'd, SQL-expressible for
+the DuckDB oracle). These are the training-data-pipeline additions the
+brief mandates on top of the reference's operator set.
+
+Integer arithmetic or per-row float math only — no cross-row float
+reductions — so values are bit-stable and hash-comparable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from .lexicons import QUALITY_STOPWORD_PATTERN
+
+# BPE-ish tokenization: word pieces OR single non-space symbols. A cheap,
+# deterministic proxy for a real BPE vocab: count = words + punctuation.
+BPE_TOKEN_PATTERN = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"
+WS_TOKEN_PATTERN = r"\S+"
+
+
+def ws_token_count(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(F.regexp_extract_all(text, F.lit(WS_TOKEN_PATTERN), F.lit(0)))
+
+
+def bpe_token_count(text: Column) -> Column:
+    """BPE-ish token-count estimate (word pieces + symbols)."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_TOKEN_PATTERN), F.lit(0)))
+
+
+def stopword_count(text: Column) -> Column:
+    return F.size(
+        F.regexp_extract_all(F.lower(text), F.lit(QUALITY_STOPWORD_PATTERN), F.lit(0))
+    )
+
+
+def punct_count(text: Column) -> Column:
+    return F.length(F.regexp_replace(text, r"[^.,;:!?'\"()\[\]-]", ""))
+
+
+def alpha_count(text: Column) -> Column:
+    return F.length(F.regexp_replace(text, "[^A-Za-z]", ""))
+
+
+def quality_score_expr(text: Column) -> Column:
+    """Deterministic quality score in [0, 100], higher = better prose.
+
+    40 pts length (saturating at 400 chars), 30 pts alpha ratio,
+    20 pts stopword density (saturating at 1 stopword per 8 tokens),
+    10 pts penalty-free punctuation ratio (< 1/8 of chars).
+    Uses integer cross-multiplication so Spark and DuckDB agree exactly.
+    """
+    n = F.length(text)
+    toks = ws_token_count(text)
+    length_pts = F.least(n, F.lit(400)) * 40 / 400  # double division at the end
+    alpha_pts = F.when(n > 0, alpha_count(text) * 30 / n).otherwise(F.lit(0.0))
+    stop_pts = F.when(
+        toks > 0, F.least(stopword_count(text) * 8, toks) * 20 / toks
+    ).otherwise(F.lit(0.0))
+    punct_ok = F.when(n > 0, (punct_count(text) * 8) <= n).otherwise(F.lit(False))
+    punct_pts = F.when(punct_ok, F.lit(10.0)).otherwise(F.lit(0.0))
+    return F.round(length_pts + alpha_pts + stop_pts + punct_pts, 4)
+
+
+def fingerprint_expr(text: Column) -> Column:
+    """64-bit-ish document fingerprint of normalized text.
+
+    Normalization: lowercase, collapse whitespace runs, strip non-alnum.
+    Fingerprint = first 8 bytes of md5 as a bigint (md5 is available in
+    both Spark and DuckDB so the oracle can replay it exactly; a rolling
+    hash would be engine-specific).
+    """
+    normalized = F.regexp_replace(
+        F.regexp_replace(F.lower(text), r"[^a-z0-9\s]", ""), r"\s+", " "
+    )
+    return F.conv(F.substring(F.md5(F.trim(normalized)), 1, 8), 16, 10).cast("bigint")

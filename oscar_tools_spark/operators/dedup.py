@@ -1,0 +1,296 @@
+"""Deduplication operators: exact, MinHash-LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+The exact line dedup reproduces the reference's `v1 dedup` semantics
+(/root/reference/src/impls/oscar_txt/dedup.rs:14-98): first occurrence
+wins GLOBALLY across documents, order-preserving, and empty lines are
+deduplicated like any other key (dedup.rs:36-37 is dead code — see
+SURVEY.md §2.2). The reference does this with a single-node in-memory
+digest set; here the same semantics become a map-side-combinable
+``groupBy(key).agg(min(position))`` — the scale-out replacement for the
+O(corpus) driver-side set.
+
+Scale notes
+-----------
+* ``groupBy + min(struct)`` partially aggregates before the shuffle, so
+  a line repeated 10^6 times ships one row per map partition, not 10^6
+  rows — this also neutralizes key skew on ultra-common lines (empty
+  string, boilerplate).
+* MinHash/SimHash signatures are built from md5 (available in both
+  Spark and DuckDB so oracles can replay them); at 100 TB swap in
+  ``xxhash64`` for ~3× cheaper hashing — the structure is identical.
+* LSH band self-joins are equi-joins on band keys -> shuffle-hash/SMJ
+  on a well-distributed key; AQE's skew-join handles hot bands.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# ----------------------------------------------------------------- exact
+
+
+def dedup_lines(
+    df: DataFrame,
+    order_cols: list[str],
+    text_col: str = "text",
+    line_col: str = "line",
+) -> DataFrame:
+    """Reference `v1 dedup`: explode text into lines, keep the globally
+    first occurrence of each distinct line, preserve stream order.
+
+    Returns (order_cols..., line_idx, line) of surviving lines, ordered
+    by (order_cols, line_idx). Empty lines are ordinary keys.
+    """
+    lines = df.select(
+        *order_cols,
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("line_idx", line_col),
+    )
+    pos = F.struct(*[F.col(c) for c in order_cols], F.col("line_idx")).alias("pos")
+    first = lines.groupBy(line_col).agg(F.min(pos).alias("pos"))
+    return first.select(
+        *[F.col(f"pos.{c}").alias(c) for c in order_cols],
+        F.col("pos.line_idx").alias("line_idx"),
+        line_col,
+    ).orderBy(*order_cols, "line_idx")
+
+
+def dedup_docs_exact(
+    df: DataFrame, key_cols: list[str], text_col: str = "text"
+) -> DataFrame:
+    """Exact document dedup on md5(text); the doc with the smallest key
+    survives. Map-side-combinable groupBy, no window."""
+    digest = F.md5(F.col(text_col)).alias("_digest")
+    keyed = df.withColumn("_digest", digest)
+    winner = keyed.groupBy("_digest").agg(
+        F.min(F.struct(*key_cols)).alias("_w")
+    ).select("_digest", *[F.col(f"_w.{c}").alias(c) for c in key_cols])
+    return keyed.join(winner, ["_digest", *key_cols], "left_semi").drop("_digest")
+
+
+# --------------------------------------------------------------- shingles
+
+
+def word_shingles_expr(text: Column, k: int = 3) -> Column:
+    """Distinct word k-shingles of normalized text (array<string>)."""
+    words = F.split(
+        F.trim(F.regexp_replace(F.lower(text), r"[^a-z0-9\s]", " ")), r"\s+"
+    )
+    n = F.size(words)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
+        lambda i: F.concat_ws(" ", *[F.element_at(words, (i + j + 1).cast("int")) for j in range(k)]),
+    )
+    return F.when(n >= k, F.array_distinct(grams)).otherwise(
+        F.when(n > 0, F.array(F.concat_ws(" ", words)))
+    )
+
+
+# ---------------------------------------------------------------- MinHash
+
+
+def minhash_signature_exprs(shingles: Column, num_hashes: int = 16) -> list[Column]:
+    """MinHash signature: per hash function i, the lexicographic min of
+    md5(i:shingle). md5 keeps Spark and the DuckDB oracle identical;
+    lexicographic min over hex strings is a valid uniform min-hash."""
+    return [
+        F.array_min(
+            F.transform(shingles, lambda s, i=i: F.md5(F.concat(F.lit(f"{i}:"), s)))
+        ).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+
+
+def minhash_bands(
+    df: DataFrame,
+    key_cols: list[str],
+    text_col: str = "text",
+    num_hashes: int = 16,
+    band_size: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(key_cols..., band_idx, band_key) — one row per (doc, band)."""
+    sig = df.select(
+        *key_cols,
+        *minhash_signature_exprs(word_shingles_expr(F.col(text_col), shingle_k), num_hashes),
+    )
+    n_bands = num_hashes // band_size
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.md5(
+                    F.concat_ws(
+                        "|", *[F.col(f"mh_{b * band_size + j}") for j in range(band_size)]
+                    )
+                ).alias("band_key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return sig.select(*key_cols, F.explode(bands).alias("band")).select(
+        *key_cols, "band.band_idx", "band.band_key"
+    )
+
+
+def dedup_minhash_lsh(
+    df: DataFrame,
+    key_col: str,
+    text_col: str = "text",
+    num_hashes: int = 16,
+    band_size: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Drop every doc that shares any LSH band with a lower-keyed doc.
+
+    Returns the surviving rows of ``df``. Greedy lowest-key-wins (the
+    standard large-scale near-dup policy; a full connected-components
+    pass is the exhaustive variant — see graph note in SURVEY.md §7).
+    """
+    bands = minhash_bands(df, [key_col], text_col, num_hashes, band_size, shingle_k)
+    a, b = bands.alias("a"), bands.alias("b")
+    dup_keys = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{key_col}") > F.col(f"b.{key_col}")),
+        )
+        .select(F.col(f"a.{key_col}").alias(key_col))
+        .distinct()
+    )
+    return df.join(dup_keys, key_col, "left_anti")
+
+
+# ---------------------------------------------------------------- SimHash
+
+
+def simhash_expr(text: Column, bits: int = 32) -> Column:
+    """SimHash over word tokens: per-bit majority vote of 32-bit md5
+    word hashes. Pure expressions; oracle-replayable."""
+    words = F.array_distinct(
+        F.split(F.trim(F.regexp_replace(F.lower(text), r"[^a-z0-9\s]", " ")), r"\s+")
+    )
+    hashes = F.transform(
+        words, lambda w: F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("bigint")
+    )
+    def vote_for_bit(b: int) -> Column:
+        mask = 1 << b
+        return F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc + F.when(h.bitwiseAND(F.lit(mask)) > 0, 1).otherwise(-1),
+        )
+
+    bit_votes = [vote_for_bit(b) for b in range(bits)]
+    out = F.lit(0).cast("bigint")
+    for b, vote in enumerate(bit_votes):
+        out = out + F.when(vote > 0, F.lit(1 << b)).otherwise(0).cast("bigint")
+    return out
+
+
+def dedup_simhash(df: DataFrame, key_col: str, text_col: str = "text") -> DataFrame:
+    """Exact-simhash-collision dedup (hamming distance 0), lowest key wins.
+    Banded hamming<=k matching is the scale-out extension (join on
+    16-bit chunks); collision-only is the conservative default."""
+    keyed = df.withColumn("_sh", simhash_expr(F.col(text_col)))
+    winner = keyed.groupBy("_sh").agg(F.min(key_col).alias(key_col))
+    return keyed.join(winner, ["_sh", key_col], "left_semi").drop("_sh")
+
+
+# ------------------------------------------------------------ n-gram Jaccard
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    key_col: str,
+    text_col: str = "text",
+    shingle_k: int = 3,
+    threshold: float = 0.8,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Candidate pairs with exact n-gram Jaccard >= threshold.
+
+    Pair generation joins docs sharing >= 1 shingle; ``max_shingle_df``
+    drops ultra-frequent shingles before the join (at web scale the
+    stopword-shingle blowup dominates; dropping high-DF shingles only
+    removes pairs whose OTHER shingles still connect them in practice).
+    Returns (key_a, key_b, jaccard) with key_a < key_b.
+    """
+    sh = df.select(
+        F.col(key_col).alias("k"),
+        F.explode(word_shingles_expr(F.col(text_col), shingle_k)).alias("s"),
+    ).distinct()
+    if max_shingle_df is not None:
+        rare = sh.groupBy("s").count().filter(F.col("count") <= max_shingle_df).select("s")
+        sh = sh.join(rare, "s", "left_semi")
+    sizes = sh.groupBy("k").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.k") < F.col("b.k")))
+        .groupBy(F.col("a.k").alias("key_a"), F.col("b.k").alias("key_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.select(F.col("k").alias("key_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("k").alias("key_b"), F.col("n").alias("nb"))
+    return (
+        common.join(sa, "key_a")
+        .join(sb, "key_b")
+        .withColumn(
+            "jaccard",
+            F.col("common") / (F.col("na") + F.col("nb") - F.col("common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("key_a", "key_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def dedup_jaccard(
+    df: DataFrame,
+    key_col: str,
+    text_col: str = "text",
+    shingle_k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    pairs = jaccard_pairs(df, key_col, text_col, shingle_k, threshold)
+    dup_keys = pairs.select(F.col("key_b").alias(key_col)).distinct()
+    return df.join(dup_keys, key_col, "left_anti")
+
+
+# ------------------------------------------------------- embedding near-dup
+
+
+def dedup_embedding_cosine(
+    df: DataFrame,
+    key_col: str,
+    vec_col: str = "embedding",
+    threshold: float = 0.995,
+    n_buckets_probe: int | None = None,
+) -> DataFrame:
+    """Embedding near-dup: drop rows whose cosine similarity to a
+    lower-keyed row exceeds ``threshold``.
+
+    Brute-force O(n²) pair join — correct baseline; the LSH-bucketed
+    variant in operators/similarity.py is the 100 TB path (bucket by
+    random-hyperplane signs, join within buckets only).
+    """
+    dot = lambda x, y: F.aggregate(  # noqa: E731
+        F.zip_with(x, y, lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    norm = lambda x: F.sqrt(dot(x, x))  # noqa: E731
+    v = df.select(F.col(key_col).alias("k"), F.col(vec_col).alias("v"))
+    a, b = v.alias("a"), v.alias("b")
+    pairs = a.join(b, F.col("a.k") > F.col("b.k")).select(
+        F.col("a.k").alias("key_a"),
+        (
+            dot(F.col("a.v"), F.col("b.v"))
+            / (norm(F.col("a.v")) * norm(F.col("b.v")))
+        ).alias("cos"),
+    )
+    dup = pairs.filter(F.col("cos") >= threshold).select(
+        F.col("key_a").alias(key_col)
+    ).distinct()
+    return df.join(dup, key_col, "left_anti")

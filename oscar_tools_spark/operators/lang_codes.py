@@ -1,0 +1,32 @@
+"""`update-lang-codes`: repair stale language partition labels.
+
+The reference renames per-language corpus files ``als→gsw, sh→sr,
+eml→egl`` (/root/reference/src/lang_codes.rs:25-72, fix map :28-33; the
+command is declared but never registered in the CLI — vestigial, see
+SURVEY.md §2 #8). In a table world this is a partition-value rewrite:
+a single conditional column expression; on Iceberg the write replaces
+the affected partitions only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# reference fix map (lang_codes.rs:28-33)
+LANG_FIXES = {"als": "gsw", "sh": "sr", "eml": "egl"}
+
+
+def fixed_lang_expr(lang: Column) -> Column:
+    expr = lang
+    for old, new in LANG_FIXES.items():
+        expr = F.when(lang == old, F.lit(new)).otherwise(expr)
+    return expr
+
+
+def update_lang_codes(df: DataFrame, lang_col: str = "lang", dry: bool = False) -> DataFrame:
+    """Rewrite stale codes; ``dry`` returns the would-change rows instead
+    (the reference's --dry mode, lang_codes.rs:52-64)."""
+    if dry:
+        return df.filter(F.col(lang_col).isin(list(LANG_FIXES)))
+    return df.withColumn(lang_col, fixed_lang_expr(F.col(lang_col)))

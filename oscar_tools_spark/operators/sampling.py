@@ -1,0 +1,93 @@
+"""`v1 sample`: random sample under a byte-size budget.
+
+Reference semantics (/root/reference/src/impls/oscar_txt/sampling/
+sampling.rs:47-172, WithoutReplacement mode — the CLI default at :41):
+shuffle documents, walk the shuffled order, skip any document larger
+than the whole budget (:117-118), add while cumulative+len < budget,
+STOP at the first non-fitting document (:120-123); output is re-sorted
+to corpus order (:126, order test :204-217).
+
+Because the running total is monotone, "stop at first overflow" is
+exactly "keep the prefix where the inclusive cumulative size < budget"
+— so the whole operator is: deterministic shuffle key -> cumulative sum
+window -> filter -> re-sort. The shuffle key is md5(seed:key), which
+both Spark and the DuckDB oracle compute identically (the reference
+uses thread_rng; we pin a seed per FIXTURES.md §6).
+
+Scale: a single global-order window would serialize on one task. The
+implementation range-partitions by the shuffle key and computes the
+cumulative sum as (per-partition cumsum) + (prefix sum of partition
+totals), where the partition totals are a tiny driver-side array —
+the standard distributed prefix-sum; no global single-partition stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _with_shuffle_key(df: DataFrame, key_cols: list[str], seed: int):
+    key = F.md5(F.concat_ws(":", F.lit(str(seed)), *[F.col(c).cast("string") for c in key_cols]))
+    return df.withColumn("_sk", key)
+
+
+def sample_by_budget(
+    df: DataFrame,
+    key_cols: list[str],
+    budget_bytes: int,
+    size_col: str | None = None,
+    text_col: str = "text",
+    seed: int = 42,
+    distributed: bool = True,
+    partitions: int = 32,
+) -> DataFrame:
+    """Sample rows under a total size budget with reference semantics.
+
+    ``size_col`` defaults to ``length(text_col)``. Returns the sampled
+    rows of ``df`` (original columns), ordered by ``key_cols``.
+    """
+    size = F.col(size_col) if size_col else F.length(F.col(text_col))
+    keyed = _with_shuffle_key(df, key_cols, seed).withColumn("_sz", size.cast("bigint"))
+    eligible = keyed.filter(F.col("_sz") <= F.lit(budget_bytes))
+
+    if not distributed:
+        w = Window.orderBy("_sk").rowsBetween(Window.unboundedPreceding, 0)
+        cum = eligible.withColumn("_cum", F.sum("_sz").over(w))
+    else:
+        # Distributed prefix sum. The frame is persisted because
+        # repartitionByRange samples its boundaries with an RDD-id-
+        # dependent seed: without materialization the totals job and the
+        # main job could see different partition layouts.
+        parted = (
+            eligible.repartitionByRange(partitions, "_sk")
+            .withColumn("_pid", F.spark_partition_id())
+            .persist()
+        )
+        totals = {
+            r._pid: r.total
+            for r in parted.groupBy("_pid").agg(F.sum("_sz").alias("total")).collect()
+        }
+        acc = 0
+        offsets = {}
+        for pid in sorted(totals):
+            offsets[pid] = acc
+            acc += totals[pid]
+        offset_col = (
+            F.coalesce(
+                *[F.when(F.col("_pid") == pid, F.lit(off)) for pid, off in offsets.items()],
+                F.lit(0),
+            )
+            if offsets
+            else F.lit(0)
+        )
+        w = Window.partitionBy("_pid").orderBy("_sk").rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        cum = parted.withColumn("_cum", F.sum("_sz").over(w) + offset_col)
+
+    return (
+        cum.filter(F.col("_cum") < F.lit(budget_bytes))
+        .drop("_sk", "_sz", "_cum", "_pid")
+        .orderBy(*key_cols)
+    )

@@ -1,0 +1,110 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+Brute-force cosine top-k is the exact baseline (one broadcast of the
+query vector, one narrow map, one top-k — ``TakeOrderedAndProject``,
+no full sort). The scale path is random-hyperplane LSH bucketing:
+probe only buckets matching the query signature, turning a full scan
+into a fraction-of-data scan; recall is traded via ``n_planes`` and
+multi-probe (hamming-1 neighbors of the query signature).
+
+Hyperplanes are deterministic pseudo-random (md5 of (plane, dim)), so
+signatures are stable across runs/partitions with no RNG state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(x: Column, y: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(x, y, lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def cosine_expr(x: Column, y: Column) -> Column:
+    return _dot(x, y) / (F.sqrt(_dot(x, x)) * F.sqrt(_dot(y, y)))
+
+
+def topk_cosine(
+    df: DataFrame,
+    query_vec: list[float],
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k by cosine similarity to a literal query vector.
+
+    The query ships as a column literal (broadcast in the task binary);
+    limit-after-sort compiles to TakeOrderedAndProject — per-partition
+    top-k then a driver merge, not a global sort.
+    """
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    return (
+        df.select(
+            F.col(key_col),
+            F.round(cosine_expr(F.col(vec_col), q), 6).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col(key_col))
+        .limit(k)
+    )
+
+
+def _plane_component(plane: int, dim: int) -> float:
+    """Deterministic pseudo-random component in [-1, 1)."""
+    import hashlib
+
+    h = int.from_bytes(
+        hashlib.md5(f"plane:{plane}:{dim}".encode()).digest()[:8], "big"
+    )
+    return (h / 2**63) - 1.0
+
+
+def hyperplanes(n_planes: int, dim: int) -> list[list[float]]:
+    return [[_plane_component(p, d) for d in range(dim)] for p in range(n_planes)]
+
+
+def lsh_signature_expr(vec: Column, planes: list[list[float]]) -> Column:
+    """Bit-signature: sign of the dot product with each hyperplane."""
+    sig = F.lit(0)
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(c) for c in plane])
+        sig = sig + F.when(_dot(vec, p) >= 0, F.lit(1 << i)).otherwise(0)
+    return sig
+
+
+def bucket_embeddings(
+    df: DataFrame, vec_col: str = "embedding", n_planes: int = 8, dim: int | None = None
+) -> DataFrame:
+    """Attach an LSH bucket id; at scale, write bucketBy(bucket) so
+    probes are partition-pruned scans."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    planes = hyperplanes(n_planes, dim)
+    return df.withColumn("bucket", lsh_signature_expr(F.col(vec_col), planes))
+
+
+def topk_cosine_lsh(
+    df: DataFrame,
+    query_vec: list[float],
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_planes: int = 8,
+    multiprobe: bool = True,
+) -> DataFrame:
+    """ANN top-k: score only rows in the query's LSH bucket (and its
+    hamming-1 neighbor buckets when ``multiprobe``)."""
+    dim = len(query_vec)
+    planes = hyperplanes(n_planes, dim)
+    qsig = 0
+    for i, plane in enumerate(planes):
+        if sum(a * b for a, b in zip(query_vec, plane)) >= 0:
+            qsig |= 1 << i
+    probes = [qsig] + ([qsig ^ (1 << i) for i in range(n_planes)] if multiprobe else [])
+    bucketed = bucket_embeddings(df, vec_col, n_planes, dim)
+    candidates = bucketed.filter(F.col("bucket").isin(probes))
+    return topk_cosine(candidates, query_vec, key_col, vec_col, k)

@@ -1,0 +1,106 @@
+"""Dedup family tests, incl. the reference's v1 dedup fixture."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from oscar_tools_spark.operators.dedup import (
+    dedup_docs_exact,
+    dedup_jaccard,
+    dedup_lines,
+    dedup_minhash_lsh,
+    dedup_simhash,
+    jaccard_pairs,
+    word_shingles_expr,
+)
+
+
+def test_reference_dedup_fixture(spark):
+    """Port of /root/reference/src/impls/oscar_txt/dedup.rs:132-180:
+    first occurrence wins globally across documents; the blank separator
+    line is itself deduplicated (single blank survives); order preserved."""
+    # two documents as a line stream, blank line separating them
+    doc1 = ["foo", "bar", "baz", "foo"]
+    doc2 = ["zoom", "foo", "baz", "quux"]
+    stream = doc1 + [""] + doc2 + [""]
+    df = spark.createDataFrame(
+        [(0, i, line) for i, line in enumerate(stream)],
+        "doc int, idx int, text string",
+    ).groupBy("doc").agg(F.concat_ws("\n", F.collect_list("text")).alias("text"))
+    out = dedup_lines(df, ["doc"]).collect()
+    assert [r.line for r in out] == ["foo", "bar", "baz", "", "zoom", "quux"]
+
+
+def test_dedup_lines_order_and_cross_doc(spark):
+    df = spark.createDataFrame(
+        [
+            ("c1", 0, "alpha\nbeta"),
+            ("c1", 1, "beta\ngamma"),
+            ("c2", 0, "alpha\ndelta"),
+        ],
+        "conv_id string, turn_idx int, text string",
+    )
+    out = dedup_lines(
+        df.select("conv_id", "turn_idx", F.col("text")), ["conv_id", "turn_idx"]
+    ).collect()
+    got = [(r.conv_id, r.turn_idx, r.line) for r in out]
+    assert got == [
+        ("c1", 0, "alpha"),
+        ("c1", 0, "beta"),
+        ("c1", 1, "gamma"),
+        ("c2", 0, "delta"),
+    ]
+
+
+def test_dedup_docs_exact(spark):
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "different")],
+        "doc_id long, text string",
+    )
+    kept = sorted(r.doc_id for r in dedup_docs_exact(df, ["doc_id"]).collect())
+    assert kept == [1, 3]
+
+
+def test_shingles(spark):
+    df = spark.createDataFrame([("The quick brown fox jumps",)], "text string")
+    row = df.select(word_shingles_expr(F.col("text")).alias("s")).first()
+    assert sorted(row.s) == sorted(
+        ["the quick brown", "quick brown fox", "brown fox jumps"]
+    )
+    short = spark.createDataFrame([("two words",)], "text string")
+    assert short.select(word_shingles_expr(F.col("text")).alias("s")).first().s == [
+        "two words"
+    ]
+
+
+NEAR_DUP_ROWS = [
+    (1, "the quick brown fox jumps over the lazy dog near the old river bank today"),
+    (2, "the quick brown fox jumps over the lazy dog near the old river bank tonight"),
+    (3, "completely unrelated text about database query optimization and join ordering"),
+    (4, "another fully distinct paragraph describing mountain hiking trails in autumn"),
+]
+
+
+def test_minhash_lsh_drops_near_dup(spark):
+    df = spark.createDataFrame(NEAR_DUP_ROWS, "doc_id long, text string")
+    kept = sorted(r.doc_id for r in dedup_minhash_lsh(df, "doc_id").collect())
+    assert 2 not in kept  # near-dup of 1 with a lower key
+    assert {1, 3, 4} <= set(kept)
+
+
+def test_jaccard_pairs_and_dedup(spark):
+    df = spark.createDataFrame(NEAR_DUP_ROWS, "doc_id long, text string")
+    pairs = jaccard_pairs(df, "doc_id", threshold=0.5).collect()
+    assert [(p.key_a, p.key_b) for p in pairs] == [(1, 2)]
+    assert 0.5 <= pairs[0].jaccard < 1.0
+    kept = sorted(r.doc_id for r in dedup_jaccard(df, "doc_id", threshold=0.5).collect())
+    assert kept == [1, 3, 4]
+
+
+def test_simhash_exact_collision_dedup(spark):
+    df = spark.createDataFrame(
+        [(1, "identical words here"), (2, "identical words here"), (3, "something else")],
+        "doc_id long, text string",
+    )
+    kept = sorted(r.doc_id for r in dedup_simhash(df, "doc_id").collect())
+    assert kept == [1, 3]

@@ -1,0 +1,60 @@
+"""Language-ID: expression path, model path, per-sentence identifications."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from oscar_tools_spark.functions.langid import (
+    identify,
+    langid_expr,
+    sentence_identifications_expr,
+)
+
+SAMPLES = [
+    ("the dog and the cat is in the house with you", "en"),
+    ("le chat est dans le parc pour une promenade vous savez", "fr"),
+    ("der hund ist nicht mit der katze und ich gehe von das haus", "de"),
+    ("el perro es una buena idea para los que viven con nosotros", "es"),
+    ("il gatto non vuole che il cane sono della casa per questo", "it"),
+    ("zzz qqq 12345 xyzzy", "und"),
+]
+
+
+def test_expression_langid(spark):
+    df = spark.createDataFrame(SAMPLES, "text string, expected string")
+    rows = df.withColumn("ident", langid_expr(F.col("text"))).collect()
+    for r in rows:
+        assert r.ident.label == r.expected, r.text
+        if r.expected == "und":
+            assert r.ident.prob == 0.0
+        else:
+            assert 0.0 < r.ident.prob <= 1.0
+
+
+def test_model_langid(spark):
+    df = spark.createDataFrame(SAMPLES, "text string, expected string")
+    rows = identify(df, use_model=True).collect()
+    for r in rows:
+        assert r.identification.label == r.expected, r.text
+
+
+def test_model_deterministic_across_partitionings(spark):
+    df = spark.createDataFrame(SAMPLES * 10, "text string, expected string")
+    one = identify(df.coalesce(1)).select("text", "identification").collect()
+    many = identify(df.repartition(7)).select("text", "identification").collect()
+    assert sorted(map(tuple, one)) == sorted(map(tuple, many))
+
+
+def test_sentence_identifications(spark):
+    text = (
+        "the dog and the cat is in the house with you\n"
+        "\n"
+        "le chat est dans le parc pour une promenade vous savez"
+    )
+    df = spark.createDataFrame([(text,)], "text string")
+    row = df.select(sentence_identifications_expr(F.col("text")).alias("sids")).first()
+    sids = row.sids
+    assert len(sids) == 3
+    assert sids[0].label == "en"
+    assert sids[1] is None  # empty line -> null identification (ref :371)
+    assert sids[2].label == "fr"

@@ -1,0 +1,53 @@
+"""Perplexity scorer: ordering, determinism, threshold gate."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from oscar_tools_spark.functions.perplexity import (
+    high_perplexity_expr,
+    score,
+    score_text,
+)
+
+
+def test_natural_text_scores_lower_than_noise():
+    natural = "the quick brown fox jumps over the lazy dog in a normal sentence"
+    noise = "zxqj kvw pfft 93842 @@## qqqq zzzz xkcd jjjj"
+    assert score_text(natural) < score_text(noise)
+
+
+def test_udf_matches_pure_function(spark):
+    texts = [
+        "this is perfectly ordinary english text",
+        "le chat est sur la table",
+        "#### 1234 $$$$ zzzz",
+        "",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    rows = score(df).collect()
+    for r in rows:
+        assert abs(r.perplexity - score_text(r.text)) < 1e-12
+
+
+def test_determinism_across_partitionings(spark):
+    texts = [(f"sentence number {i} with some ordinary words",) for i in range(50)]
+    df = spark.createDataFrame(texts, "text string")
+    a = sorted(r.perplexity for r in score(df.coalesce(1)).collect())
+    b = sorted(r.perplexity for r in score(df.repartition(7)).collect())
+    assert a == b
+
+
+def test_threshold_gate(spark):
+    df = spark.createDataFrame(
+        [("the quick brown fox jumps over the lazy dog every day",),
+         ("zxqj 93842 @@## qqqq zzzz",)],
+        "text string",
+    )
+    rows = (
+        score(df)
+        .withColumn("bad", high_perplexity_expr(F.col("perplexity")))
+        .collect()
+    )
+    assert rows[0].bad is False
+    assert rows[1].bad is True

@@ -1,0 +1,56 @@
+"""Sampling invariants (FIXTURES.md §6) and extract-text golden (§5)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from oscar_tools_spark.operators.extract_text import extract_text
+from oscar_tools_spark.operators.sampling import sample_by_budget
+
+
+def _docs(spark, n=60):
+    rows = [(i, "word " * (5 + (i * 7) % 40)) for i in range(n)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_budget_respected_and_order_preserved(spark):
+    df = _docs(spark)
+    budget = 1500
+    out = sample_by_budget(df, ["doc_id"], budget).collect()
+    total = sum(len(r.text) for r in out)
+    assert 0 < total < budget
+    ids = [r.doc_id for r in out]
+    assert ids == sorted(ids)  # corpus order preserved (ref :204-217)
+
+
+def test_oversize_docs_skipped(spark):
+    df = spark.createDataFrame(
+        [(1, "a" * 50), (2, "b" * 10_000), (3, "c" * 50)],
+        "doc_id long, text string",
+    )
+    out = sample_by_budget(df, ["doc_id"], 500).collect()
+    assert all(r.doc_id != 2 for r in out)
+    assert len(out) >= 1
+
+
+def test_deterministic_given_seed_and_distributed_matches_local(spark):
+    df = _docs(spark, 80)
+    a = [r.doc_id for r in sample_by_budget(df, ["doc_id"], 2000, seed=7).collect()]
+    b = [r.doc_id for r in sample_by_budget(df, ["doc_id"], 2000, seed=7).collect()]
+    assert a == b
+    c = [
+        r.doc_id
+        for r in sample_by_budget(df, ["doc_id"], 2000, seed=7, distributed=False).collect()
+    ]
+    assert a == c  # distributed prefix-sum == single-window reference impl
+    d = [r.doc_id for r in sample_by_budget(df, ["doc_id"], 2000, seed=8).collect()]
+    assert a != d  # different seed -> different sample (overwhelmingly)
+
+
+def test_extract_text_golden(spark):
+    """Port of /root/reference/src/ops/extract_text.rs:80-110."""
+    docs = ["words like words", "when to use\nit", "not so good", "to start\n with"]
+    df = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+    out = extract_text(df).orderBy("doc_id").collect()
+    joined = "".join(r.v1_text for r in out)
+    assert joined == "\n\n".join(docs) + "\n\n"

@@ -1,0 +1,83 @@
+"""Text stats and similarity search tests."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from oscar_tools_spark.functions.textstats import (
+    bpe_token_count,
+    fingerprint_expr,
+    quality_score_expr,
+    ws_token_count,
+)
+from oscar_tools_spark.operators.lang_codes import update_lang_codes
+from oscar_tools_spark.operators.similarity import (
+    bucket_embeddings,
+    topk_cosine,
+    topk_cosine_lsh,
+)
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame([("Hello, world! 123",)], "text string")
+    row = df.select(
+        ws_token_count(F.col("text")).alias("ws"),
+        bpe_token_count(F.col("text")).alias("bpe"),
+    ).first()
+    assert row.ws == 3
+    assert row.bpe == 5  # hello , world ! 123
+
+
+def test_quality_score_ranks_prose_over_noise(spark):
+    prose = (
+        "This is a well formed paragraph of english text that contains the usual "
+        "stopwords and flows in a natural way for the reader to enjoy with it."
+    )
+    noise = "#### 123 $$$ @@@@ ~~ zz 99 ## !!!! %%%% ^^^^ &&&& **** (((( ))))"
+    df = spark.createDataFrame([(1, prose), (2, noise)], "id int, text string")
+    rows = {r.id: r.q for r in df.select("id", quality_score_expr(F.col("text")).alias("q")).collect()}
+    assert rows[1] > rows[2]
+    assert 0 <= rows[2] <= 100 and 0 <= rows[1] <= 100
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello,   World!"), (2, "hello world"), (3, "different text")],
+        "id int, text string",
+    )
+    rows = {r.id: r.fp for r in df.select("id", fingerprint_expr(F.col("text")).alias("fp")).collect()}
+    assert rows[1] == rows[2]
+    assert rows[1] != rows[3]
+
+
+def test_update_lang_codes(spark):
+    df = spark.createDataFrame(
+        [("als", 1), ("sh", 2), ("en", 3), ("eml", 4)], "lang string, n int"
+    )
+    fixed = {r.n: r.lang for r in update_lang_codes(df).collect()}
+    assert fixed == {1: "gsw", 2: "sr", 3: "en", 4: "egl"}
+    dry = sorted(r.n for r in update_lang_codes(df, dry=True).collect())
+    assert dry == [1, 2, 4]
+
+
+def test_topk_cosine_on_testdata(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") == 0).first().embedding
+    out = topk_cosine(emb, list(q), k=5).collect()
+    assert len(out) == 5
+    assert out[0].vec_id == 0 and abs(out[0].cosine - 1.0) < 1e-6
+    sims = [r.cosine for r in out]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_lsh_topk_agrees_reasonably_with_exact(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+    q = list(emb.filter(F.col("vec_id") == 0).first().embedding)
+    exact = [r.vec_id for r in topk_cosine(emb, q, k=5).collect()]
+    approx = [r.vec_id for r in topk_cosine_lsh(emb, q, k=5, n_planes=6).collect()]
+    assert exact[0] == approx[0] == 0  # the query's own row always found
+    assert len(set(exact) & set(approx)) >= 2  # decent recall at tiny scale
+    b = bucket_embeddings(emb, n_planes=6)
+    n_buckets = b.select("bucket").distinct().count()
+    assert n_buckets > 4  # planes actually split the space
+    emb.unpersist()
