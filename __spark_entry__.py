@@ -1,38 +1,267 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship curation pipeline on sf0.001.
+``queries()`` — one callable per implemented operator (SURVEY.md §2 plus
+the training-data extensions); each takes (spark, sf_dir) and returns a
+DataFrame whose columns/types/values match the DuckDB ``oracle_sql()``
+twin generated from the same lexicon constants
+(oscar_tools_spark/oracles.py).
+
+Parity rules: integer arithmetic, md5-based hashing, Java∩RE2 regexes,
+per-row rounded floats, every numeric count cast to bigint (DuckDB's
+``len``/``count`` are BIGINT).
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+REPO = Path(__file__).resolve().parent
+if str(REPO) not in sys.path:
+    sys.path.insert(0, str(REPO))
+
+from oscar_tools_spark import oracles as O  # noqa: E402
+from oscar_tools_spark.functions.annotations import annotations_expr  # noqa: E402
+from oscar_tools_spark.functions.langid import langid_expr, stopword_hits_expr  # noqa: E402
+from oscar_tools_spark.functions import lexicons as lx  # noqa: E402
+from oscar_tools_spark.functions.textstats import (  # noqa: E402
+    bpe_token_count,
+    fingerprint_expr,
+    quality_score_expr,
+    stopword_count,
+    ws_token_count,
+)
+from oscar_tools_spark.operators.dedup import (  # noqa: E402
+    dedup_docs_exact,
+    dedup_lines,
+    dedup_minhash_lsh,
+    jaccard_pairs,
+    simhash_table,
+)
+from oscar_tools_spark.operators.extract_text import extract_text  # noqa: E402
+from oscar_tools_spark.operators.filter_tags import filter_tags  # noqa: E402
+from oscar_tools_spark.operators.lang_codes import fixed_lang_expr  # noqa: E402
+from oscar_tools_spark.operators.sampling import sample_by_budget  # noqa: E402
+from oscar_tools_spark.operators.scrub import rule_hits_expr, scrubbed_expr  # noqa: E402
+from oscar_tools_spark.operators.similarity import topk_cosine  # noqa: E402
+
+SAMPLE_BUDGET = 50_000
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _annotated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _docs(spark, sf_dir)
+    return df.withColumn("annotations", annotations_expr(F.col("text")))
+
+
+# ------------------------------------------------------------------ queries
+
+
+def q_annotate(spark, sf_dir):
+    return (
+        _annotated(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.concat_ws(",", F.col("annotations")).alias("annotations_str"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _q_filter(include=(), exclude=(), clean=False):
+    def run(spark, sf_dir):
+        return (
+            filter_tags(_annotated(spark, sf_dir), include, exclude, clean)
+            .select("doc_id", "lang")
+            .orderBy("doc_id")
+        )
+
+    return run
+
+
+def q_scrub(spark, sf_dir):
+    df = _docs(spark, sf_dir)
+    return df.select(
+        "doc_id",
+        scrubbed_expr(F.col("text")).alias("scrubbed"),
+        F.concat_ws(",", rule_hits_expr(F.col("text"))).alias("rule_hits_str"),
+    ).orderBy("doc_id")
+
+
+def q_extract_text(spark, sf_dir):
+    return (
+        extract_text(_docs(spark, sf_dir).select("doc_id", "text"))
+        .select("doc_id", "v1_text")
+        .orderBy("doc_id")
+    )
+
+
+def q_dedup_lines(spark, sf_dir):
+    out = dedup_lines(_docs(spark, sf_dir), ["doc_id"])
+    return out.select(
+        "doc_id", F.col("line_idx").cast("bigint").alias("line_idx"), "line"
+    ).orderBy("doc_id", "line_idx")
+
+
+def q_dedup_docs_exact(spark, sf_dir):
+    return (
+        dedup_docs_exact(_docs(spark, sf_dir), ["doc_id"])
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
+def q_sample_budget(spark, sf_dir):
+    return (
+        sample_by_budget(
+            _docs(spark, sf_dir), ["doc_id"], SAMPLE_BUDGET, size_col="n_chars", seed=42
+        )
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
+def q_langid(spark, sf_dir):
+    df = _docs(spark, sf_dir)
+    hits = [stopword_hits_expr(F.col("text"), lang) for lang in lx.LANGID_ORDER]
+    best = F.greatest(*hits)
+    return df.select(
+        "doc_id",
+        langid_expr(F.col("text")).getField("label").alias("label"),
+        best.cast("bigint").alias("hits"),
+    ).orderBy("doc_id")
+
+
+def q_token_stats(spark, sf_dir):
+    df = _docs(spark, sf_dir)
+    t = F.col("text")
+    return df.select(
+        "doc_id",
+        ws_token_count(t).cast("bigint").alias("ws_tokens"),
+        bpe_token_count(t).cast("bigint").alias("bpe_tokens"),
+        stopword_count(t).cast("bigint").alias("stop_hits"),
+    ).orderBy("doc_id")
+
+
+def q_quality_score(spark, sf_dir):
+    df = _docs(spark, sf_dir)
+    return df.select(
+        "doc_id", quality_score_expr(F.col("text")).alias("quality")
+    ).orderBy("doc_id")
+
+
+def q_fingerprint(spark, sf_dir):
+    df = _docs(spark, sf_dir)
+    return df.select("doc_id", fingerprint_expr(F.col("text")).alias("fp")).orderBy(
+        "doc_id"
+    )
+
+
+def q_minhash_dedup(spark, sf_dir):
+    return (
+        dedup_minhash_lsh(_docs(spark, sf_dir), "doc_id")
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
+def q_simhash(spark, sf_dir):
+    return simhash_table(_docs(spark, sf_dir), ["doc_id"]).orderBy("doc_id")
+
+
+def q_jaccard_pairs(spark, sf_dir):
+    return jaccard_pairs(_docs(spark, sf_dir), "doc_id", threshold=0.5).orderBy(
+        "key_a", "key_b"
+    )
+
+
+def q_update_lang_codes(spark, sf_dir):
+    df = _docs(spark, sf_dir)
+    return (
+        df.select(fixed_lang_expr(F.col("lang")).alias("lang"))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .orderBy("lang")
+    )
+
+
+def q_topk_cosine_ids(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = list(emb.filter(F.col("vec_id") == 0).first().embedding)
+    return topk_cosine(emb, q, k=10).select("vec_id")
+
+
+def q_curation_pipeline(spark, sf_dir):
+    """Flagship: annotate -> filter(exclude adult/noisy) -> scrub -> score."""
+    ann = _annotated(spark, sf_dir)
+    kept = filter_tags(ann, exclude={"adult", "noisy"})
+    return kept.select(
+        "doc_id",
+        "lang",
+        scrubbed_expr(F.col("text")).alias("scrubbed"),
+        F.concat_ws(",", F.col("annotations")).alias("annotations_str"),
+        quality_score_expr(F.col("text")).alias("quality"),
+    ).orderBy("doc_id")
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q_curation_pipeline(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "annotate": q_annotate,
+        "filter_exclude": _q_filter(exclude={"adult", "noisy", "tiny"}),
+        "filter_include": _q_filter(include={"tiny"}),
+        "filter_include_exclude": _q_filter(include={"tiny"}, exclude={"header"}),
+        "filter_clean": _q_filter(include={"tiny"}, clean=True),
+        "scrub": q_scrub,
+        "extract_text": q_extract_text,
+        "dedup_lines": q_dedup_lines,
+        "dedup_docs_exact": q_dedup_docs_exact,
+        "sample_budget": q_sample_budget,
+        "langid": q_langid,
+        "token_stats": q_token_stats,
+        "quality_score": q_quality_score,
+        "fingerprint": q_fingerprint,
+        "minhash_dedup": q_minhash_dedup,
+        "simhash": q_simhash,
+        "jaccard_pairs": q_jaccard_pairs,
+        "update_lang_codes": q_update_lang_codes,
+        "topk_cosine_ids": q_topk_cosine_ids,
+        "curation_pipeline": q_curation_pipeline,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "annotate": O.q_annotate(),
+        "filter_exclude": O.q_filter(exclude={"adult", "noisy", "tiny"}),
+        "filter_include": O.q_filter(include={"tiny"}),
+        "filter_include_exclude": O.q_filter(include={"tiny"}, exclude={"header"}),
+        "filter_clean": O.q_filter(include={"tiny"}, clean=True),
+        "scrub": O.q_scrub(),
+        "extract_text": O.q_extract_text(),
+        "dedup_lines": O.q_dedup_lines(),
+        "dedup_docs_exact": O.q_dedup_docs_exact(),
+        "sample_budget": O.q_sample_budget(SAMPLE_BUDGET),
+        "langid": O.q_langid(),
+        "token_stats": O.q_token_stats(),
+        "quality_score": O.q_quality_score(),
+        "fingerprint": O.q_fingerprint(),
+        "minhash_dedup": O.q_minhash_dedup(),
+        "simhash": O.q_simhash(),
+        "jaccard_pairs": O.q_jaccard_pairs(),
+        "update_lang_codes": O.q_update_lang_codes(),
+        "topk_cosine_ids": O.q_topk_cosine_ids(),
+        "curation_pipeline": O.q_curation_pipeline(),
+    }

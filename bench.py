@@ -1,0 +1,135 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+
+    {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The flagship measurement is the north-rule pipeline (langid -> annotate
+-> perplexity -> filter -> scrub) over a transcripts table synthesized
+once per (sf, seed) into a local cache dir (generation excluded from
+timing), reported both as seconds and turns/sec. Remaining queries
+cover the operator families: dedup (exact/minhash), budget sampling,
+similarity search, and the SQL-oracle flagship on `documents`.
+
+Used by scripts/scaling_bench.py at two parallelism levels (local[8] vs
+local[32]) to evidence the >=0.8 scaling-efficiency bar in-sandbox.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+import __spark_entry__ as E  # noqa: E402
+from oscar_tools_spark.datagen import synth_transcripts  # noqa: E402
+from oscar_tools_spark.operators.dedup import dedup_lines, dedup_minhash_lsh  # noqa: E402
+from oscar_tools_spark.operators.sampling import sample_by_budget  # noqa: E402
+from oscar_tools_spark.operators.similarity import topk_cosine  # noqa: E402
+from oscar_tools_spark.plans.pipeline import CurationConfig, curate  # noqa: E402
+from oscar_tools_spark.session import get_spark  # noqa: E402
+
+CONVS_PER_SF = 460_000  # ~13 turns/conv avg -> ~6M turns/sf (600k at sf 0.1)
+
+
+def sf_of(sf_dir: str) -> float:
+    name = Path(sf_dir).name  # e.g. sf0.1
+    try:
+        return float(name.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def transcripts_cache(spark, sf: float, cache_root: str = "/tmp/oscar_bench") -> str:
+    n_convs = max(int(CONVS_PER_SF * sf), 50)
+    path = os.path.join(cache_root, f"transcripts_n{n_convs}_seed42.parquet")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        synth_transcripts(spark, n_convs, partitions=32).write.mode(
+            "overwrite"
+        ).parquet(path)
+    return path
+
+
+def run_noop(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_of(sf_dir)
+    spark = get_spark(f"bench-{cpus}", cores=cpus, shuffle_partitions=max(cpus, 8))
+
+    tpath = transcripts_cache(spark, sf)
+    transcripts = spark.read.parquet(tpath)
+    n_turns = transcripts.count()
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = list(emb.filter(F.col("vec_id") == 0).first().embedding)
+
+    timings: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    # q1: the north-rule pipeline with model UDFs (the F1-bearing path)
+    timed(
+        "pipeline_model",
+        lambda: run_noop(
+            curate(transcripts, CurationConfig(exclude=frozenset({"adult", "noisy"})))
+        ),
+    )
+    # q2: pure-expression pipeline (no Python anywhere)
+    timed(
+        "pipeline_expr",
+        lambda: run_noop(
+            curate(
+                transcripts,
+                CurationConfig(
+                    exclude=frozenset({"adult", "noisy"}),
+                    use_model_langid=False,
+                    with_perplexity=False,
+                ),
+            )
+        ),
+    )
+    # q3-q6: operator families over driver testdata
+    timed("dedup_lines", lambda: run_noop(dedup_lines(docs, ["doc_id"])))
+    timed("minhash_dedup", lambda: run_noop(dedup_minhash_lsh(docs, "doc_id")))
+    timed(
+        "sample_budget",
+        lambda: run_noop(
+            sample_by_budget(docs, ["doc_id"], 50_000, size_col="n_chars")
+        ),
+    )
+    timed("topk_cosine", lambda: run_noop(topk_cosine(emb, qvec, k=10)))
+    # q7: SQL-oracle flagship over documents
+    timed("curation_docs", lambda: run_noop(E.q_curation_pipeline(spark, sf_dir)))
+
+    total = round(sum(timings.values()), 3)
+    result = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": cpus,
+        "n_turns": n_turns,
+        "turns_per_sec_model": round(n_turns / timings["pipeline_model"], 1),
+        "turns_per_sec_expr": round(n_turns / timings["pipeline_expr"], 1),
+    }
+    print(json.dumps(result))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -90,16 +90,38 @@ def word_shingles_expr(text: Column, k: int = 3) -> Column:
 # ---------------------------------------------------------------- MinHash
 
 
-def minhash_signature_exprs(shingles: Column, num_hashes: int = 16) -> list[Column]:
-    """MinHash signature: per hash function i, the lexicographic min of
-    md5(i:shingle). md5 keeps Spark and the DuckDB oracle identical;
-    lexicographic min over hex strings is a valid uniform min-hash."""
-    return [
-        F.array_min(
-            F.transform(shingles, lambda s, i=i: F.md5(F.concat(F.lit(f"{i}:"), s)))
-        ).alias(f"mh_{i}")
-        for i in range(num_hashes)
-    ]
+def minhash_signatures(
+    df: DataFrame,
+    key_cols: list[str],
+    text_col: str = "text",
+    num_hashes: int = 16,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(key_cols..., mh_0..mh_{n-1}): per hash function i, the
+    lexicographic min of md5(i:shingle). md5 keeps Spark and the DuckDB
+    oracle identical; lexicographic min over hex strings is a valid
+    uniform min-hash.
+
+    Shape: explode shingles -> one md5 per (shingle, i) -> groupBy min.
+    Doing the mins as array expressions instead would inline the shingle
+    construction once PER hash function (higher-order functions are
+    interpreted, no codegen CSE) — measured 16x slower. The groupBy is
+    map-side combinable, so the shuffle carries one row per doc.
+    """
+    sh = df.select(
+        *key_cols,
+        F.explode(word_shingles_expr(F.col(text_col), shingle_k)).alias("_s"),
+    )
+    hashed = sh.select(
+        *key_cols,
+        *[
+            F.md5(F.concat(F.lit(f"{i}:"), F.col("_s"))).alias(f"h_{i}")
+            for i in range(num_hashes)
+        ],
+    )
+    return hashed.groupBy(*key_cols).agg(
+        *[F.min(f"h_{i}").alias(f"mh_{i}") for i in range(num_hashes)]
+    )
 
 
 def minhash_bands(
@@ -111,10 +133,7 @@ def minhash_bands(
     shingle_k: int = 3,
 ) -> DataFrame:
     """(key_cols..., band_idx, band_key) — one row per (doc, band)."""
-    sig = df.select(
-        *key_cols,
-        *minhash_signature_exprs(word_shingles_expr(F.col(text_col), shingle_k), num_hashes),
-    )
+    sig = minhash_signatures(df, key_cols, text_col, num_hashes, shingle_k)
     n_bands = num_hashes // band_size
     bands = F.array(
         *[
@@ -166,37 +185,49 @@ def dedup_minhash_lsh(
 # ---------------------------------------------------------------- SimHash
 
 
-def simhash_expr(text: Column, bits: int = 32) -> Column:
-    """SimHash over word tokens: per-bit majority vote of 32-bit md5
-    word hashes. Pure expressions; oracle-replayable."""
-    words = F.array_distinct(
-        F.split(F.trim(F.regexp_replace(F.lower(text), r"[^a-z0-9\s]", " ")), r"\s+")
-    )
-    hashes = F.transform(
-        words, lambda w: F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("bigint")
-    )
-    def vote_for_bit(b: int) -> Column:
-        mask = 1 << b
-        return F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h: acc + F.when(h.bitwiseAND(F.lit(mask)) > 0, 1).otherwise(-1),
-        )
+def simhash_table(
+    df: DataFrame, key_cols: list[str], text_col: str = "text", bits: int = 32
+) -> DataFrame:
+    """(key_cols..., simhash): per-bit majority vote of 32-bit md5 word
+    hashes over distinct word tokens.
 
-    bit_votes = [vote_for_bit(b) for b in range(bits)]
+    Explode words -> one hash row per word -> 32 conditional sums in one
+    map-side-combinable aggregation (same CSE rationale as
+    minhash_signatures: per-bit array aggregates would re-inline the
+    word hashing 32x, since higher-order functions are interpreted with
+    no codegen CSE).
+    """
+    words = F.array_distinct(
+        F.split(
+            F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9\s]", " ")),
+            r"\s+",
+        )
+    )
+    exploded = df.select(*key_cols, F.explode(words).alias("_w"))
+    hashed = exploded.withColumn(
+        "_h", F.conv(F.substring(F.md5(F.col("_w")), 1, 8), 16, 10).cast("bigint")
+    )
+    votes = hashed.groupBy(*key_cols).agg(
+        *[
+            F.sum(
+                F.when(F.col("_h").bitwiseAND(F.lit(1 << b)) > 0, 1).otherwise(-1)
+            ).alias(f"v_{b}")
+            for b in range(bits)
+        ]
+    )
     out = F.lit(0).cast("bigint")
-    for b, vote in enumerate(bit_votes):
-        out = out + F.when(vote > 0, F.lit(1 << b)).otherwise(0).cast("bigint")
-    return out
+    for b in range(bits):
+        out = out + F.when(F.col(f"v_{b}") > 0, F.lit(1 << b)).otherwise(0).cast("bigint")
+    return votes.select(*key_cols, out.alias("simhash"))
 
 
 def dedup_simhash(df: DataFrame, key_col: str, text_col: str = "text") -> DataFrame:
     """Exact-simhash-collision dedup (hamming distance 0), lowest key wins.
     Banded hamming<=k matching is the scale-out extension (join on
     16-bit chunks); collision-only is the conservative default."""
-    keyed = df.withColumn("_sh", simhash_expr(F.col(text_col)))
-    winner = keyed.groupBy("_sh").agg(F.min(key_col).alias(key_col))
-    return keyed.join(winner, ["_sh", key_col], "left_semi").drop("_sh")
+    keyed = df.join(simhash_table(df, [key_col], text_col), key_col)
+    winner = keyed.groupBy("simhash").agg(F.min(key_col).alias(key_col))
+    return keyed.join(winner, ["simhash", key_col], "left_semi").drop("simhash")
 
 
 # ------------------------------------------------------------ n-gram Jaccard

@@ -1,0 +1,346 @@
+"""DuckDB oracle SQL generators.
+
+Every SQL string here is generated from the SAME constants
+(functions/lexicons.py) that drive the Spark expressions, so the
+driver's side-by-side comparison (Spark vs DuckDB at sf=0.01) checks
+real semantic parity, not two copies of one implementation drifting
+together: the Spark side is DataFrame expressions, this side is ANSI
+SQL in DuckDB's dialect, and both must agree bit-for-bit.
+
+Engine-parity ground rules (why these queries hash-match):
+* integer arithmetic / cross-multiplied ratios instead of float ratios;
+* md5 (identical hex in both engines) for anything hash-like;
+* regexes restricted to the Java∩RE2 subset;
+* floats only per-row and rounded; no cross-row float reductions.
+"""
+
+from __future__ import annotations
+
+from .functions import lexicons as lx
+from .functions.textstats import BPE_TOKEN_PATTERN, WS_TOKEN_PATTERN
+
+LINES = "string_split(text, chr(10))"
+
+
+def tag_cond_sql(tag: str) -> str:
+    if tag == lx.TAG_TINY:
+        return f"length(text) < {lx.TINY_MAX_CHARS}"
+    if tag == lx.TAG_SHORT_SENTENCES:
+        return (
+            f"(len(__lines) >= {lx.SHORT_SENTENCES_MIN_LINES} and "
+            f"2 * len(list_filter(__lines, x -> length(x) < {lx.SHORT_LINE_MAX_CHARS}))"
+            f" > len(__lines))"
+        )
+    if tag == lx.TAG_HEADER:
+        return f"regexp_matches(lower(__lines[1]), '{lx.HEADER_PATTERN}')"
+    if tag == lx.TAG_FOOTER:
+        return f"regexp_matches(lower(__lines[-1]), '{lx.FOOTER_PATTERN}')"
+    if tag == lx.TAG_NOISY:
+        return "2 * length(regexp_replace(text, '[^A-Za-z]', '', 'g')) < length(text)"
+    if tag == lx.TAG_ADULT:
+        return f"regexp_matches(lower(text), '{lx.ADULT_PATTERN}')"
+    raise KeyError(tag)
+
+
+def tags_list_sql() -> str:
+    cases = ", ".join(
+        f"case when {tag_cond_sql(t)} then '{t}' end" for t in lx.ALL_TAGS
+    )
+    return f"list_filter([{cases}], x -> x is not null)"
+
+
+def annotated_cte(table: str = "documents") -> str:
+    return (
+        f"with __base as (select *, {LINES} as __lines from {table}),\n"
+        f"__ann as (select *, {tags_list_sql()} as tags from __base)"
+    )
+
+
+def keep_sql(include=(), exclude=(), clean: bool = False) -> str:
+    inc, exc = sorted(set(include)), sorted(set(exclude))
+    if set(inc) & set(exc):
+        raise ValueError("include/exclude overlap")
+    parts = [f"when len(tags) = 0 then {'true' if (clean or not inc) else 'false'}"]
+    if exc:
+        lit = "[" + ", ".join(f"'{t}'" for t in exc) + "]"
+        parts.append(f"when list_has_any(tags, {lit}) then false")
+    if not inc:
+        parts.append(f"else {'true' if exc else 'false'}")
+    else:
+        lit = "[" + ", ".join(f"'{t}'" for t in inc) + "]"
+        parts.append(f"else len(list_intersect(tags, {lit})) = {len(inc)}")
+    return "case " + " ".join(parts) + " end"
+
+
+def q_annotate() -> str:
+    return (
+        annotated_cte()
+        + "\nselect doc_id, coalesce(array_to_string(tags, ','), '') as annotations_str"
+        " from __ann order by doc_id"
+    )
+
+
+def q_filter(include=(), exclude=(), clean=False) -> str:
+    return (
+        annotated_cte()
+        + f"\nselect doc_id, lang from __ann where {keep_sql(include, exclude, clean)}"
+        " order by doc_id"
+    )
+
+
+def scrub_ctes(src: str = "documents") -> str:
+    """Layered CTEs s0..sN applying the ordered scrub chain, tracking hits."""
+    ctes = [f"s0 as (select *, text as t0, cast([] as varchar[]) as hits0 from {src})"]
+    for i, (name, pat, repl) in enumerate(lx.SCRUB_RULES):
+        prev, cur = f"t{i}", f"t{i+1}"
+        ctes.append(
+            f"s{i+1} as (select * exclude ({prev}, hits{i}), "
+            f"regexp_replace({prev}, '{pat}', '{repl}', 'g') as {cur}, "
+            f"case when regexp_matches({prev}, '{pat}') then list_append(hits{i}, '{name}') "
+            f"else hits{i} end as hits{i+1} from s{i})"
+        )
+    return "with " + ",\n".join(ctes)
+
+
+def q_scrub() -> str:
+    n = len(lx.SCRUB_RULES)
+    return (
+        scrub_ctes()
+        + f"\nselect doc_id, t{n} as scrubbed,"
+        f" coalesce(array_to_string(hits{n}, ','), '') as rule_hits_str"
+        f" from s{n} order by doc_id"
+    )
+
+
+def q_extract_text() -> str:
+    return "select doc_id, text || chr(10) || chr(10) as v1_text from documents order by doc_id"
+
+
+def q_dedup_lines() -> str:
+    return f"""
+with lines as (
+  select doc_id,
+         generate_subscripts({LINES}, 1) - 1 as line_idx,
+         unnest({LINES}) as line
+  from documents
+), ranked as (
+  select *, row_number() over (partition by line order by doc_id, line_idx) as rn
+  from lines
+)
+select doc_id, line_idx, line from ranked where rn = 1 order by doc_id, line_idx
+"""
+
+
+def q_dedup_docs_exact() -> str:
+    return """
+with d as (select doc_id, md5(text) as digest from documents),
+w as (select digest, min(doc_id) as doc_id from d group by digest)
+select doc_id from w order by doc_id
+"""
+
+
+def q_sample_budget(budget: int, seed: int = 42) -> str:
+    return f"""
+with keyed as (
+  select doc_id, n_chars,
+         md5('{seed}:' || cast(doc_id as varchar)) as sk
+  from documents where n_chars <= {budget}
+), cum as (
+  select doc_id,
+         sum(n_chars) over (order by sk rows between unbounded preceding and current row) as c
+  from keyed
+)
+select doc_id from cum where c < {budget} order by doc_id
+"""
+
+
+def q_langid() -> str:
+    hits = ", ".join(
+        f"len(regexp_extract_all(lower(text), '{lx.langid_pattern(lang)}')) as h_{lang}"
+        for lang in lx.LANGID_ORDER
+    )
+    best = "greatest(" + ", ".join(f"h_{lang}" for lang in lx.LANGID_ORDER) + ")"
+    label = f"case when {best} = 0 then '{lx.LANGID_UNKNOWN}' "
+    for lang in lx.LANGID_ORDER:
+        label += f"when h_{lang} = {best} then '{lang}' "
+    label += "end"
+    return (
+        f"with h as (select doc_id, {hits} from documents)\n"
+        f"select doc_id, {label} as label, {best} as hits from h order by doc_id"
+    )
+
+
+def q_token_stats() -> str:
+    return f"""
+select doc_id,
+       len(regexp_extract_all(text, '{WS_TOKEN_PATTERN}')) as ws_tokens,
+       len(regexp_extract_all(text, '{BPE_TOKEN_PATTERN}')) as bpe_tokens,
+       len(regexp_extract_all(lower(text), '{lx.QUALITY_STOPWORD_PATTERN}')) as stop_hits
+from documents order by doc_id
+"""
+
+
+def quality_expr_sql(text: str = "text") -> str:
+    """Inline quality-score expression over a text column (matches
+    textstats.quality_score_expr exactly)."""
+    n = f"length({text})"
+    toks = f"len(regexp_extract_all({text}, '{WS_TOKEN_PATTERN}'))"
+    alpha = f"length(regexp_replace({text}, '[^A-Za-z]', '', 'g'))"
+    stop = f"len(regexp_extract_all(lower({text}), '{lx.QUALITY_STOPWORD_PATTERN}'))"
+    punct = f"length(regexp_replace({text}, '[^.,;:!?''\\\"()\\[\\]-]', '', 'g'))"
+    return f"""round(
+    least({n}, 400) * 40 / 400
+    + case when {n} > 0 then {alpha} * 30 / {n} else 0.0 end
+    + case when {toks} > 0 then least({stop} * 8, {toks}) * 20 / {toks} else 0.0 end
+    + case when {n} > 0 and ({punct} * 8) <= {n} then 10.0 else 0.0 end
+  , 4)"""
+
+
+def q_quality_score() -> str:
+    return (
+        f"select doc_id, {quality_expr_sql()} as quality from documents order by doc_id"
+    )
+
+
+def q_curation_pipeline(exclude=("adult", "noisy")) -> str:
+    """Flagship oracle: annotate -> filter -> scrub -> quality score."""
+    n = len(lx.SCRUB_RULES)
+    scrub_layers = scrub_ctes("kept")[len("with ") :]
+    return f"""
+{annotated_cte()},
+kept as (select * from __ann where {keep_sql(exclude=exclude)}),
+{scrub_layers}
+select doc_id, lang, t{n} as scrubbed,
+       coalesce(array_to_string(tags, ','), '') as annotations_str,
+       {quality_expr_sql('text')} as quality
+from s{n} order by doc_id
+"""
+
+
+def q_fingerprint() -> str:
+    norm = (
+        "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),"
+        " '\\s+', ' ', 'g'))"
+    )
+    return (
+        f"select doc_id, ('0x' || substr(md5({norm}), 1, 8))::bigint as fp"
+        " from documents order by doc_id"
+    )
+
+
+WORDS_SQL = (
+    "string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g')),"
+    " '\\s+')"
+)
+
+
+def shingles_sql(k: int = 3) -> str:
+    gram = " || ' ' || ".join(f"__w[i + {j}]" for j in range(k))
+    return (
+        f"case when len(__w) >= {k} then "
+        f"list_distinct(list_transform(range(1, len(__w) - {k} + 2), i -> {gram})) "
+        f"when len(__w) > 0 then [array_to_string(__w, ' ')] end"
+    )
+
+
+def shingled_cte(table: str = "documents", k: int = 3) -> str:
+    return (
+        f"with __wtab as (select *, {WORDS_SQL} as __w from {table}),\n"
+        f"__sh as (select *, {shingles_sql(k)} as shingles from __wtab)"
+    )
+
+
+def q_minhash_dedup(num_hashes: int = 16, band_size: int = 4, k: int = 3) -> str:
+    mins = ", ".join(
+        f"list_min(list_transform(shingles, s -> md5('{i}:' || s))) as mh_{i}"
+        for i in range(num_hashes)
+    )
+    n_bands = num_hashes // band_size
+    band_selects = " union all ".join(
+        "select doc_id, {b} as band_idx, md5({concat}) as band_key from sig".format(
+            b=b,
+            concat=" || '|' || ".join(
+                f"mh_{b * band_size + j}" for j in range(band_size)
+            ),
+        )
+        for b in range(n_bands)
+    )
+    return f"""
+{shingled_cte(k=k)},
+sig as (select doc_id, {mins} from __sh),
+bands as ({band_selects}),
+dups as (
+  select distinct a.doc_id
+  from bands a join bands b
+    on a.band_idx = b.band_idx and a.band_key = b.band_key and a.doc_id > b.doc_id
+)
+select doc_id from documents
+where doc_id not in (select doc_id from dups)
+order by doc_id
+"""
+
+
+def q_simhash(bits: int = 32) -> str:
+    words = (
+        "list_distinct(string_split_regex(trim(regexp_replace(lower(text),"
+        " '[^a-z0-9\\s]', ' ', 'g')), '\\s+'))"
+    )
+    hashes = f"list_transform({words}, w -> ('0x' || substr(md5(w), 1, 8))::bigint)"
+    votes = []
+    for b in range(bits):
+        mask = 1 << b
+        votes.append(
+            f"case when list_sum(list_transform(__h, h -> case when (h & {mask}) > 0"
+            f" then 1 else -1 end)) > 0 then {mask} else 0 end"
+        )
+    total = " + ".join(votes)
+    return (
+        f"with h as (select doc_id, {hashes} as __h from documents)\n"
+        f"select doc_id, cast({total} as bigint) as simhash from h order by doc_id"
+    )
+
+
+def q_jaccard_pairs(threshold: float = 0.5, k: int = 3) -> str:
+    return f"""
+{shingled_cte(k=k)},
+sh as (select doc_id as kk, unnest(shingles) as s from __sh),
+sizes as (select kk, count(*) as n from sh group by kk),
+common as (
+  select a.kk as key_a, b.kk as key_b, count(*) as common
+  from sh a join sh b on a.s = b.s and a.kk < b.kk
+  group by a.kk, b.kk
+)
+select key_a, key_b,
+       round(common / (sa.n + sb.n - common), 6) as jaccard
+from common
+join sizes sa on sa.kk = key_a
+join sizes sb on sb.kk = key_b
+where common / (sa.n + sb.n - common) >= {threshold}
+order by key_a, key_b
+"""
+
+
+def q_update_lang_codes() -> str:
+    whens = " ".join(
+        f"when lang = '{old}' then '{new}'" for old, new in
+        [("als", "gsw"), ("sh", "sr"), ("eml", "egl")]
+    )
+    return (
+        f"select case {whens} else lang end as lang, count(*) as n"
+        " from documents group by 1 order by 1"
+    )
+
+
+def q_topk_cosine_ids(k: int = 10) -> str:
+    """Top-k by cosine to the vec_id=0 embedding; ids only (float scores
+    are engine-sensitive; the id set is not, away from ties)."""
+    return f"""
+with q as (select embedding as qv from embeddings where vec_id = 0),
+scored as (
+  select vec_id,
+         list_dot_product(embedding, qv)
+           / (sqrt(list_dot_product(embedding, embedding)) * sqrt(list_dot_product(qv, qv))) as cos
+  from embeddings, q
+)
+select vec_id from scored order by cos desc, vec_id limit {k}
+"""

@@ -1,0 +1,132 @@
+"""The north-rule curation pipeline: langid -> quality annotation ->
+tag-filter -> PII/toxicity scrub, over transcripts(conv_id, turn_idx,
+role, text, tool, ts).
+
+Composition of the per-operator modules; each stage is a pure
+``DataFrame -> DataFrame`` function, so the whole pipeline is ONE
+Catalyst plan — langid UDF, annotation expressions, the filter
+predicate, and the scrub chain all fuse into a single narrow
+scan->project->filter stage with no shuffle. The only shuffles in a
+full job are the ones the *writer* asks for (conversation-intact
+repartition) — verified by tests asserting no Exchange in the plan.
+
+Lineage columns (north rule): ``model_versions`` (langid + perplexity
+model ids), ``rule_hits`` (scrub rules fired), ``source_part`` (input
+split the row came from).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import langid as langid_mod
+from ..functions import perplexity as ppl_mod
+from ..functions.annotations import annotations_expr
+from ..operators.filter_tags import keep_expr, validate_tag_sets
+from ..operators.scrub import rule_hits_expr, scrubbed_expr
+
+
+@dataclass
+class CurationConfig:
+    include: frozenset[str] = frozenset()
+    exclude: frozenset[str] = frozenset({"adult", "noisy"})
+    clean: bool = False
+    use_model_langid: bool = True
+    with_perplexity: bool = True
+    with_sentence_ids: bool = False
+    scrub_enabled: bool = True
+    keep_dropped: bool = False  # keep all rows, exposing the `keep` flag
+
+    def __post_init__(self):
+        validate_tag_sets(self.include, self.exclude)
+
+
+MODEL_VERSIONS = f"langid={langid_mod.MODEL_VERSION};ppl={ppl_mod.MODEL_VERSION}"
+
+
+def annotate_stage(df: DataFrame, cfg: CurationConfig, text_col: str = "text") -> DataFrame:
+    text = F.col(text_col)
+    out = df.withColumn("annotations", annotations_expr(text))
+    scorer = (
+        langid_mod.langid_model_udf()(text)
+        if cfg.use_model_langid
+        else langid_mod.langid_expr(text)
+    )
+    out = out.withColumn("identification", scorer)
+    if cfg.with_sentence_ids:
+        out = out.withColumn(
+            "sentence_identifications", langid_mod.sentence_identifications_expr(text)
+        )
+    if cfg.with_perplexity:
+        out = out.withColumn("perplexity", ppl_mod.perplexity_udf()(text))
+    return out
+
+
+def filter_stage(df: DataFrame, cfg: CurationConfig) -> DataFrame:
+    keep = keep_expr(F.col("annotations"), cfg.include, cfg.exclude, cfg.clean)
+    if cfg.keep_dropped:
+        return df.withColumn("keep", keep)
+    return df.filter(keep)
+
+
+def scrub_stage(df: DataFrame, cfg: CurationConfig, text_col: str = "text") -> DataFrame:
+    if not cfg.scrub_enabled:
+        return df
+    text = F.col(text_col)
+    return df.withColumn("rule_hits", rule_hits_expr(text)).withColumn(
+        text_col, scrubbed_expr(text)
+    )
+
+
+def lineage_stage(df: DataFrame) -> DataFrame:
+    return df.withColumn("model_versions", F.lit(MODEL_VERSIONS)).withColumn(
+        "source_part", F.coalesce(F.input_file_name(), F.lit(""))
+    )
+
+
+def curate(df: DataFrame, cfg: CurationConfig | None = None, text_col: str = "text") -> DataFrame:
+    """The full pipeline as one narrow plan."""
+    cfg = cfg or CurationConfig()
+    out = annotate_stage(df, cfg, text_col)
+    out = filter_stage(out, cfg)
+    out = scrub_stage(out, cfg, text_col)
+    return lineage_stage(out)
+
+
+# ------------------------------------------------- conversation partitioning
+
+
+def repartition_conversations(
+    df: DataFrame,
+    num_partitions: int,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    mega_threshold: int = 1000,
+) -> DataFrame:
+    """Salted repartition keeping conversations intact except for
+    mega-conversations (north rule: explicit skew handling).
+
+    Normal conversations hash-partition by conv_id alone (turns stay
+    together). Conversations with > mega_threshold turns get a salt of
+    ceil(n/mega_threshold) values so one 10^4-turn conversation spreads
+    over several partitions instead of stranding one executor. The
+    turn-count side is a broadcast join (tiny: one row per mega-conv).
+    """
+    counts = (
+        df.groupBy(conv_col)
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") > mega_threshold)
+    )
+    salted = df.join(F.broadcast(counts), conv_col, "left").withColumn(
+        "_salt",
+        F.when(
+            F.col("_n").isNotNull(),
+            F.pmod(F.col(turn_col), F.ceil(F.col("_n") / mega_threshold)),
+        ).otherwise(F.lit(0)),
+    )
+    return salted.repartition(num_partitions, F.col(conv_col), F.col("_salt")).drop(
+        "_n", "_salt"
+    )

@@ -1,0 +1,87 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every __spark_entry__ query against its DuckDB oracle at the given
+sf dir and compares row count, column names, dtypes (loosely), and
+order-insensitive values. Usage:
+
+    python scripts/check_oracles.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import duckdb
+import pandas as pd
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+import __spark_entry__ as E  # noqa: E402
+from oscar_tools_spark.session import get_spark  # noqa: E402
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].astype("float64").round(6)
+    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+
+def main(sf_dir: str) -> int:
+    spark = get_spark("oracle-check", cores=8, shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if Path(p).exists():
+            con.sql(f"create view {t} as select * from read_parquet('{p}')")
+
+    queries, oracles = E.queries(), E.oracle_sql()
+    failures = 0
+    for name, fn in queries.items():
+        try:
+            got = normalize(fn(spark, sf_dir).toPandas())
+            want_sql = oracles.get(name)
+            if want_sql is None:
+                print(f"{name:24s} rows={len(got)} (rows-only: no oracle)")
+                continue
+            want = normalize(con.sql(want_sql).df())
+            status = []
+            if len(got) != len(want):
+                status.append(f"ROWS {len(got)} != {len(want)}")
+            if list(got.columns) != list(want.columns):
+                status.append(f"COLS {list(got.columns)} != {list(want.columns)}")
+            if not status:
+                if got.equals(want):
+                    status = ["OK"]
+                else:
+                    neq = (got != want) & ~(got.isna() & want.isna())
+                    bad_cols = [c for c in got.columns if neq[c].any()]
+                    status = [f"VALUES differ in {bad_cols}"]
+                    for c in bad_cols[:2]:
+                        idx = neq[c].idxmax()
+                        status.append(
+                            f" e.g. {c}[{idx}]: spark={got[c][idx]!r} duck={want[c][idx]!r}"
+                        )
+            line = f"{name:24s} rows={len(got):6d} " + "; ".join(status)
+            print(line)
+            if status[0] != "OK":
+                failures += 1
+        except Exception as exc:  # noqa: BLE001
+            print(f"{name:24s} EXCEPTION {str(exc)[:200]}")
+            failures += 1
+    print(f"\n{'PASS' if failures == 0 else 'FAIL'}: {len(queries) - failures}/{len(queries)} matched")
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"))
