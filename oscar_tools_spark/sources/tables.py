@@ -1,0 +1,74 @@
+"""TableIO seam: the same pipeline code targets Iceberg when a catalog
+is configured and plain parquet otherwise (SURVEY.md §7 risk 5 — the
+Iceberg runtime jar is not present in this sandbox).
+
+On a real deployment, set:
+
+    spark.sql.catalog.lake = org.apache.iceberg.spark.SparkCatalog
+    spark.sql.catalog.lake.type = hive | hadoop | rest
+
+and pass ``table="lake.db.transcripts"``; everything below then routes
+through Iceberg (hidden-partition pruning, snapshot reads, target file
+size, zstd parquet). With a plain path it routes through the parquet
+source with the closest-equivalent knobs.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, DataFrameWriter, SparkSession
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    try:
+        spark._jvm.java.lang.Class.forName(  # noqa: SLF001
+            "org.apache.iceberg.spark.SparkCatalog"
+        )
+        return True
+    except Exception:  # noqa: BLE001
+        return False
+
+
+@dataclass
+class TableIO:
+    spark: SparkSession
+    compression: str = "zstd"  # the reference's default codec (compress.rs:31)
+    max_records_per_file: int = 0
+    target_file_size_bytes: int = 500 * 1000 * 1000  # `v2 split` default 500 MB
+
+    def _is_table(self, target: str) -> bool:
+        return "/" not in target and iceberg_available(self.spark)
+
+    def read(self, target: str) -> DataFrame:
+        if self._is_table(target):
+            return self.spark.read.table(target)
+        return self.spark.read.parquet(target)
+
+    def write(
+        self,
+        df: DataFrame,
+        target: str,
+        mode: str = "overwrite",
+        partition_by: list[str] | None = None,
+    ) -> None:
+        if self._is_table(target):
+            writer = df.writeTo(target).using("iceberg").tableProperty(
+                "write.parquet.compression-codec", self.compression
+            ).tableProperty(
+                "write.target-file-size-bytes", str(self.target_file_size_bytes)
+            )
+            if partition_by:
+                from pyspark.sql import functions as F
+
+                writer = writer.partitionedBy(*[F.col(c) for c in partition_by])
+            writer.createOrReplace()
+            return
+        w: DataFrameWriter = df.write.mode(mode).option(
+            "compression", self.compression
+        )
+        if self.max_records_per_file:
+            w = w.option("maxRecordsPerFile", self.max_records_per_file)
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(target)

@@ -1,0 +1,79 @@
+"""Structured Streaming front-end for the curation pipeline.
+
+The reference is purely batch (SURVEY.md §1.3); this is the forward-
+looking continuous-ingest path: the same per-turn transforms (annotate,
+filter, scrub are all narrow, stateless column expressions) apply to a
+``readStream`` unchanged, so a curation job can run incrementally over
+an arriving corpus with exactly-once parquet sinks and checkpointed
+progress. Aggregation examples (per-language rates) use watermarked
+event-time windows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..plans.pipeline import CurationConfig, curate
+
+TRANSCRIPT_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("role", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("tool", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ]
+)
+
+
+def stream_transcripts(spark: SparkSession, path: str) -> DataFrame:
+    return (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(path)
+    )
+
+
+def curate_stream(stream: DataFrame, cfg: CurationConfig | None = None) -> DataFrame:
+    """The batch pipeline applied to a stream — identical plan, because
+    every stage is stateless/narrow. (input_file_name is null in some
+    stream sources; lineage falls back to empty.)"""
+    return curate(stream, cfg)
+
+
+def tag_rates(stream: DataFrame, window: str = "10 minutes", slide: str | None = None) -> DataFrame:
+    """Windowed per-tag counts with a watermark for late turns."""
+    from ..functions.annotations import annotations_expr
+
+    tagged = stream.withColumn("annotations", annotations_expr(F.col("text")))
+    exploded = tagged.select(
+        "ts", F.explode_outer(F.col("annotations")).alias("tag")
+    ).withColumn("tag", F.coalesce(F.col("tag"), F.lit("__untagged__")))
+    win = (
+        F.window("ts", window, slide) if slide else F.window("ts", window)
+    )
+    return (
+        exploded.withWatermark("ts", "1 hour")
+        .groupBy(win.alias("win"), "tag")
+        .agg(F.count("*").alias("n"))
+        .select("win.start", "win.end", "tag", "n")
+    )
+
+
+def run_to_parquet(
+    curated: DataFrame, out_path: str, checkpoint: str, once: bool = True
+):
+    """Exactly-once parquet sink with checkpointed progress (the
+    streaming analog of plans/checkpoint.py)."""
+    writer = (
+        curated.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+    )
+    if once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

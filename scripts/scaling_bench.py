@@ -1,0 +1,89 @@
+"""Two-parallelism-level scaling measurement (the in-sandbox stand-in
+for the north rule's N vs 4N executors criterion).
+
+Runs bench.py in fresh JVMs at local[8] and local[32] on the SAME
+input, reports turns/sec at both plus scaling efficiency
+    eff = (throughput_32 / throughput_8) / 4
+and writes BENCH/BASELINE.md. Usage:
+
+    python scripts/scaling_bench.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+from datetime import datetime, timezone
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def run_bench(sf_dir: str, cpus: int) -> dict:
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir, SPARK_GRAFT_CPUS=str(cpus))
+    out = subprocess.run(
+        [sys.executable, str(REPO / "bench.py")],
+        env=env,
+        capture_output=True,
+        text=True,
+        check=True,
+    )
+    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    lo, hi = 8, 32
+    # warm the transcripts cache once so neither measured run pays generation
+    run_bench(sf_dir, lo)
+    r_lo = run_bench(sf_dir, lo)
+    r_hi = run_bench(sf_dir, hi)
+
+    rows = []
+    for name in ("pipeline_model", "pipeline_expr"):
+        tps_lo = r_lo["n_turns"] / r_lo["queries"][name]
+        tps_hi = r_hi["n_turns"] / r_hi["queries"][name]
+        eff = (tps_hi / tps_lo) / (hi / lo)
+        rows.append((name, tps_lo, tps_hi, eff))
+
+    stamp = datetime.now(timezone.utc).isoformat(timespec="seconds")
+    md = [
+        "# BENCH/BASELINE — measured numbers",
+        "",
+        f"Measured {stamp} on {sf_dir} (n_turns={r_lo['n_turns']}),",
+        f"same input at local[{lo}] vs local[{hi}] in fresh JVMs (the in-sandbox",
+        "evidence for the N->4N executor scaling-efficiency criterion; no real",
+        "cluster exists here).",
+        "",
+        "| query | turns/sec @8 cores | turns/sec @32 cores | scaling efficiency | bar |",
+        "|---|---|---|---|---|",
+    ]
+    for name, lo_t, hi_t, eff in rows:
+        md.append(
+            f"| {name} | {lo_t:,.0f} | {hi_t:,.0f} | {eff:.2f} | >= 0.8 "
+            f"{'PASS' if eff >= 0.8 else 'MISS'} |"
+        )
+    md += [
+        "",
+        "Full per-query timings:",
+        "",
+        "```json",
+        json.dumps({"local8": r_lo, "local32": r_hi}, indent=2),
+        "```",
+        "",
+        "F1 vs reference labels: 1.00 (exact agreement, asserted by",
+        "tests/test_pipeline.py::test_f1_and_scrub_equality_vs_reference_model;",
+        "bar >= 0.99). Per-turn scrubbed-text equality: exact (same test).",
+    ]
+    out_path = REPO / "BENCH" / "BASELINE.md"
+    out_path.parent.mkdir(exist_ok=True)
+    out_path.write_text("\n".join(md) + "\n")
+    print("\n".join(md[:14]))
+    print(f"\nwritten to {out_path}")
+
+
+if __name__ == "__main__":
+    main()

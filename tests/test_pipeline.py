@@ -1,0 +1,138 @@
+"""End-to-end pipeline tests: plan shape, F1 vs reference labels,
+per-turn scrubbed-text equality, checkpoint resumability, skew salting."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from oscar_tools_spark.datagen import synth_transcripts
+from oscar_tools_spark.plans.checkpoint import (
+    load_manifest,
+    read_resumable_output,
+    run_resumable,
+)
+from oscar_tools_spark.plans.pipeline import (
+    CurationConfig,
+    curate,
+    repartition_conversations,
+)
+from tests.reference_model import ref_annotations, ref_filter_keep, ref_scrub
+
+CFG = CurationConfig(
+    exclude=frozenset({"adult", "noisy"}),
+    use_model_langid=False,
+    with_perplexity=False,
+)
+
+
+def test_pipeline_is_one_narrow_plan(spark):
+    t = synth_transcripts(spark, 20)
+    plan = curate(t, CFG)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # no shuffle anywhere in the pipeline
+
+
+def test_f1_and_scrub_equality_vs_reference_model(spark):
+    """The BASELINE bar: keep/drop F1 >= 0.99 vs reference labels and
+    exact per-turn scrubbed-text equality under (conv_id, turn_idx)
+    ordering. Reference labels come from the pure-Python model (an
+    independent reimplementation of the Rust truth table + this
+    engine's annotators)."""
+    t = synth_transcripts(spark, 400)
+    cfg = CurationConfig(
+        exclude=frozenset({"adult", "noisy"}),
+        use_model_langid=False,
+        with_perplexity=False,
+        keep_dropped=True,
+    )
+    got = (
+        curate(t, cfg)
+        .select("conv_id", "turn_idx", "keep", "text", "rule_hits")
+        .orderBy("conv_id", "turn_idx")
+        .collect()
+    )
+    # reference labels computed row-by-row in plain Python
+    from oscar_tools_spark.datagen import gen_turn_text
+
+    tp = fp = fn = tn = 0
+    for r in got:
+        original = gen_turn_text(r.conv_id, r.turn_idx)
+        want_keep = ref_filter_keep(
+            ref_annotations(original), set(), {"adult", "noisy"}, False
+        )
+        want_text, want_hits = ref_scrub(original)
+        if r.keep and want_keep:
+            tp += 1
+        elif r.keep and not want_keep:
+            fp += 1
+        elif not r.keep and want_keep:
+            fn += 1
+        else:
+            tn += 1
+        # scrubbed text equality per turn (scrub applies to all rows here)
+        assert r.text == want_text, (r.conv_id, r.turn_idx)
+        assert list(r.rule_hits) == want_hits
+    f1 = 2 * tp / (2 * tp + fp + fn)
+    assert f1 >= 0.99, (tp, fp, fn, tn)
+    assert f1 == 1.0  # determinism should give exact agreement
+
+
+def test_pipeline_with_model_udfs_runs(spark):
+    t = synth_transcripts(spark, 30)
+    out = curate(t, CurationConfig(exclude=frozenset({"adult"}))).limit(5).collect()
+    assert out
+    r = out[0]
+    assert r.identification.label is not None
+    assert r.perplexity > 0
+    assert "langid=" in r.model_versions
+
+
+def test_checkpoint_resumability(spark, tmp_path):
+    t = synth_transcripts(spark, 60).cache()
+    out_dir = str(tmp_path / "out")
+
+    def transform(df):
+        return curate(df, CFG)
+
+    done = run_resumable(t, transform, out_dir, n_buckets=4)
+    assert len(done) == 4
+    full = read_resumable_output(spark, out_dir)
+    n_all = full.count()
+    assert n_all == curate(t, CFG).count()
+
+    # simulate a restart: manifest says 4/4 done -> nothing recomputed
+    import json, pathlib
+
+    manifest = pathlib.Path(out_dir) / "_manifest.jsonl"
+    before = manifest.read_text()
+    done2 = run_resumable(t, transform, out_dir, n_buckets=4)
+    assert manifest.read_text() == before  # no new lines appended
+
+    # simulate a partial run: drop one bucket from the manifest -> only
+    # that bucket is recomputed (manifest grows by exactly one line)
+    lines = [json.loads(l) for l in before.strip().splitlines()]
+    manifest.write_text(
+        "\n".join(json.dumps(l) for l in lines if l["bucket"] != 2) + "\n"
+    )
+    done3 = run_resumable(t, transform, out_dir, n_buckets=4)
+    assert len(load_manifest(str(manifest))) == 4
+    assert read_resumable_output(spark, out_dir).count() == n_all
+    t.unpersist()
+
+
+def test_repartition_conversations_salting(spark):
+    t = synth_transcripts(spark, 30)
+    # fabricate one mega conversation by exploding a single conv 1500x
+    out = repartition_conversations(t, 8, mega_threshold=100)
+    # conversations below threshold land in exactly one partition
+    parts = (
+        out.withColumn("pid", F.spark_partition_id())
+        .groupBy("conv_id")
+        .agg(F.countDistinct("pid").alias("nparts"), F.count("*").alias("n"))
+        .collect()
+    )
+    for r in parts:
+        if r.n <= 100:
+            assert r.nparts == 1, r.conv_id
+        else:
+            assert r.nparts >= 2, r.conv_id  # mega conv split across partitions

@@ -1,0 +1,112 @@
+"""Sources (OSCAR v1/v2 readers), sinks (split/compress/checksum), TableIO."""
+
+from __future__ import annotations
+
+import glob
+import hashlib
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from oscar_tools_spark.sinks.checksum import (
+    file_checksums,
+    row_sha384_expr,
+    write_checksum_manifests,
+)
+from oscar_tools_spark.sinks.writer import split_records_for, write_corpus
+from oscar_tools_spark.sources.oscar_doc import corrupt_count, read_oscar_jsonl
+from oscar_tools_spark.sources.oscar_text import lang_of_path_expr, read_oscar_text
+from oscar_tools_spark.sources.tables import TableIO, iceberg_available
+
+V2_DOC = {
+    "content": "words like words\nsecond line",
+    "warc_headers": {"warc-record-id": "<urn:uuid:1>", "content-type": "text/plain"},
+    "metadata": {
+        "identification": {"label": "en", "prob": 0.99},
+        "annotation": ["tiny", "header"],
+        "sentence_identifications": [{"label": "en", "prob": 0.9}, None],
+    },
+}
+
+
+def test_read_oscar_jsonl(spark, tmp_path):
+    p = tmp_path / "corpus"
+    p.mkdir()
+    lines = [
+        json.dumps(V2_DOC),
+        json.dumps({**V2_DOC, "metadata": {**V2_DOC["metadata"], "annotation": None}}),
+        "THIS IS NOT JSON {",
+        json.dumps({"metadata": V2_DOC["metadata"]}),  # missing content
+    ]
+    (p / "en_part_1.jsonl").write_text("\n".join(lines) + "\n")
+
+    df = read_oscar_jsonl(spark, str(p))
+    rows = df.collect()
+    assert len(rows) == 2  # corrupt + missing-content dropped, not fatal
+    r = rows[0]
+    assert r.text.startswith("words like words")
+    assert r.identification.label == "en"
+    assert list(r.annotations) == ["tiny", "header"]
+    assert r.sentence_identifications[1] is None
+    assert r.warc_headers["content-type"] == "text/plain"
+    assert "en_part_1.jsonl" in r.source_part
+    assert corrupt_count(spark, str(p)) == 2
+
+
+def test_read_oscar_text(spark, tmp_path):
+    p = tmp_path / "v1"
+    (p / "en").mkdir(parents=True)
+    docs = ["doc one line a\ndoc one line b", "doc two", "doc three\nlast"]
+    (p / "en" / "en_part_1.txt").write_text("\n\n".join(docs) + "\n\n")
+    df = read_oscar_text(spark, str(p / "en"))
+    rows = df.orderBy("doc_idx").collect()
+    assert [r.text for r in rows] == docs
+    langs = df.select(lang_of_path_expr(F.col("source_part")).alias("lang")).distinct().collect()
+    assert [r.lang for r in langs] == ["en"]
+
+
+def test_write_corpus_split_and_compress(spark, tmp_path):
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"), F.repeat(F.lit("x"), 100).alias("text")
+    )
+    out = str(tmp_path / "out")
+    # tiny split target -> many files; zstd codec in the filenames
+    write_corpus(df.repartition(2), out, split_mb=1, compression="zstd")
+    files = glob.glob(f"{out}/*.parquet")
+    assert files
+    assert all(".zstd." in f or f.endswith(".parquet") for f in files)
+    back = spark.read.parquet(out)
+    assert back.count() == 1000
+    # records-per-file estimate is sane
+    assert split_records_for(df, 1) > 0
+
+
+def test_checksum_manifests(spark, tmp_path):
+    d = tmp_path / "corpus" / "en"
+    d.mkdir(parents=True)
+    (d / "en_part_1.txt").write_text("hello corpus\n")
+    (d / "en_part_2.txt").write_text("more corpus\n")
+    manifests = write_checksum_manifests(spark, str(tmp_path / "corpus"), glob="*.txt")
+    assert len(manifests) == 1
+    content = open(manifests[0]).read().strip().splitlines()
+    assert len(content) == 2
+    digest, name = content[0].split(" ")
+    assert name == "en_part_1.txt"
+    assert digest == hashlib.sha384(b"hello corpus\n").hexdigest()
+
+
+def test_row_sha384(spark):
+    df = spark.createDataFrame([("abc",)], "text string")
+    got = df.select(row_sha384_expr(F.col("text")).alias("d")).first().d
+    assert got == hashlib.sha384(b"abc").hexdigest()
+
+
+def test_tableio_parquet_roundtrip(spark, tmp_path):
+    io = TableIO(spark, max_records_per_file=100)
+    df = spark.range(250).select(F.col("id"), F.lit("t").alias("text"))
+    target = str(tmp_path / "t")
+    io.write(df, target)
+    assert io.read(target).count() == 250
+    # iceberg not present in the sandbox: the seam must report that
+    assert iceberg_available(spark) is False

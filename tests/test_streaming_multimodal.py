@@ -1,0 +1,92 @@
+"""Streaming pipeline smoke + multimodal plumbing tests."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from oscar_tools_spark.datagen import synth_transcripts
+from oscar_tools_spark.operators.multimodal import (
+    RAISE,
+    extract_features,
+    synth_media,
+)
+from oscar_tools_spark.plans.pipeline import CurationConfig
+from oscar_tools_spark.streaming.pipeline import (
+    curate_stream,
+    run_to_parquet,
+    stream_transcripts,
+    tag_rates,
+)
+
+CFG = CurationConfig(
+    exclude=frozenset({"adult", "noisy"}),
+    use_model_langid=False,
+    with_perplexity=False,
+)
+
+
+@pytest.fixture(scope="module")
+def transcript_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("stream_in")
+    synth_transcripts(spark, 80).write.mode("overwrite").parquet(str(d / "t"))
+    return str(d / "t")
+
+
+def test_streaming_curation_matches_batch(spark, transcript_dir, tmp_path):
+    stream = stream_transcripts(spark, transcript_dir)
+    assert stream.isStreaming
+    curated = curate_stream(stream, CFG)
+    q = run_to_parquet(
+        curated, str(tmp_path / "out"), str(tmp_path / "ckpt"), once=True
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(str(tmp_path / "out"))
+
+    batch = curate_stream(spark.read.parquet(transcript_dir), CFG)
+    assert got.count() == batch.count()
+    a = {(r.conv_id, r.turn_idx): r.text for r in got.collect()}
+    b = {(r.conv_id, r.turn_idx): r.text for r in batch.collect()}
+    assert a == b
+
+
+def test_streaming_tag_rates(spark, transcript_dir):
+    stream = stream_transcripts(spark, transcript_dir)
+    agg = tag_rates(stream, "30 minutes")
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("rates")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # append mode only emits closed windows; with a 1h watermark over a
+    # bounded input the final windows stay open, so just assert the
+    # query ran and the schema is right
+    out = spark.sql("select * from rates")
+    assert out.columns == ["start", "end", "tag", "n"]
+
+
+def test_multimodal_features_deterministic(spark):
+    media = synth_media(spark, 30)
+    feats = extract_features(media)
+    rows = feats.orderBy("media_id").collect()
+    assert len(rows) == 30
+    assert all(len(r.features) == 16 for r in rows)
+    assert all(0.0 <= v <= 1.0 for r in rows for v in r.features)
+    # deterministic across partitionings
+    rows2 = extract_features(media.repartition(5)).orderBy("media_id").collect()
+    assert [r.features for r in rows] == [r.features for r in rows2]
+    # digest is the real sha256 of the payload
+    import hashlib
+
+    payload0 = media.filter(F.col("media_id") == 0).first().payload
+    assert rows[0].digest == hashlib.sha256(bytes(payload0)).hexdigest()
+
+
+def test_multimodal_raise_contract(spark):
+    media = synth_media(spark, 3)
+    with pytest.raises(Exception, match="NotImplementedError|decoding"):
+        extract_features(media, decode_fn=RAISE).collect()
