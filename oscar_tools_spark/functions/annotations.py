@@ -35,12 +35,20 @@ from .lexicons import (
 
 
 def tag_conditions(text: Column) -> dict[str, Column]:
-    """Boolean condition per tag, evaluated on a text column."""
+    """Boolean condition per tag, evaluated on a text column.
+
+    Deliberately lambda-free: higher-order functions (filter/transform)
+    fall out of whole-stage codegen, turning the hot filter into an
+    interpreted per-row walk with no common-subexpression elimination.
+    The short-line count uses the "maximal non-newline run >= k chars"
+    regex trick (one greedy match per long line) instead of
+    filter(lines, lambda ...), keeping the whole predicate codegen'd.
+    """
     lines = F.split(text, "\n")
     n_lines = F.size(lines)
-    short_lines = F.size(
-        F.filter(lines, lambda line: F.length(line) < F.lit(SHORT_LINE_MAX_CHARS))
-    )
+    long_line_pattern = rf"[^\n]{{{SHORT_LINE_MAX_CHARS},}}"
+    long_lines = F.size(F.regexp_extract_all(text, F.lit(long_line_pattern), F.lit(0)))
+    short_lines = n_lines - long_lines
     total_chars = F.length(text)
     alpha_chars = F.length(F.regexp_replace(text, "[^A-Za-z]", ""))
     lower = F.lower(text)
@@ -56,12 +64,21 @@ def tag_conditions(text: Column) -> dict[str, Column]:
     }
 
 
+def compact_tag_array(conds: dict[str, Column]) -> Column:
+    """array<string> of triggered tags WITHOUT array_compact (which
+    desugars to a lambda filter and breaks codegen): concatenate
+    per-tag 0/1-element arrays."""
+    return F.concat(
+        *[
+            F.when(cond, F.array(F.lit(tag))).otherwise(F.array().cast("array<string>"))
+            for tag, cond in conds.items()
+        ]
+    )
+
+
 def annotations_expr(text: Column) -> Column:
     """Nullable array<string> of triggered tags (NULL when none)."""
-    conds = tag_conditions(text)
-    arr = F.array_compact(
-        F.array(*[F.when(cond, F.lit(tag)) for tag, cond in conds.items()])
-    )
+    arr = compact_tag_array(tag_conditions(text))
     return F.when(F.size(arr) > 0, arr)
 
 

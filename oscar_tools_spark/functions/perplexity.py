@@ -34,13 +34,16 @@ _OOV = len(_VOCAB)
 _V = _OOV + 1
 
 
+_LOOKUP = np.full(256, _OOV, dtype=np.int32)
+for _i, _ch in enumerate(_VOCAB):
+    _LOOKUP[ord(_ch)] = _i
+
+
 def _char_ids(text: str) -> np.ndarray:
-    ids = np.full(len(text), _OOV, dtype=np.int32)
-    for i, ch in enumerate(text.lower()):
-        j = _VOCAB.find(ch)
-        if j >= 0:
-            ids[i] = j
-    return ids
+    """Vectorized char->id: latin-1 bytes through a 256-entry table
+    (chars outside latin-1 encode to '?' -> OOV, same as before)."""
+    b = np.frombuffer(text.lower().encode("latin-1", "replace"), dtype=np.uint8)
+    return _LOOKUP[b]
 
 
 def _train() -> np.ndarray:

@@ -39,9 +39,16 @@ def rule_hits_expr(text: Column) -> Column:
     hits = []
     staged = text
     for name, pattern, _repl in SCRUB_RULES:
-        hits.append(F.when(staged.rlike(pattern), F.lit(name)))
+        hits.append(
+            F.when(staged.rlike(pattern), F.array(F.lit(name))).otherwise(
+                F.array().cast("array<string>")
+            )
+        )
         staged = F.regexp_replace(staged, pattern, _repl)
-    return F.array_compact(F.array(*hits))
+    # concat of conditional arrays, not array_compact: array_compact
+    # desugars to a lambda filter, which knocks the projection out of
+    # whole-stage codegen.
+    return F.concat(*hits)
 
 
 def scrub(

@@ -26,10 +26,12 @@ def tag_cond_sql(tag: str) -> str:
     if tag == lx.TAG_TINY:
         return f"length(text) < {lx.TINY_MAX_CHARS}"
     if tag == lx.TAG_SHORT_SENTENCES:
+        # short-line count as (n_lines - long-line count) via the maximal
+        # non-newline-run regex, mirroring the Spark expression exactly
+        long_runs = f"len(regexp_extract_all(text, '[^\\n]{{{lx.SHORT_LINE_MAX_CHARS},}}'))"
         return (
             f"(len(__lines) >= {lx.SHORT_SENTENCES_MIN_LINES} and "
-            f"2 * len(list_filter(__lines, x -> length(x) < {lx.SHORT_LINE_MAX_CHARS}))"
-            f" > len(__lines))"
+            f"2 * (len(__lines) - {long_runs}) > len(__lines))"
         )
     if tag == lx.TAG_HEADER:
         return f"regexp_matches(lower(__lines[1]), '{lx.HEADER_PATTERN}')"
