@@ -1,0 +1,76 @@
+"""spark-submit entry point for the north-rule curation job.
+
+Runs langid -> quality annotation -> tag filter -> scrub over a
+transcripts table (Iceberg name or parquet path), resumable via the
+bucket manifest, writing per-partition lineage. The SparkSession comes
+from spark-submit (master/executors configured there); this script only
+declares the plan.
+
+    spark-submit --py-files oscar_tools_spark.zip jobs/curate_job.py \
+        --input <table-or-path> --output <path> \
+        [--exclude adult noisy] [--include ...] [--clean] \
+        [--buckets 256] [--partitions 2048] [--no-model] [--no-resume]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+from pyspark.sql import SparkSession
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--include", nargs="*", default=[])
+    ap.add_argument("--exclude", nargs="*", default=["adult", "noisy"])
+    ap.add_argument("--clean", action="store_true")
+    ap.add_argument("--buckets", type=int, default=64,
+                    help="resumability granularity (manifest commits)")
+    ap.add_argument("--partitions", type=int, default=0,
+                    help="conversation-intact repartition width (0 = skip)")
+    ap.add_argument("--no-model", action="store_true")
+    ap.add_argument("--no-resume", action="store_true",
+                    help="single write, no bucket manifest")
+    args = ap.parse_args()
+
+    spark = SparkSession.builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    from oscar_tools_spark.plans.checkpoint import run_resumable
+    from oscar_tools_spark.plans.pipeline import (
+        CurationConfig,
+        curate,
+        repartition_conversations,
+    )
+    from oscar_tools_spark.sources.tables import TableIO
+
+    cfg = CurationConfig(
+        include=frozenset(args.include),
+        exclude=frozenset(args.exclude),
+        clean=args.clean,
+        use_model_langid=not args.no_model,
+        with_perplexity=not args.no_model,
+    )
+    io = TableIO(spark)
+    df = io.read(args.input)
+
+    def transform(part):
+        out = curate(part, cfg)
+        if args.partitions:
+            out = repartition_conversations(out, args.partitions)
+        return out
+
+    if args.no_resume:
+        io.write(transform(df), args.output)
+        print(json.dumps({"output": args.output, "resume": False}))
+    else:
+        manifest = run_resumable(df, transform, args.output, n_buckets=args.buckets)
+        total = sum(rec["rows"] for rec in manifest.values())
+        print(json.dumps({"output": args.output, "buckets": len(manifest), "rows": total}))
+
+
+if __name__ == "__main__":
+    main()

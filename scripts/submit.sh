@@ -1,0 +1,35 @@
+#!/usr/bin/env bash
+# spark-submit packaging for cluster runs (north rule: the job ships as
+# spark-submit --py-files). Usage:
+#   scripts/submit.sh [spark-submit args --] <job args for jobs/curate_job.py>
+# Example (YARN/K8s cluster):
+#   scripts/submit.sh --master yarn --num-executors 200 -- \
+#       --input lake.db.transcripts --output lake.db.curated --exclude adult noisy
+set -euo pipefail
+REPO="$(cd "$(dirname "$0")/.." && pwd)"
+
+# Build the --py-files zip from the package (pure-python, no build step).
+ZIP="$(python - <<PY
+import sys; sys.path.insert(0, "${REPO}")
+from oscar_tools_spark.session import package_zip
+print(package_zip())
+PY
+)"
+
+SUBMIT_ARGS=()
+JOB_ARGS=()
+seen_sep=0
+for a in "$@"; do
+  if [[ "$a" == "--" && $seen_sep == 0 ]]; then seen_sep=1; continue; fi
+  if [[ $seen_sep == 0 ]]; then SUBMIT_ARGS+=("$a"); else JOB_ARGS+=("$a"); fi
+done
+
+exec spark-submit \
+  --py-files "$ZIP" \
+  --conf spark.sql.adaptive.enabled=true \
+  --conf spark.sql.adaptive.skewJoin.enabled=true \
+  --conf spark.sql.execution.arrow.pyspark.enabled=true \
+  --conf spark.sql.session.timeZone=UTC \
+  "${SUBMIT_ARGS[@]}" \
+  "$REPO/jobs/curate_job.py" \
+  "${JOB_ARGS[@]}"
