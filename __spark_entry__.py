@@ -199,6 +199,98 @@ def q_topk_cosine_ids(spark, sf_dir):
     return topk_cosine(emb, q, k=10).select("vec_id")
 
 
+def q_events_hourly(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss").alias(
+                "hour"
+            ),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("value_sum"))
+        .orderBy("hour", "event_type")
+    )
+
+
+def q_sessionize(spark, sf_dir, gap_seconds: int = 1800):
+    from pyspark.sql import Window as W
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    new_session = F.when(
+        prev.isNull()
+        | (F.unix_timestamp("ts") - F.unix_timestamp(prev) > gap_seconds),
+        1,
+    ).otherwise(0)
+    return (
+        ev.withColumn("new_session", new_session)
+        .groupBy("user_id")
+        .agg(F.sum("new_session").cast("bigint").alias("n_sessions"))
+        .orderBy("user_id")
+    )
+
+
+def q_topk_per_lang(spark, sf_dir, k: int = 3):
+    from pyspark.sql import Window as W
+
+    df = _docs(spark, sf_dir)
+    w = W.partitionBy("lang").orderBy(F.col("n_chars").desc(), "doc_id")
+    return (
+        df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("lang", "doc_id", "n_chars")
+        .orderBy("lang", "doc_id")
+    )
+
+
+def q_doc_embedding_join(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return (
+        d.join(F.broadcast(e), d.doc_id == e.vec_id)
+        .select("doc_id", "lang", F.col("label").cast("bigint").alias("label"))
+        .orderBy("doc_id")
+    )
+
+
+def q_dedup_embedding(spark, sf_dir):
+    """Embedding-cosine near-dup survivors (rows-only check: pairwise
+    float cosines are not bit-portable across engines)."""
+    from oscar_tools_spark.operators.dedup import dedup_embedding_cosine
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return (
+        dedup_embedding_cosine(emb, "vec_id", threshold=0.98)
+        .select("vec_id")
+        .orderBy("vec_id")
+    )
+
+
+def q_media_features(spark, sf_dir):
+    """Multimodal plumbing (rows-only check: synthetic media table,
+    binary payloads are not DuckDB-view material)."""
+    from oscar_tools_spark.operators.multimodal import extract_features, synth_media
+
+    media = synth_media(spark, 100)
+    return extract_features(media).select(
+        "media_id", "kind", "n_bytes", "digest"
+    ).orderBy("media_id")
+
+
+def q_langid_model(spark, sf_dir):
+    """Model-UDF language ID (rows-only check: the trigram model is not
+    expressible in SQL)."""
+    from oscar_tools_spark.functions.langid import identify
+
+    return (
+        identify(_docs(spark, sf_dir))
+        .select("doc_id", F.col("identification.label").alias("label"))
+        .orderBy("doc_id")
+    )
+
+
 def q_curation_pipeline(spark, sf_dir):
     """Flagship: annotate -> filter(exclude adult/noisy) -> scrub -> score."""
     ann = _annotated(spark, sf_dir)
@@ -238,6 +330,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": q_jaccard_pairs,
         "update_lang_codes": q_update_lang_codes,
         "topk_cosine_ids": q_topk_cosine_ids,
+        "events_hourly": q_events_hourly,
+        "sessionize": q_sessionize,
+        "topk_per_lang": q_topk_per_lang,
+        "doc_embedding_join": q_doc_embedding_join,
+        "dedup_embedding": q_dedup_embedding,
+        "media_features": q_media_features,
+        "langid_model": q_langid_model,
         "curation_pipeline": q_curation_pipeline,
     }
 
@@ -263,5 +362,12 @@ def oracle_sql() -> dict[str, str]:
         "jaccard_pairs": O.q_jaccard_pairs(),
         "update_lang_codes": O.q_update_lang_codes(),
         "topk_cosine_ids": O.q_topk_cosine_ids(),
+        "events_hourly": O.q_events_hourly(),
+        "sessionize": O.q_sessionize(),
+        "topk_per_lang": O.q_topk_per_lang(),
+        "doc_embedding_join": O.q_doc_embedding_join(),
+        # dedup_embedding / media_features / langid_model: rows-only
+        # (float cosines, binary payloads, and the trigram model are not
+        # SQL-oracle-able) — deliberately no oracle entries.
         "curation_pipeline": O.q_curation_pipeline(),
     }

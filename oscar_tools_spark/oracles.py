@@ -333,6 +333,55 @@ def q_update_lang_codes() -> str:
     )
 
 
+def q_events_hourly() -> str:
+    """Tumbling-hour counts + value sums per event type (window agg)."""
+    return """
+select strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') as hour,
+       event_type,
+       count(*) as n,
+       round(sum(value), 4) as value_sum
+from events
+group by 1, 2
+order by 1, 2
+"""
+
+
+def q_sessionize(gap_seconds: int = 1800) -> str:
+    """Session counts per user: a new session starts after a >30min gap."""
+    return f"""
+with g as (
+  select user_id,
+         case when lag(ts) over (partition by user_id order by ts, event_id) is null
+                   or date_diff('second', lag(ts) over (partition by user_id order by ts, event_id), ts) > {gap_seconds}
+              then 1 else 0 end as new_session
+  from events
+)
+select user_id, cast(sum(new_session) as bigint) as n_sessions
+from g group by user_id order by user_id
+"""
+
+
+def q_topk_per_lang(k: int = 3) -> str:
+    """Top-k docs by size per language (window top-k pattern)."""
+    return f"""
+select lang, doc_id, n_chars from (
+  select lang, doc_id, n_chars,
+         row_number() over (partition by lang order by n_chars desc, doc_id) as rn
+  from documents
+) t where rn <= {k}
+order by lang, doc_id
+"""
+
+
+def q_doc_embedding_join() -> str:
+    """documents x embeddings equi-join (broadcast on the Spark side)."""
+    return """
+select d.doc_id, d.lang, cast(e.label as bigint) as label
+from documents d join embeddings e on d.doc_id = e.vec_id
+order by d.doc_id
+"""
+
+
 def q_topk_cosine_ids(k: int = 10) -> str:
     """Top-k by cosine to the vec_id=0 embedding; ids only (float scores
     are engine-sensitive; the id set is not, away from ties)."""
