@@ -64,10 +64,24 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = sf_of(sf_dir)
-    spark = get_spark(f"bench-{cpus}", cores=cpus, shuffle_partitions=max(cpus, 8))
+    spark = get_spark(
+        f"bench-{cpus}",
+        cores=cpus,
+        shuffle_partitions=max(cpus, 8),
+        extra_conf={
+            # small testdata files otherwise pack into a handful of read
+            # tasks, idling most cores and poisoning the scaling signal;
+            # at real scale the default 128m is right
+            "spark.sql.files.maxPartitionBytes": "4m",
+            "spark.sql.files.openCostInBytes": "262144",
+        },
+    )
 
     tpath = transcripts_cache(spark, sf)
-    transcripts = spark.read.parquet(tpath)
+    # materialize the input with one partition per 2 cores so the timed
+    # runs measure pipeline compute at the session's parallelism, not
+    # the accident of cache-file sizes
+    transcripts = spark.read.parquet(tpath).repartition(cpus * 2).persist()
     n_turns = transcripts.count()
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -75,8 +89,13 @@ def main() -> None:
     qvec = list(emb.filter(F.col("vec_id") == 0).first().embedding)
 
     timings: dict[str, float] = {}
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    only_set = set(only.split(",")) if only else None
 
     def timed(name, fn):
+        if only_set is not None and name not in only_set:
+            return
+        fn()  # warm run: codegen + JIT, excluded from the measurement
         t0 = time.perf_counter()
         fn()
         timings[name] = round(time.perf_counter() - t0, 3)
@@ -124,9 +143,13 @@ def main() -> None:
         "sf": sf,
         "cpus": cpus,
         "n_turns": n_turns,
-        "turns_per_sec_model": round(n_turns / timings["pipeline_model"], 1),
-        "turns_per_sec_expr": round(n_turns / timings["pipeline_expr"], 1),
     }
+    for key, qname in (
+        ("turns_per_sec_model", "pipeline_model"),
+        ("turns_per_sec_expr", "pipeline_expr"),
+    ):
+        if qname in timings:
+            result[key] = round(n_turns / timings[qname], 1)
     print(json.dumps(result))
     spark.stop()
 

@@ -38,27 +38,47 @@ def stopword_hits_expr(text: Column, lang: str) -> Column:
     return F.size(F.regexp_extract_all(F.lower(text), F.lit(langid_pattern(lang)), F.lit(0)))
 
 
+def _best_struct(text: Column) -> Column:
+    """array_max over (hits, -index) structs: the argmax with
+    first-in-LANGID_ORDER tie-break, evaluating each stopword scan ONCE.
+
+    The naive greatest(...) + when-chain formulation re-inlines every
+    regexp_extract_all ~10x (Catalyst duplicates subtrees and each copy
+    re-lowercases the text — allocation storm + GC stalls at high core
+    counts); the array constructor names each scan a single time.
+    """
+    entries = [
+        F.struct(
+            stopword_hits_expr(text, lang).alias("h"),
+            F.lit(-i).alias("ni"),
+        )
+        for i, lang in enumerate(LANGID_ORDER)
+    ]
+    return F.array_max(F.array(*entries))
+
+
 def langid_label_expr(text: Column) -> Column:
     """argmax over per-language stopword hits; ties break by LANGID_ORDER."""
-    hits = [stopword_hits_expr(text, lang) for lang in LANGID_ORDER]
-    best = F.greatest(*hits)
-    expr = F.when(best == 0, F.lit(LANGID_UNKNOWN))
-    for lang, h in zip(LANGID_ORDER, hits):
-        expr = expr.when(h == best, F.lit(lang))
-    return expr
+    best = _best_struct(text)
+    labels = F.array(*[F.lit(lang) for lang in LANGID_ORDER])
+    return F.when(best.getField("h") == 0, F.lit(LANGID_UNKNOWN)).otherwise(
+        F.element_at(labels, (-best.getField("ni") + 1).cast("int"))
+    )
 
 
 def langid_expr(text: Column) -> Column:
     """struct<label,prob> where prob = best_hits / total_hits (0.0 when unknown)."""
+    best = _best_struct(text)
     hits = [stopword_hits_expr(text, lang) for lang in LANGID_ORDER]
-    best = F.greatest(*hits)
     total = sum(hits[1:], hits[0])
-    prob = F.when(best == 0, F.lit(0.0)).otherwise(
-        best.cast("double") / total.cast("double")
+    prob = F.when(best.getField("h") == 0, F.lit(0.0)).otherwise(
+        best.getField("h").cast("double") / total.cast("double")
     )
-    return F.struct(
-        langid_label_expr(text).alias("label"), prob.cast("float").alias("prob")
+    labels = F.array(*[F.lit(lang) for lang in LANGID_ORDER])
+    label = F.when(best.getField("h") == 0, F.lit(LANGID_UNKNOWN)).otherwise(
+        F.element_at(labels, (-best.getField("ni") + 1).cast("int"))
     )
+    return F.struct(label.alias("label"), prob.cast("float").alias("prob"))
 
 
 # ------------------------------------------------------------------ model path

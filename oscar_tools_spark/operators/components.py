@@ -1,0 +1,82 @@
+"""Connected components over duplicate-candidate pairs.
+
+The greedy lowest-key-wins policy in dedup.py drops a doc if it shares
+a band with ANY lower-keyed doc; exhaustive near-dup clustering instead
+groups docs into components (A~B, B~C => {A,B,C}) and keeps one
+representative per component. This is the alternating-min-label
+algorithm (a simplified large-star/small-star): iterate
+``label := min(label, min(neighbor labels))`` until fixpoint — O(log n)
+iterations on real dup graphs, each one shuffle-join.
+
+Scale notes: edges for near-dup graphs are sparse (bounded by LSH
+candidate generation); each iteration is an equi-join on key +
+map-side-combinable min-agg. Iterations stop on a converged count
+(driver-side scalar, not a collect of rows). For 100 TB runs, persist
+labels between iterations and cut over to GraphFrames only if the dup
+graph stops being sparse.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "key_a",
+    dst: str = "key_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """(node, component) for every node appearing in ``edges``;
+    component = min node key of the component."""
+    sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).union(
+        edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+    )
+    labels = (
+        sym.select("u")
+        .distinct()
+        .select(F.col("u").alias("node"), F.col("u").alias("component"))
+        .persist()
+    )
+    sym = sym.persist()
+    for _ in range(max_iterations):
+        neighbor_min = (
+            sym.join(labels, sym.v == labels.node)
+            .groupBy("u")
+            .agg(F.min("component").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.u, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
+                ).alias("component"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels
+
+
+def dedup_components(
+    df: DataFrame, pairs: DataFrame, key_col: str, pair_a: str = "key_a", pair_b: str = "key_b"
+) -> DataFrame:
+    """Keep one representative (min key) per duplicate component; rows
+    not in any pair pass through untouched."""
+    comp = connected_components(pairs, pair_a, pair_b)
+    losers = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias(key_col)
+    )
+    return df.join(losers, key_col, "left_anti")

@@ -325,3 +325,53 @@ def dedup_embedding_cosine(
         F.col("key_a").alias(key_col)
     ).distinct()
     return df.join(dup, key_col, "left_anti")
+
+
+def dedup_simhash_hamming(
+    df: DataFrame,
+    key_col: str,
+    text_col: str = "text",
+    bits: int = 32,
+    chunks: int = 4,
+) -> DataFrame:
+    """Near-dup dedup at hamming distance < ``chunks``: split the
+    simhash into ``chunks`` bit-bands; by pigeonhole, two hashes within
+    hamming distance chunks-1 collide on at least one band. Band
+    equi-join generates candidates; exact hamming (bit_count of xor)
+    verifies; lowest key wins.
+    """
+    width = bits // chunks
+    sh = simhash_table(df, [key_col], text_col, bits)
+    bands = sh.select(
+        key_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("band_idx"),
+                        F.shiftright(F.col("simhash"), c * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("band_key"),
+                    )
+                    for c in range(chunks)
+                ]
+            )
+        ).alias("b"),
+    ).select(key_col, "simhash", "b.band_idx", "b.band_key")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a.band_idx") == F.col("b.band_idx"))
+        & (F.col("a.band_key") == F.col("b.band_key"))
+        & (F.col(f"a.{key_col}") > F.col(f"b.{key_col}")),
+    ).select(
+        F.col(f"a.{key_col}").alias("ka"),
+        F.bit_count(
+            F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+        ).alias("hamming"),
+    )
+    dup = cand.filter(F.col("hamming") < chunks).select(
+        F.col("ka").alias(key_col)
+    ).distinct()
+    return df.join(dup, key_col, "left_anti")

@@ -70,6 +70,50 @@ def keep_expr(
     )
 
 
+def keep_expr_from_text(
+    text: Column,
+    include: Iterable[str] = (),
+    exclude: Iterable[str] = (),
+    clean: bool = False,
+) -> Column:
+    """The same truth table, compiled directly against the per-tag text
+    conditions instead of the materialized annotations array.
+
+    With static include/exclude sets the decision usually collapses to a
+    couple of scans (e.g. exclude-only -> ``NOT any(exclude conds)``),
+    and because the predicate no longer references the annotations
+    column, Catalyst pushes it below the annotation projection: dropped
+    rows never pay for annotation/scrub evaluation.
+    """
+    from ..functions.annotations import tag_conditions
+
+    inc, exc = validate_tag_sets(include, exclude)
+    conds = tag_conditions(text)
+
+    def any_of(tags: list[str]) -> Column:
+        out = conds[tags[0]]
+        for t in tags[1:]:
+            out = out | conds[t]
+        return out
+
+    exc_hit = any_of(exc) if exc else F.lit(False)
+    if not inc:
+        if not exc:
+            # untagged -> keep (clean irrelevant); tagged -> drop
+            return ~any_of(list(conds))
+        if clean:
+            # untagged kept by clean; tagged kept unless excluded —
+            # i.e. keep == not excluded
+            return ~exc_hit
+        return ~exc_hit  # untagged keep; tagged non-excluded keep
+    inc_subset = conds[inc[0]]
+    for t in inc[1:]:
+        inc_subset = inc_subset & conds[t]
+    no_tags = ~any_of(list(conds))
+    tagged_keep = ~exc_hit & inc_subset
+    return F.when(no_tags, F.lit(clean)).otherwise(tagged_keep)
+
+
 def filter_tags(
     df: DataFrame,
     include: Iterable[str] = (),

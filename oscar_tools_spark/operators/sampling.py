@@ -91,3 +91,54 @@ def sample_by_budget(
         .drop("_sk", "_sz", "_cum", "_pid")
         .orderBy(*key_cols)
     )
+
+
+def sample_by_budget_with_replacement(
+    df: DataFrame,
+    key_cols: list[str],
+    budget_bytes: int,
+    size_col: str | None = None,
+    text_col: str = "text",
+    seed: int = 42,
+    draw_factor: int = 3,
+) -> DataFrame:
+    """Reference WithReplacement mode (sampling/sampling.rs:59-97): draw
+    with replacement until the budget overflows (duplicates count toward
+    the budget), then sort+dedup the chosen docs so the OUTPUT has no
+    duplicates, preserving corpus order.
+
+    Distributed formulation: materialize ``draw_factor`` independent
+    seeded draws per row (a row can be chosen multiple times), order
+    draws by their md5 draw-key, keep the prefix whose inclusive
+    cumulative size < budget, then dedup + re-sort. ``draw_factor``
+    bounds the with-replacement universe (the reference draws until
+    overflow; 3x the without-replacement depth is plenty for any budget
+    < half the corpus).
+    """
+    size = F.col(size_col) if size_col else F.length(F.col(text_col))
+    keyed = df.withColumn("_sz", size.cast("bigint")).filter(
+        F.col("_sz") <= F.lit(budget_bytes)
+    )
+    draws = keyed.select(
+        *key_cols,
+        "_sz",
+        F.explode(F.array(*[F.lit(i) for i in range(draw_factor)])).alias("_draw"),
+    ).withColumn(
+        "_sk",
+        F.md5(
+            F.concat_ws(
+                ":",
+                F.lit(str(seed)),
+                F.col("_draw").cast("string"),
+                *[F.col(c).cast("string") for c in key_cols],
+            )
+        ),
+    )
+    w = Window.orderBy("_sk").rowsBetween(Window.unboundedPreceding, 0)
+    chosen = (
+        draws.withColumn("_cum", F.sum("_sz").over(w))
+        .filter(F.col("_cum") < F.lit(budget_bytes))
+        .select(*key_cols)
+        .distinct()
+    )
+    return df.join(chosen, key_cols, "left_semi").orderBy(*key_cols)

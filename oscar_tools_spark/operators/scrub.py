@@ -30,21 +30,22 @@ def scrubbed_expr(text: Column) -> Column:
 
 
 def rule_hits_expr(text: Column) -> Column:
-    """array<string> of rule names whose pattern matches, in rule order.
+    """array<string> of rule names whose pattern matches the ORIGINAL
+    text, in rule order.
 
-    Matches are evaluated the way the sequential chain sees the text:
-    rule N is tested against the text after rules 1..N-1 ran, so e.g. an
-    IP already rewritten to <IP> can't also count as a phone hit.
+    Hits are tested against the original text, not the staged chain: a
+    staged formulation re-executes rules 1..N-1's replacements to test
+    rule N (quadratic regex scans per row — measured as a material GC /
+    throughput hit). Replacement tokens (<EMAIL> etc.) contain no digits
+    so a later pattern can never match an earlier rule's output anyway.
     """
     hits = []
-    staged = text
     for name, pattern, _repl in SCRUB_RULES:
         hits.append(
-            F.when(staged.rlike(pattern), F.array(F.lit(name))).otherwise(
+            F.when(text.rlike(pattern), F.array(F.lit(name))).otherwise(
                 F.array().cast("array<string>")
             )
         )
-        staged = F.regexp_replace(staged, pattern, _repl)
     # concat of conditional arrays, not array_compact: array_compact
     # desugars to a lambda filter, which knocks the projection out of
     # whole-stage codegen.

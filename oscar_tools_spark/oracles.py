@@ -91,14 +91,15 @@ def q_filter(include=(), exclude=(), clean=False) -> str:
 
 
 def scrub_ctes(src: str = "documents") -> str:
-    """Layered CTEs s0..sN applying the ordered scrub chain, tracking hits."""
+    """Layered CTEs s0..sN applying the ordered replace chain; rule hits
+    are tested on the ORIGINAL text (mirrors operators/scrub.py)."""
     ctes = [f"s0 as (select *, text as t0, cast([] as varchar[]) as hits0 from {src})"]
     for i, (name, pat, repl) in enumerate(lx.SCRUB_RULES):
         prev, cur = f"t{i}", f"t{i+1}"
         ctes.append(
             f"s{i+1} as (select * exclude ({prev}, hits{i}), "
             f"regexp_replace({prev}, '{pat}', '{repl}', 'g') as {cur}, "
-            f"case when regexp_matches({prev}, '{pat}') then list_append(hits{i}, '{name}') "
+            f"case when regexp_matches(text, '{pat}') then list_append(hits{i}, '{name}') "
             f"else hits{i} end as hits{i+1} from s{i})"
         )
     return "with " + ",\n".join(ctes)

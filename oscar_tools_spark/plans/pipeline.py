@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 from ..functions import langid as langid_mod
 from ..functions import perplexity as ppl_mod
 from ..functions.annotations import annotations_expr
-from ..operators.filter_tags import keep_expr, validate_tag_sets
+from ..operators.filter_tags import keep_expr_from_text, validate_tag_sets
 from ..operators.scrub import rule_hits_expr, scrubbed_expr
 
 
@@ -65,8 +65,15 @@ def annotate_stage(df: DataFrame, cfg: CurationConfig, text_col: str = "text") -
     return out
 
 
-def filter_stage(df: DataFrame, cfg: CurationConfig) -> DataFrame:
-    keep = keep_expr(F.col("annotations"), cfg.include, cfg.exclude, cfg.clean)
+def filter_stage(df: DataFrame, cfg: CurationConfig, text_col: str = "text") -> DataFrame:
+    """Filter with the truth table compiled against the raw text
+    conditions (keep_expr_from_text) rather than the annotations array:
+    the predicate is then independent of the annotation projection, so
+    Catalyst pushes it to the scan and dropped rows never pay for
+    annotations/langid/scrub. Equivalent to
+    keep_expr(annotations, ...) by construction (same tag_conditions;
+    asserted by the F1 test)."""
+    keep = keep_expr_from_text(F.col(text_col), cfg.include, cfg.exclude, cfg.clean)
     if cfg.keep_dropped:
         return df.withColumn("keep", keep)
     return df.filter(keep)

@@ -57,11 +57,10 @@ def ref_annotations(text: str) -> list[str] | None:
 
 
 def ref_scrub(text: str) -> tuple[str, list[str]]:
-    """Mirror of operators/scrub.py: ordered regex chain + rule hits."""
-    hits = []
+    """Mirror of operators/scrub.py: ordered regex replace chain; rule
+    hits tested on the ORIGINAL text."""
+    hits = [name for name, pattern, _ in lx.SCRUB_RULES if re.search(pattern, text)]
     out = text
-    for name, pattern, repl in lx.SCRUB_RULES:
-        if re.search(pattern, out):
-            hits.append(name)
+    for _name, pattern, repl in lx.SCRUB_RULES:
         out = re.sub(pattern, repl, out)
     return out, hits

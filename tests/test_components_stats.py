@@ -1,0 +1,70 @@
+"""Connected components, hamming simhash dedup, with-replacement
+sampling, corpus stats."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from oscar_tools_spark.operators.components import connected_components, dedup_components
+from oscar_tools_spark.operators.dedup import dedup_simhash_hamming
+from oscar_tools_spark.operators.sampling import sample_by_budget_with_replacement
+from oscar_tools_spark.operators.stats import corpus_stats, tag_histogram
+
+
+def test_connected_components_chain(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (9, 9)], "key_a long, key_b long"
+    )
+    comp = {r.node: r.component for r in connected_components(edges).collect()}
+    assert comp[1] == comp[2] == comp[3] == 1
+    assert comp[5] == comp[6] == 5
+    assert comp[9] == 9
+
+
+def test_dedup_components_keeps_representative(spark):
+    df = spark.createDataFrame([(i, f"text {i}") for i in range(1, 8)], "doc_id long, text string")
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (5, 6)], "key_a long, key_b long")
+    kept = sorted(r.doc_id for r in dedup_components(df, pairs, "doc_id").collect())
+    assert kept == [1, 4, 5, 7]
+
+
+def test_dedup_simhash_hamming(spark):
+    # two texts differing by one word -> tiny hamming distance
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog near the river bank today"),
+            (2, "the quick brown fox jumps over the lazy dog near the river bank tonight"),
+            (3, "entirely different content about spark catalyst optimizer internals"),
+        ],
+        "doc_id long, text string",
+    )
+    kept = sorted(r.doc_id for r in dedup_simhash_hamming(df, "doc_id", chunks=8).collect())
+    assert 3 in kept and 1 in kept
+    assert 2 not in kept
+
+
+def test_sample_with_replacement_semantics(spark):
+    df = spark.createDataFrame(
+        [(i, "x" * (20 + i % 30)) for i in range(60)], "doc_id long, text string"
+    )
+    out = sample_by_budget_with_replacement(df, ["doc_id"], 600).collect()
+    ids = [r.doc_id for r in out]
+    assert ids == sorted(set(ids))  # no output duplicates, corpus order
+    assert 0 < len(ids) < 60
+    # deterministic
+    again = [r.doc_id for r in sample_by_budget_with_replacement(df, ["doc_id"], 600).collect()]
+    assert ids == again
+
+
+def test_corpus_stats_and_histogram(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    stats = corpus_stats(docs, lang_col="lang").collect()
+    assert stats
+    total_docs = sum(r.docs for r in stats)
+    assert total_docs == docs.count()
+    r0 = stats[0]
+    assert r0.chars > 0 and r0.tokens > 0 and 0 <= r0.avg_quality <= 100
+    assert len(r0.quality_p10_p50_p90) == 3
+
+    hist = {r.tag: r.n for r in tag_histogram(docs).collect()}
+    assert sum(hist.values()) >= docs.count()

