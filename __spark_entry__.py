@@ -291,6 +291,60 @@ def q_langid_model(spark, sf_dir):
     )
 
 
+def q_simhash_hamming_dedup(spark, sf_dir):
+    from oscar_tools_spark.operators.dedup import dedup_simhash_hamming
+
+    return (
+        dedup_simhash_hamming(_docs(spark, sf_dir), "doc_id", chunks=4)
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
+def q_sample_with_replacement(spark, sf_dir):
+    from oscar_tools_spark.operators.sampling import sample_by_budget_with_replacement
+
+    return (
+        sample_by_budget_with_replacement(
+            _docs(spark, sf_dir), ["doc_id"], SAMPLE_BUDGET, size_col="n_chars", seed=42
+        )
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
+def q_corpus_stats(spark, sf_dir):
+    from oscar_tools_spark.functions.annotations import tag_conditions
+
+    df = _docs(spark, sf_dir)
+    conds = tag_conditions(F.col("text"))
+    tag_aggs = [
+        F.sum(F.when(cond, 1).otherwise(0)).alias(f"n_{tag}")
+        for tag, cond in conds.items()
+    ]
+    return (
+        df.groupBy("lang")
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum(F.length("text")).alias("chars"),
+            F.sum(ws_token_count(F.col("text")).cast("bigint")).alias("tokens"),
+            *tag_aggs,
+        )
+        .orderBy("lang")
+    )
+
+
+def q_dedup_components(spark, sf_dir):
+    """Connected-component near-dup survivors (rows-only: iterative
+    fixpoint, not single-statement-SQL-expressible)."""
+    from oscar_tools_spark.operators.components import dedup_components
+    from oscar_tools_spark.operators.dedup import jaccard_pairs
+
+    docs = _docs(spark, sf_dir)
+    pairs = jaccard_pairs(docs, "doc_id", threshold=0.5)
+    return dedup_components(docs, pairs, "doc_id").select("doc_id").orderBy("doc_id")
+
+
 def q_curation_pipeline(spark, sf_dir):
     """Flagship: annotate -> filter(exclude adult/noisy) -> scrub -> score."""
     ann = _annotated(spark, sf_dir)
@@ -337,6 +391,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": q_dedup_embedding,
         "media_features": q_media_features,
         "langid_model": q_langid_model,
+        "simhash_hamming_dedup": q_simhash_hamming_dedup,
+        "sample_with_replacement": q_sample_with_replacement,
+        "corpus_stats": q_corpus_stats,
+        "dedup_components": q_dedup_components,
         "curation_pipeline": q_curation_pipeline,
     }
 
@@ -366,8 +424,12 @@ def oracle_sql() -> dict[str, str]:
         "sessionize": O.q_sessionize(),
         "topk_per_lang": O.q_topk_per_lang(),
         "doc_embedding_join": O.q_doc_embedding_join(),
-        # dedup_embedding / media_features / langid_model: rows-only
-        # (float cosines, binary payloads, and the trigram model are not
+        # dedup_embedding / media_features / langid_model /
+        # dedup_components: rows-only (float cosines, binary payloads,
+        # the trigram model, and the iterative CC fixpoint are not
         # SQL-oracle-able) — deliberately no oracle entries.
+        "simhash_hamming_dedup": O.q_simhash_hamming_dedup(),
+        "sample_with_replacement": O.q_sample_with_replacement(SAMPLE_BUDGET),
+        "corpus_stats": O.q_corpus_stats(),
         "curation_pipeline": O.q_curation_pipeline(),
     }

@@ -383,6 +383,78 @@ order by d.doc_id
 """
 
 
+def q_simhash_hamming_dedup(bits: int = 32, chunks: int = 4) -> str:
+    """Survivors of hamming-band simhash dedup (mirrors
+    dedup_simhash_hamming): band join on bit chunks, exact hamming via
+    bit_count(xor), lowest key wins."""
+    width = bits // chunks
+    sim = q_simhash(bits).split("\nselect")[0]  # reuse the hash CTE
+    band_selects = " union all ".join(
+        f"select doc_id, simhash, {c} as band_idx,"
+        f" (simhash >> {c * width}) & {(1 << width) - 1} as band_key from sh"
+        for c in range(chunks)
+    )
+    return f"""
+{sim},
+sh as (select doc_id, cast({' + '.join(_simhash_vote_terms(bits))} as bigint) as simhash from h),
+bands as ({band_selects}),
+dups as (
+  select distinct a.doc_id
+  from bands a join bands b
+    on a.band_idx = b.band_idx and a.band_key = b.band_key and a.doc_id > b.doc_id
+  where bit_count(xor(a.simhash, b.simhash)) < {chunks}
+)
+select doc_id from documents where doc_id not in (select doc_id from dups)
+order by doc_id
+"""
+
+
+def _simhash_vote_terms(bits: int) -> list[str]:
+    terms = []
+    for b in range(bits):
+        mask = 1 << b
+        terms.append(
+            f"case when list_sum(list_transform(__h, h -> case when (h & {mask}) > 0"
+            f" then 1 else -1 end)) > 0 then {mask} else 0 end"
+        )
+    return terms
+
+
+def q_sample_with_replacement(budget: int, seed: int = 42, draw_factor: int = 3) -> str:
+    return f"""
+with eligible as (select doc_id, n_chars from documents where n_chars <= {budget}),
+draws as (
+  select doc_id, n_chars,
+         md5('{seed}:' || cast(d as varchar) || ':' || cast(doc_id as varchar)) as sk
+  from eligible, range({draw_factor}) t(d)
+), cum as (
+  select doc_id,
+         sum(n_chars) over (order by sk rows between unbounded preceding and current row) as c
+  from draws
+)
+select distinct doc_id from cum where c < {budget} order by doc_id
+"""
+
+
+def q_corpus_stats() -> str:
+    """Per-language counts/sums + tag counts (integer-only profile; the
+    quantile variant stays Spark-side — percentile interpolation is not
+    bit-portable)."""
+    tag_counts = ", ".join(
+        f"cast(sum(case when {tag_cond_sql(t)} then 1 else 0 end) as bigint) as n_{t}"
+        for t in lx.ALL_TAGS
+    )
+    return f"""
+with __base as (select *, {LINES} as __lines from documents)
+select lang,
+       count(*) as docs,
+       cast(sum(length(text)) as bigint) as chars,
+       cast(sum(len(regexp_extract_all(text, '{WS_TOKEN_PATTERN}'))) as bigint) as tokens,
+       {tag_counts}
+from __base group by lang order by lang
+"""
+
+
 def q_topk_cosine_ids(k: int = 10) -> str:
     """Top-k by cosine to the vec_id=0 embedding; ids only (float scores
     are engine-sensitive; the id set is not, away from ties)."""

@@ -1,0 +1,75 @@
+"""Custom stateful streaming operator: conversation sessionization with
+``applyInPandasWithState``.
+
+Groups a transcript stream by ``conv_id`` and maintains per-conversation
+state (turn count, char count, first/last timestamp); a conversation
+"session" is emitted when the group goes quiet past the timeout — the
+streaming analog of the batch sessionize query, but incremental with
+bounded state. This is the pattern slot for any custom stateful
+curation operator (e.g. rolling per-conversation quality, cross-turn
+dedup state).
+
+State is a single summable tuple per conversation — O(#live convs)
+memory, the textbook shape for applyInPandasWithState.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = (
+    "conv_id string, n_turns long, n_chars long, first_ts timestamp, last_ts timestamp"
+)
+STATE_SCHEMA = "n_turns long, n_chars long, first_ts timestamp, last_ts timestamp"
+
+
+def _update(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    (conv_id,) = key
+    if state.hasTimedOut:
+        n_turns, n_chars, first_ts, last_ts = state.get
+        state.remove()
+        yield pd.DataFrame(
+            [
+                {
+                    "conv_id": conv_id,
+                    "n_turns": n_turns,
+                    "n_chars": n_chars,
+                    "first_ts": first_ts,
+                    "last_ts": last_ts,
+                }
+            ]
+        )
+        return
+    n_turns, n_chars, first_ts, last_ts = (
+        state.get if state.exists else (0, 0, None, None)
+    )
+    for pdf in pdfs:
+        n_turns += len(pdf)
+        n_chars += int(pdf["text"].str.len().sum())
+        ts_min, ts_max = pdf["ts"].min(), pdf["ts"].max()
+        first_ts = ts_min if first_ts is None else min(first_ts, ts_min)
+        last_ts = ts_max if last_ts is None else max(last_ts, ts_max)
+    state.update((n_turns, n_chars, first_ts, last_ts))
+    state.setTimeoutDuration(30_000)  # emit after 30s of silence
+    return
+    yield  # pragma: no cover — make this a generator
+
+
+def sessionize_stream(stream: DataFrame) -> DataFrame:
+    """Apply the stateful sessionizer to a transcripts stream."""
+    return (
+        stream.groupBy("conv_id")
+        .applyInPandasWithState(
+            _update,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )

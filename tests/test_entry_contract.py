@@ -46,7 +46,12 @@ def test_every_query_has_callable_and_oracle_alignment():
     assert set(o) <= set(q)
     assert len(q) >= 25
     rows_only = set(q) - set(o)
-    assert rows_only == {"dedup_embedding", "media_features", "langid_model"}
+    assert rows_only == {
+        "dedup_embedding",
+        "media_features",
+        "langid_model",
+        "dedup_components",
+    }
 
 
 @pytest.mark.parametrize("name", SPOT_CHECK)

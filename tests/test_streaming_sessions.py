@@ -1,0 +1,101 @@
+"""applyInPandasWithState sessionization: unit test of the state-update
+logic + a query smoke test.
+
+(Full end-to-end timeout emission needs wall-clock processing-time
+batches — too slow/flaky for CI; the update function carries all the
+semantics, so it's tested directly with a fake GroupState.)
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from oscar_tools_spark.datagen import synth_transcripts
+from oscar_tools_spark.streaming.pipeline import stream_transcripts
+from oscar_tools_spark.streaming.sessions import _update, sessionize_stream
+
+
+class FakeState:
+    def __init__(self, value=None, timed_out=False):
+        self._value = value
+        self.hasTimedOut = timed_out
+        self.removed = False
+        self.timeout_ms = None
+
+    @property
+    def exists(self):
+        return self._value is not None
+
+    @property
+    def get(self):
+        return self._value
+
+    def update(self, v):
+        self._value = v
+
+    def remove(self):
+        self.removed = True
+        self._value = None
+
+    def setTimeoutDuration(self, ms):
+        self.timeout_ms = ms
+
+
+def _pdf(rows):
+    return pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"])
+
+
+def test_update_accumulates_state():
+    state = FakeState()
+    batch = _pdf(
+        [
+            ("c1", 0, "user", "hello", None, pd.Timestamp("2024-01-01 00:00:00")),
+            ("c1", 1, "assistant", "hi there", None, pd.Timestamp("2024-01-01 00:00:07")),
+        ]
+    )
+    out = list(_update(("c1",), [batch], state))
+    assert out == []  # nothing emitted while the conversation is live
+    n_turns, n_chars, first_ts, last_ts = state.get
+    assert n_turns == 2
+    assert n_chars == len("hello") + len("hi there")
+    assert first_ts == pd.Timestamp("2024-01-01 00:00:00")
+    assert last_ts == pd.Timestamp("2024-01-01 00:00:07")
+    assert state.timeout_ms == 30_000
+
+    # a second micro-batch keeps accumulating
+    more = _pdf([("c1", 2, "user", "bye", None, pd.Timestamp("2024-01-01 00:00:14"))])
+    list(_update(("c1",), [more], state))
+    assert state.get[0] == 3
+    assert state.get[3] == pd.Timestamp("2024-01-01 00:00:14")
+
+
+def test_update_emits_on_timeout():
+    state = FakeState(
+        value=(3, 16, pd.Timestamp("2024-01-01"), pd.Timestamp("2024-01-01 00:01:00")),
+        timed_out=True,
+    )
+    out = list(_update(("c1",), [], state))
+    assert len(out) == 1
+    row = out[0].iloc[0]
+    assert row.conv_id == "c1" and row.n_turns == 3 and row.n_chars == 16
+    assert state.removed
+
+
+def test_sessionize_stream_smoke(spark, tmp_path):
+    src = str(tmp_path / "in")
+    synth_transcripts(spark, 10).write.mode("overwrite").parquet(src)
+    q = (
+        sessionize_stream(stream_transcripts(spark, src))
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sessions_smoke")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # live conversations emit nothing yet (timeout-based), but the plan
+    # must execute: schema registered, no streaming errors
+    out = spark.sql("select * from sessions_smoke")
+    assert out.columns == ["conv_id", "n_turns", "n_chars", "first_ts", "last_ts"]
+    assert q.exception() is None
