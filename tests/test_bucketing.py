@@ -1,0 +1,40 @@
+"""Bucketed-table co-location: joins and aggregations on the bucket key
+must run shuffle-free (SURVEY.md §7 phase 4)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from oscar_tools_spark.datagen import synth_transcripts
+from oscar_tools_spark.sinks.writer import write_bucketed
+
+
+@pytest.fixture()
+def bucketed_tables(spark, tmp_path):
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    t = synth_transcripts(spark, 40)
+    write_bucketed(t, "bkt_turns", ["conv_id"], 8, sort_cols=["conv_id", "turn_idx"])
+    write_bucketed(t.select("conv_id", "turn_idx", "role"), "bkt_roles", ["conv_id"], 8)
+    yield "bkt_turns", "bkt_roles"
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.sql("drop table if exists bkt_turns")
+    spark.sql("drop table if exists bkt_roles")
+
+
+def test_bucketed_join_and_agg_have_no_shuffle(spark, bucketed_tables):
+    ta, tb = bucketed_tables
+    a = spark.table(ta)
+    b = spark.table(tb).groupBy("conv_id").agg(F.count("*").alias("n"))
+    j = a.join(b, "conv_id")
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # co-located: agg AND join shuffle-free
+    assert j.count() > 0
+
+    # sanity: the same join on unbucketed data DOES shuffle
+    raw = synth_transcripts(spark, 40)
+    j2 = raw.join(
+        raw.groupBy("conv_id").agg(F.count("*").alias("n")), "conv_id"
+    )
+    plan2 = j2._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" in plan2
