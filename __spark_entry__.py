@@ -52,8 +52,27 @@ from oscar_tools_spark.operators.similarity import topk_cosine  # noqa: E402
 
 SAMPLE_BUDGET = 50_000
 
+_SHIPPED_SESSIONS: set[int] = set()
+
+
+def _ensure_shipped(spark: SparkSession) -> None:
+    """Ship the package zip to executors for sessions the driver created
+    itself (pandas-UDF closures reference this package; without
+    --py-files the Python workers can't import it from a foreign cwd)."""
+    key = id(spark)
+    if key in _SHIPPED_SESSIONS:
+        return
+    try:
+        from oscar_tools_spark.session import package_zip
+
+        spark.sparkContext.addPyFile(package_zip())
+    except Exception:
+        pass  # already registered or non-local master — both fine
+    _SHIPPED_SESSIONS.add(key)
+
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ensure_shipped(spark)
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
@@ -273,6 +292,7 @@ def q_media_features(spark, sf_dir):
     binary payloads are not DuckDB-view material)."""
     from oscar_tools_spark.operators.multimodal import extract_features, synth_media
 
+    _ensure_shipped(spark)
     media = synth_media(spark, 100)
     return extract_features(media).select(
         "media_id", "kind", "n_bytes", "digest"
