@@ -98,3 +98,15 @@ def test_checksum_cli(spark, v2_corpus, capsys):
     assert "checksum.sha384" in out
     manifest = out.strip().splitlines()[0]
     assert os.path.exists(manifest)
+
+
+def test_curate_cli(spark, tmp_path):
+    from oscar_tools_spark.datagen import synth_transcripts
+
+    src = str(tmp_path / "tsrc")
+    synth_transcripts(spark, 20).write.mode("overwrite").parquet(src)
+    dst = str(tmp_path / "tout")
+    run_cmd(spark, ["curate", src, dst, "-e", "adult", "-e", "noisy", "--no-model"])
+    out = spark.read.parquet(dst)
+    assert out.count() > 0
+    assert {"annotations", "identification", "rule_hits", "model_versions"} <= set(out.columns)

@@ -81,3 +81,18 @@ def test_lsh_topk_agrees_reasonably_with_exact(spark, sf_dir):
     n_buckets = b.select("bucket").distinct().count()
     assert n_buckets > 4  # planes actually split the space
     emb.unpersist()
+
+
+def test_dedup_embedding_cosine_drops_near_identical(spark):
+    from oscar_tools_spark.operators.dedup import dedup_embedding_cosine
+
+    base = [1.0, 0.5, -0.3, 0.8]
+    near = [1.0001, 0.5001, -0.3001, 0.8001]  # cosine ~ 1.0
+    far = [-1.0, 0.4, 0.9, -0.2]
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "vec_id long, embedding array<float>"
+    )
+    kept = sorted(
+        r.vec_id for r in dedup_embedding_cosine(df, "vec_id", threshold=0.999).collect()
+    )
+    assert kept == [1, 3]
