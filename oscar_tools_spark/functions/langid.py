@@ -139,6 +139,68 @@ def _build_profiles() -> dict[str, "np.ndarray"]:
 PROFILES = _build_profiles()
 
 
+def _build_union() -> tuple["np.ndarray", "np.ndarray"]:
+    """Sorted union of all profile trigram ids + (len(union), n_langs)
+    membership matrix — lets the batch scorer do ONE searchsorted for
+    all languages instead of one per language."""
+    union = np.unique(np.concatenate([PROFILES[lang] for lang in LANGID_ORDER]))
+    member = np.zeros((len(union), len(LANGID_ORDER)), dtype=bool)
+    for li, lang in enumerate(LANGID_ORDER):
+        member[np.searchsorted(union, PROFILES[lang]), li] = True
+    return union, member
+
+
+_UNION, _MEMBER = _build_union()
+
+# Batch normalizer: identical to _RE_NONALPHA but preserving the NUL
+# document separator (inputs are pre-stripped of NUL so semantics match
+# the per-row path byte-for-byte).
+_RE_NONALPHA_KEEP_NUL = re.compile(r"[^a-z\sà-öø-ÿ\x00]")
+
+
+def _gram_ids_batch(texts) -> tuple["np.ndarray", "np.ndarray", "np.ndarray"]:
+    """(grams, doc_ix, lens): per-doc-unique trigram ids for a whole
+    batch, built with one regex pass / one encode over a NUL-joined
+    string — no per-row numpy allocations."""
+    n = len(texts)
+    padded = [
+        " " + (t or "").lower().replace("\x00", " ") + " " for t in texts
+    ]
+    big = _RE_NONALPHA_KEEP_NUL.sub(" ", "\x00".join(padded))
+    b = np.frombuffer(big.encode("utf-8"), dtype=np.uint8)
+    if len(b) < 3:
+        return (
+            np.empty(0, np.uint32),
+            np.empty(0, np.int64),
+            np.zeros(n, np.int64),
+        )
+    ids = (
+        (b[:-2].astype(np.uint32) << 16)
+        | (b[1:-1].astype(np.uint32) << 8)
+        | b[2:].astype(np.uint32)
+    )
+    # a trigram is valid only when its 3-byte window stays inside one doc
+    valid = (b[:-2] != 0) & (b[1:-1] != 0) & (b[2:] != 0)
+    # doc index of position p = number of NUL separators before p
+    doc_of_pos = np.cumsum(b == 0, dtype=np.int32)
+    # per-doc distinct via ONE packed-key radix-friendly sort:
+    # key = (doc << 24) | gram (grams are 24-bit 3-byte windows; doc
+    # indices fit the top 40 bits) — measurably cheaper than lexsort.
+    key = (doc_of_pos[:-2][valid].astype(np.uint64) << np.uint64(24)) | ids[
+        valid
+    ].astype(np.uint64)
+    key.sort()
+    if len(key):
+        keep = np.empty(len(key), dtype=bool)
+        keep[0] = True
+        np.not_equal(key[1:], key[:-1], out=keep[1:])
+        key = key[keep]
+    doc_s = (key >> np.uint64(24)).astype(np.int64)
+    ids_s = (key & np.uint64(0xFFFFFF)).astype(np.uint32)
+    lens = np.bincount(doc_s, minlength=n)
+    return ids_s, doc_s, lens
+
+
 def classify(text: str) -> tuple[str, float]:
     """Deterministic single-text classification (the UDF calls this)."""
     grams = _gram_ids(text)
@@ -162,13 +224,42 @@ def classify(text: str) -> tuple[str, float]:
     return best_lang, float(best_score) / float(total)
 
 
+_LANG_LABELS = np.array(LANGID_ORDER, dtype=object)
+
+
 def _score_batch(texts: pd.Series) -> tuple[list[str], list[float]]:
-    labels, probs = [], []
-    for text in texts:
-        label, prob = classify(text)
-        labels.append(label)
-        probs.append(prob)
-    return labels, probs
+    """Whole-batch scorer: ONE searchsorted per language per Arrow batch.
+
+    The per-row formulation (``classify`` in a loop) pays numpy call
+    overhead per (row, language) — ~10 tiny array ops per row dominate
+    at low core counts. Here the batch's trigram ids are concatenated
+    into one array with a doc index, each language profile is probed
+    once over the whole batch, and per-doc hit counts come back via
+    ``bincount``. Semantics are identical to ``classify`` row-by-row
+    (asserted by tests/test_langid.py)."""
+    n = len(texts)
+    if n == 0:
+        return [], []
+    all_grams, doc_ix, lens = _gram_ids_batch(texts)
+    scores = np.zeros((len(LANGID_ORDER), n), dtype=np.int64)
+    if len(all_grams):
+        idx = np.searchsorted(_UNION, all_grams)
+        idx[idx == len(_UNION)] = 0
+        ok = _UNION[idx] == all_grams
+        gi, di = idx[ok], doc_ix[ok]
+        for li in range(len(LANGID_ORDER)):
+            m = _MEMBER[gi, li]
+            scores[li] = np.bincount(di[m], minlength=n)
+    total = scores.sum(axis=0)
+    best_ix = scores.argmax(axis=0)  # first max wins == LANGID_ORDER tie-break
+    best = scores[best_ix, np.arange(n)]
+    # minimum-coverage gate (see classify): winner must cover >=15% of
+    # the doc's distinct trigrams.
+    safe_lens = np.maximum(lens, 1)
+    confident = (lens > 0) & (best > 0) & (best / safe_lens >= 0.15)
+    labels = np.where(confident, _LANG_LABELS[best_ix], LANGID_UNKNOWN)
+    probs = np.where(confident, best / np.maximum(total, 1), 0.0)
+    return labels.tolist(), probs.tolist()
 
 
 def langid_model_udf():

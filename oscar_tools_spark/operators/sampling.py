@@ -1,24 +1,39 @@
 """`v1 sample`: random sample under a byte-size budget.
 
 Reference semantics (/root/reference/src/impls/oscar_txt/sampling/
-sampling.rs:47-172, WithoutReplacement mode — the CLI default at :41):
-shuffle documents, walk the shuffled order, skip any document larger
-than the whole budget (:117-118), add while cumulative+len < budget,
-STOP at the first non-fitting document (:120-123); output is re-sorted
-to corpus order (:126, order test :204-217).
+sampling.rs:47-172): shuffle documents, walk the shuffled order, skip
+any document larger than the whole budget (:117-118).
 
-Because the running total is monotone, "stop at first overflow" is
-exactly "keep the prefix where the inclusive cumulative size < budget"
-— so the whole operator is: deterministic shuffle key -> cumulative sum
-window -> filter -> re-sort. The shuffle key is md5(seed:key), which
-both Spark and the DuckDB oracle compute identically (the reference
-uses thread_rng; we pin a seed per FIXTURES.md §6).
+* WithoutReplacement (the CLI default at :41): add while
+  cumulative + len < budget, STOP at the first non-fitting document
+  (:120-123) — i.e. keep the prefix where the inclusive cumulative
+  size is strictly < budget; output re-sorted to corpus order (:126).
+* WithReplacement (:59-97): draw with replacement while
+  size + doc_length <= max_size — the INCLUSIVE boundary differs from
+  the without-replacement mode (a draw landing exactly on the budget
+  is kept) — then sort+dedup so the output has no duplicates.
 
-Scale: a single global-order window would serialize on one task. The
-implementation range-partitions by the shuffle key and computes the
-cumulative sum as (per-partition cumsum) + (prefix sum of partition
-totals), where the partition totals are a tiny driver-side array —
-the standard distributed prefix-sum; no global single-partition stage.
+Budgets are BYTE budgets (the reference indexes documents by byte
+offset/length — sampling.rs ``build_index``), so the default size
+expression is ``octet_length(text)``, not character length; pass
+``size_col`` to budget on any precomputed size.
+
+Distributed formulation
+-----------------------
+Because the running total is monotone, "stop at first overflow" is a
+prefix-sum filter over the md5 shuffle-key order. A single global-order
+window would serialize on one task; instead the key space is split into
+fixed equal-width ranges of the md5 hex prefix (the key is uniform by
+construction, so ranges are balanced), the per-range totals are a tiny
+driver-side array, and the cumulative sum is
+(per-range window cumsum) + (prefix sum of range totals).
+
+The range id is a pure function of the key — unlike
+``repartitionByRange``, whose sampled boundaries depend on RDD ids —
+so the totals job and the main job agree on the layout with no
+``persist()`` (round 1 cached the ranged frame and leaked it; a pure
+partitioner needs no materialization). The input subtree is evaluated
+twice (once for totals, once for the window) — both are narrow scans.
 """
 
 from __future__ import annotations
@@ -26,10 +41,54 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+_HEX_PREFIX = 8  # range on the first 8 hex chars of the md5 key
+_HEX_SPACE = 16**_HEX_PREFIX
+
 
 def _with_shuffle_key(df: DataFrame, key_cols: list[str], seed: int):
     key = F.md5(F.concat_ws(":", F.lit(str(seed)), *[F.col(c).cast("string") for c in key_cols]))
     return df.withColumn("_sk", key)
+
+
+def _range_pid(partitions: int):
+    """Deterministic range-partition id from the md5 key prefix.
+
+    floor(prefix * P / 16^8) with prefix < 16^8 is always in [0, P-1];
+    integer arithmetic only, so Spark and any re-evaluation agree.
+    """
+    prefix = F.conv(F.substring(F.col("_sk"), 1, _HEX_PREFIX), 16, 10).cast("bigint")
+    return F.floor(prefix * partitions / F.lit(_HEX_SPACE)).cast("int")
+
+
+def _cumsum_over_key(df: DataFrame, partitions: int) -> DataFrame:
+    """Attach ``_cum`` = inclusive cumulative sum of ``_sz`` in global
+    ``_sk`` order, without a single-partition window.
+
+    ``df`` must carry ``_sk`` (md5 hex) and ``_sz`` (bigint). Adds
+    ``_pid``. The per-range totals collect is ≤ ``partitions`` rows.
+    """
+    parted = df.withColumn("_pid", _range_pid(partitions))
+    totals = {
+        r._pid: r.total
+        for r in parted.groupBy("_pid").agg(F.sum("_sz").alias("total")).collect()
+    }
+    acc = 0
+    offsets = {}
+    for pid in sorted(totals):
+        offsets[pid] = acc
+        acc += totals[pid]
+    offset_col = (
+        F.coalesce(
+            *[F.when(F.col("_pid") == pid, F.lit(off)) for pid, off in offsets.items()],
+            F.lit(0),
+        )
+        if offsets
+        else F.lit(0)
+    )
+    w = Window.partitionBy("_pid").orderBy("_sk").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return parted.withColumn("_cum", F.sum("_sz").over(w) + offset_col)
 
 
 def sample_by_budget(
@@ -39,55 +98,24 @@ def sample_by_budget(
     size_col: str | None = None,
     text_col: str = "text",
     seed: int = 42,
-    distributed: bool = True,
     partitions: int = 32,
 ) -> DataFrame:
-    """Sample rows under a total size budget with reference semantics.
+    """Sample rows under a total size budget with reference
+    WithoutReplacement semantics (strict ``<`` boundary).
 
-    ``size_col`` defaults to ``length(text_col)``. Returns the sampled
-    rows of ``df`` (original columns), ordered by ``key_cols``.
+    ``size_col`` defaults to ``octet_length(text_col)`` — a byte
+    budget, matching the reference's byte-offset index. Returns the
+    sampled rows of ``df`` (original columns), ordered by ``key_cols``.
+    ``partitions=1`` degenerates to a single global window (useful as a
+    test oracle for the distributed prefix sum).
     """
-    size = F.col(size_col) if size_col else F.length(F.col(text_col))
+    size = F.col(size_col) if size_col else F.octet_length(F.col(text_col))
     keyed = _with_shuffle_key(df, key_cols, seed).withColumn("_sz", size.cast("bigint"))
     eligible = keyed.filter(F.col("_sz") <= F.lit(budget_bytes))
 
-    if not distributed:
-        w = Window.orderBy("_sk").rowsBetween(Window.unboundedPreceding, 0)
-        cum = eligible.withColumn("_cum", F.sum("_sz").over(w))
-    else:
-        # Distributed prefix sum. The frame is persisted because
-        # repartitionByRange samples its boundaries with an RDD-id-
-        # dependent seed: without materialization the totals job and the
-        # main job could see different partition layouts.
-        parted = (
-            eligible.repartitionByRange(partitions, "_sk")
-            .withColumn("_pid", F.spark_partition_id())
-            .persist()
-        )
-        totals = {
-            r._pid: r.total
-            for r in parted.groupBy("_pid").agg(F.sum("_sz").alias("total")).collect()
-        }
-        acc = 0
-        offsets = {}
-        for pid in sorted(totals):
-            offsets[pid] = acc
-            acc += totals[pid]
-        offset_col = (
-            F.coalesce(
-                *[F.when(F.col("_pid") == pid, F.lit(off)) for pid, off in offsets.items()],
-                F.lit(0),
-            )
-            if offsets
-            else F.lit(0)
-        )
-        w = Window.partitionBy("_pid").orderBy("_sk").rowsBetween(
-            Window.unboundedPreceding, 0
-        )
-        cum = parted.withColumn("_cum", F.sum("_sz").over(w) + offset_col)
-
     return (
-        cum.filter(F.col("_cum") < F.lit(budget_bytes))
+        _cumsum_over_key(eligible, partitions)
+        .filter(F.col("_cum") < F.lit(budget_bytes))
         .drop("_sk", "_sz", "_cum", "_pid")
         .orderBy(*key_cols)
     )
@@ -101,21 +129,25 @@ def sample_by_budget_with_replacement(
     text_col: str = "text",
     seed: int = 42,
     draw_factor: int = 3,
+    partitions: int = 32,
 ) -> DataFrame:
     """Reference WithReplacement mode (sampling/sampling.rs:59-97): draw
-    with replacement until the budget overflows (duplicates count toward
-    the budget), then sort+dedup the chosen docs so the OUTPUT has no
-    duplicates, preserving corpus order.
+    with replacement while size + doc_length <= budget (duplicates count
+    toward the budget; note the INCLUSIVE boundary, unlike the
+    without-replacement mode), then sort+dedup the chosen docs so the
+    OUTPUT has no duplicates, preserving corpus order.
 
     Distributed formulation: materialize ``draw_factor`` independent
     seeded draws per row (a row can be chosen multiple times), order
     draws by their md5 draw-key, keep the prefix whose inclusive
-    cumulative size < budget, then dedup + re-sort. ``draw_factor``
-    bounds the with-replacement universe (the reference draws until
-    overflow; 3x the without-replacement depth is plenty for any budget
-    < half the corpus).
+    cumulative size <= budget via the same distributed prefix sum as
+    ``sample_by_budget`` (no global single-partition window), then
+    dedup + re-sort. ``draw_factor`` bounds the with-replacement
+    universe (the reference draws until overflow; 3x the
+    without-replacement depth is plenty for any budget < half the
+    corpus).
     """
-    size = F.col(size_col) if size_col else F.length(F.col(text_col))
+    size = F.col(size_col) if size_col else F.octet_length(F.col(text_col))
     keyed = df.withColumn("_sz", size.cast("bigint")).filter(
         F.col("_sz") <= F.lit(budget_bytes)
     )
@@ -134,10 +166,9 @@ def sample_by_budget_with_replacement(
             )
         ),
     )
-    w = Window.orderBy("_sk").rowsBetween(Window.unboundedPreceding, 0)
     chosen = (
-        draws.withColumn("_cum", F.sum("_sz").over(w))
-        .filter(F.col("_cum") < F.lit(budget_bytes))
+        _cumsum_over_key(draws, partitions)
+        .filter(F.col("_cum") <= F.lit(budget_bytes))
         .select(*key_cols)
         .distinct()
     )

@@ -432,7 +432,7 @@ draws as (
          sum(n_chars) over (order by sk rows between unbounded preceding and current row) as c
   from draws
 )
-select distinct doc_id from cum where c < {budget} order by doc_id
+select distinct doc_id from cum where c <= {budget} order by doc_id
 """
 
 

@@ -58,3 +58,20 @@ def test_sentence_identifications(spark):
     assert sids[0].label == "en"
     assert sids[1] is None  # empty line -> null identification (ref :371)
     assert sids[2].label == "fr"
+
+
+def test_score_batch_matches_classify_rowwise():
+    """The whole-batch vectorized scorer must be bit-identical to the
+    per-row classify() it replaced."""
+    import pandas as pd
+
+    from oscar_tools_spark.datagen import gen_turn_text
+    from oscar_tools_spark.functions.langid import _score_batch, classify
+
+    texts = [gen_turn_text(f"conv_{i:08d}", i % 7) for i in range(300)]
+    texts += ["", "   ", "ok", "12345 #### $$$", "é" * 5, None if False else "the the the"]
+    labels, probs = _score_batch(pd.Series(texts))
+    for t, lab, p in zip(texts, labels, probs):
+        want_lab, want_p = classify(t)
+        assert lab == want_lab, (t[:40], lab, want_lab)
+        assert p == want_p, (t[:40], p, want_p)

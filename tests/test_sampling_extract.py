@@ -40,11 +40,56 @@ def test_deterministic_given_seed_and_distributed_matches_local(spark):
     assert a == b
     c = [
         r.doc_id
-        for r in sample_by_budget(df, ["doc_id"], 2000, seed=7, distributed=False).collect()
+        for r in sample_by_budget(df, ["doc_id"], 2000, seed=7, partitions=1).collect()
     ]
-    assert a == c  # distributed prefix-sum == single-window reference impl
+    assert a == c  # distributed prefix-sum == single-range degenerate case
     d = [r.doc_id for r in sample_by_budget(df, ["doc_id"], 2000, seed=8).collect()]
     assert a != d  # different seed -> different sample (overwhelmingly)
+
+
+def test_byte_budget_counts_bytes_not_chars(spark):
+    """Default budget is BYTES (reference indexes byte lengths):
+    'é' is 1 char but 2 UTF-8 bytes."""
+    from oscar_tools_spark.operators.sampling import sample_by_budget_with_replacement
+
+    df = spark.createDataFrame(
+        [(i, "é" * 40) for i in range(10)], "doc_id long, text string"
+    )
+    # each doc is 80 bytes; a 100-byte budget fits exactly one doc
+    out = sample_by_budget(df, ["doc_id"], 100).collect()
+    assert len(out) == 1
+    # char-budget would have fit two (2*40 < 100)
+    out2 = sample_by_budget(df, ["doc_id"], 161).collect()
+    assert len(out2) == 2
+
+
+def test_with_replacement_distributed_matches_single_range(spark):
+    from oscar_tools_spark.operators.sampling import sample_by_budget_with_replacement
+
+    df = _docs(spark, 80)
+    a = [
+        r.doc_id
+        for r in sample_by_budget_with_replacement(df, ["doc_id"], 2000, seed=7).collect()
+    ]
+    b = [
+        r.doc_id
+        for r in sample_by_budget_with_replacement(
+            df, ["doc_id"], 2000, seed=7, partitions=1
+        ).collect()
+    ]
+    assert a == b and len(a) > 0
+
+
+def test_with_replacement_inclusive_boundary(spark):
+    """Reference WithReplacement adds while size + len <= budget: a draw
+    landing exactly on the budget is kept (sampling.rs:75-82)."""
+    from oscar_tools_spark.operators.sampling import sample_by_budget_with_replacement
+
+    df = spark.createDataFrame([(1, "a" * 100)], "doc_id long, text string")
+    out = sample_by_budget_with_replacement(df, ["doc_id"], 100, draw_factor=1).collect()
+    assert [r.doc_id for r in out] == [1]
+    out2 = sample_by_budget(df, ["doc_id"], 100).collect()  # strict < in WoR mode
+    assert out2 == []
 
 
 def test_extract_text_golden(spark):
