@@ -275,13 +275,17 @@ def q_doc_embedding_join(spark, sf_dir):
 
 
 def q_dedup_embedding(spark, sf_dir):
-    """Embedding-cosine near-dup survivors (rows-only check: pairwise
-    float cosines are not bit-portable across engines)."""
-    from oscar_tools_spark.operators.dedup import dedup_embedding_cosine
+    """Embedding-cosine near-dup survivors via banded hyperplane LSH —
+    the scale path (no all-pairs join; the O(n²) brute force remains in
+    dedup.py only as the test baseline). Rows-only check: pairwise
+    float cosines are not bit-portable across engines; survivor-set
+    equality vs brute force is asserted in pytest instead."""
+    from oscar_tools_spark.operators.dedup import dedup_embedding_lsh
 
+    _ensure_shipped(spark)
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return (
-        dedup_embedding_cosine(emb, "vec_id", threshold=0.98)
+        dedup_embedding_lsh(emb, "vec_id", dim=64, threshold=0.98)
         .select("vec_id")
         .orderBy("vec_id")
     )

@@ -327,6 +327,94 @@ def dedup_embedding_cosine(
     return df.join(dup, key_col, "left_anti")
 
 
+def dedup_embedding_lsh(
+    df: DataFrame,
+    key_col: str,
+    dim: int,
+    vec_col: str = "embedding",
+    threshold: float = 0.995,
+    n_planes: int = 16,
+    band_size: int = 4,
+) -> DataFrame:
+    """Scale path for embedding near-dup: banded random-hyperplane LSH
+    candidate generation + exact cosine verification, greedy
+    lowest-key-wins — same policy as ``dedup_embedding_cosine`` but with
+    bucketed equi-joins instead of the O(n²) all-pairs product.
+
+    Recall: a plane separates a pair at angle θ with probability θ/π;
+    at cos ≥ 0.98 (θ ≤ 11.5°, p ≈ 0.064) a 4-bit band matches within
+    hamming-1 with prob ≈ 0.977, so missing all 4 bands is ~3e-7 —
+    the survivor set equals the brute-force one in practice (asserted
+    at small n by tests/test_textstats_similarity.py).
+
+    Plan shape (the 100 TB rationale):
+    * signatures: one Arrow matmul per batch (``signature_udf``);
+    * candidate join: per band, hamming-1 probe keys (band_size + 1
+      per doc, each a few bytes) equi-joined against exact band keys —
+      the shuffle carries narrow (key, band) rows, never vectors;
+    * verification: vectors are joined back only for DISTINCT candidate
+      pairs, so the wide rows move once per candidate, not per band;
+    * no CartesianProduct / BroadcastNestedLoopJoin anywhere (asserted
+      by a plan test).
+    """
+    from .similarity import cosine_expr, hyperplanes, signature_udf
+
+    n_bands = n_planes // band_size
+    mask = (1 << band_size) - 1
+    planes = hyperplanes(n_planes, dim)
+    sig = df.select(
+        F.col(key_col).alias("k"), signature_udf(planes)(F.col(vec_col)).alias("_sig")
+    )
+    band_entries = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.shiftright(F.col("_sig"), b * band_size)
+                .bitwiseAND(F.lit(mask))
+                .alias("band_key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    bands = sig.select("k", F.explode(band_entries).alias("b")).select(
+        "k", "b.band_idx", "b.band_key"
+    )
+    # probe side: the exact key plus its hamming-1 neighbors, so two
+    # signatures differing by <=1 bit inside any band still collide
+    probe_keys = F.array(
+        F.col("band_key"),
+        *[
+            F.col("band_key").bitwiseXOR(F.lit(1 << j)).cast("bigint")
+            for j in range(band_size)
+        ],
+    )
+    probes = bands.select(
+        "k", "band_idx", F.explode(probe_keys).alias("probe_key")
+    )
+    cand = (
+        probes.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.probe_key") == F.col("b.band_key"))
+            & (F.col("a.k") > F.col("b.k")),
+        )
+        .select(F.col("a.k").alias("ka"), F.col("b.k").alias("kb"))
+        .distinct()
+    )
+    v = df.select(F.col(key_col).alias("k"), F.col(vec_col).alias("v"))
+    va = v.select(F.col("k").alias("ka"), F.col("v").alias("va"))
+    vb = v.select(F.col("k").alias("kb"), F.col("v").alias("vb"))
+    dup = (
+        cand.join(va, "ka")
+        .join(vb, "kb")
+        .filter(cosine_expr(F.col("va"), F.col("vb")) >= threshold)
+        .select(F.col("ka").alias(key_col))
+        .distinct()
+    )
+    return df.join(dup, key_col, "left_anti")
+
+
 def dedup_simhash_hamming(
     df: DataFrame,
     key_col: str,

@@ -13,6 +13,8 @@ signatures are stable across runs/partitions with no RNG state.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -68,7 +70,13 @@ def hyperplanes(n_planes: int, dim: int) -> list[list[float]]:
 
 
 def lsh_signature_expr(vec: Column, planes: list[list[float]]) -> Column:
-    """Bit-signature: sign of the dot product with each hyperplane."""
+    """Bit-signature: sign of the dot product with each hyperplane.
+
+    Expression path — each plane is an interpreted ``aggregate`` lambda
+    that re-walks the vector (no codegen/CSE for higher-order
+    functions), so it is only the right choice for few planes or where
+    SQL-expressibility matters; ``signature_udf`` below is the scale
+    path (one BLAS matmul per Arrow batch)."""
     sig = F.lit(0)
     for i, plane in enumerate(planes):
         p = F.array(*[F.lit(c) for c in plane])
@@ -76,15 +84,45 @@ def lsh_signature_expr(vec: Column, planes: list[list[float]]) -> Column:
     return sig
 
 
+def signature_udf(planes: list[list[float]]):
+    """Arrow-vectorized signature: ONE (batch x dim) @ (dim x n_planes)
+    matmul per batch, signs packed into a bigint. ~n_planes x cheaper
+    than the per-plane ``aggregate`` lambdas of ``lsh_signature_expr``
+    for wide embeddings. Created lazily (pandas_udf needs a session)."""
+    plane_mat = np.asarray(planes, dtype=np.float64).T  # (dim, n_planes)
+    weights = (1 << np.arange(len(planes))).astype(np.int64)
+
+    @F.pandas_udf("long")
+    def _udf(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="int64")
+        mat = np.vstack(vecs.to_numpy())  # (batch, dim)
+        bits = mat.astype(np.float64) @ plane_mat >= 0.0
+        return pd.Series(bits @ weights)
+
+    return _udf
+
+
 def bucket_embeddings(
-    df: DataFrame, vec_col: str = "embedding", n_planes: int = 8, dim: int | None = None
+    df: DataFrame,
+    dim: int,
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    use_matmul: bool = True,
 ) -> DataFrame:
     """Attach an LSH bucket id; at scale, write bucketBy(bucket) so
-    probes are partition-pruned scans."""
-    if dim is None:
-        dim = len(df.select(vec_col).first()[0])
+    probes are partition-pruned scans.
+
+    ``dim`` is required — callers always know it, and inferring it with
+    a driver-side ``first()`` would trigger a Spark job at plan
+    construction time (a scale anti-pattern)."""
     planes = hyperplanes(n_planes, dim)
-    return df.withColumn("bucket", lsh_signature_expr(F.col(vec_col), planes))
+    sig = (
+        signature_udf(planes)(F.col(vec_col))
+        if use_matmul
+        else lsh_signature_expr(F.col(vec_col), planes)
+    )
+    return df.withColumn("bucket", sig)
 
 
 def topk_cosine_lsh(
@@ -105,6 +143,6 @@ def topk_cosine_lsh(
         if sum(a * b for a, b in zip(query_vec, plane)) >= 0:
             qsig |= 1 << i
     probes = [qsig] + ([qsig ^ (1 << i) for i in range(n_planes)] if multiprobe else [])
-    bucketed = bucket_embeddings(df, vec_col, n_planes, dim)
+    bucketed = bucket_embeddings(df, dim, vec_col, n_planes)
     candidates = bucketed.filter(F.col("bucket").isin(probes))
     return topk_cosine(candidates, query_vec, key_col, vec_col, k)
