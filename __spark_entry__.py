@@ -359,14 +359,49 @@ def q_corpus_stats(spark, sf_dir):
 
 
 def q_dedup_components(spark, sf_dir):
-    """Connected-component near-dup survivors (rows-only: iterative
-    fixpoint, not single-statement-SQL-expressible)."""
+    """Connected-component near-dup survivors. Oracle-checked: the
+    iterative min-label fixpoint is replayed in DuckDB via WITH
+    RECURSIVE transitive closure over the same Jaccard pair graph."""
     from oscar_tools_spark.operators.components import dedup_components
     from oscar_tools_spark.operators.dedup import jaccard_pairs
 
     docs = _docs(spark, sf_dir)
     pairs = jaccard_pairs(docs, "doc_id", threshold=0.5)
     return dedup_components(docs, pairs, "doc_id").select("doc_id").orderBy("doc_id")
+
+
+def q_sentence_ids(spark, sf_dir):
+    """Per-line language identification (reference
+    metadata.sentence_identifications, oscar_doc.rs:365-380): flattened
+    to one row per line so the DuckDB oracle can replay the label
+    logic; empty lines carry a null identification, surfaced as the
+    '<none>' marker (null-vs-NaN normalization differs across engines)."""
+    from oscar_tools_spark.functions.langid import sentence_identifications_expr
+
+    df = _docs(spark, sf_dir)
+    lines = df.select(
+        "doc_id",
+        F.posexplode(sentence_identifications_expr(F.col("text"))).alias(
+            "line_idx", "_ident"
+        ),
+    )
+    return lines.select(
+        "doc_id",
+        F.col("line_idx").cast("bigint").alias("line_idx"),
+        F.coalesce(F.col("_ident.label"), F.lit("<none>")).alias("label"),
+    ).orderBy("doc_id", "line_idx")
+
+
+def q_perplexity(spark, sf_dir):
+    """Char-bigram LM perplexity (rows-only check: the trained log-prob
+    matrix is not SQL-expressible). Rounded per row for stability."""
+    from oscar_tools_spark.functions.perplexity import perplexity_udf
+
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.round(perplexity_udf()(F.col("text")), 4).alias("ppl"))
+        .orderBy("doc_id")
+    )
 
 
 def q_curation_pipeline(spark, sf_dir):
@@ -419,6 +454,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_with_replacement": q_sample_with_replacement,
         "corpus_stats": q_corpus_stats,
         "dedup_components": q_dedup_components,
+        "sentence_ids": q_sentence_ids,
+        "perplexity": q_perplexity,
         "curation_pipeline": q_curation_pipeline,
     }
 
@@ -448,10 +485,11 @@ def oracle_sql() -> dict[str, str]:
         "sessionize": O.q_sessionize(),
         "topk_per_lang": O.q_topk_per_lang(),
         "doc_embedding_join": O.q_doc_embedding_join(),
-        # dedup_embedding / media_features / langid_model /
-        # dedup_components: rows-only (float cosines, binary payloads,
-        # the trigram model, and the iterative CC fixpoint are not
-        # SQL-oracle-able) — deliberately no oracle entries.
+        # dedup_embedding / media_features / langid_model: rows-only
+        # (float cosines, binary payloads, and the trigram model are
+        # not SQL-oracle-able) — deliberately no oracle entries.
+        "dedup_components": O.q_dedup_components(),
+        "sentence_ids": O.q_sentence_ids(),
         "simhash_hamming_dedup": O.q_simhash_hamming_dedup(),
         "sample_with_replacement": O.q_sample_with_replacement(SAMPLE_BUDGET),
         "corpus_stats": O.q_corpus_stats(),

@@ -239,15 +239,19 @@ def jaccard_pairs(
     text_col: str = "text",
     shingle_k: int = 3,
     threshold: float = 0.8,
-    max_shingle_df: int | None = None,
+    max_shingle_df: int | None = 1000,
 ) -> DataFrame:
     """Candidate pairs with exact n-gram Jaccard >= threshold.
 
     Pair generation joins docs sharing >= 1 shingle; ``max_shingle_df``
     drops ultra-frequent shingles before the join (at web scale the
-    stopword-shingle blowup dominates; dropping high-DF shingles only
-    removes pairs whose OTHER shingles still connect them in practice).
-    Returns (key_a, key_b, jaccard) with key_a < key_b.
+    stopword-shingle blowup dominates — one shingle shared by d docs
+    emits d² candidate rows; dropping high-DF shingles only removes
+    pairs whose OTHER shingles still connect them in practice). The cap
+    is ON by default — pass ``None`` for the exact uncapped semantics.
+    Sizes (the Jaccard denominator) are computed AFTER the cap so both
+    sides of the ratio see the same shingle universe (mirrored in the
+    DuckDB oracle). Returns (key_a, key_b, jaccard) with key_a < key_b.
     """
     sh = df.select(
         F.col(key_col).alias("k"),

@@ -5,8 +5,12 @@ BASELINE.json ``north_star`` mandates per-turn regex scrubbing with
 lineage). The chain is a fixed, ordered rule list from
 ``functions.lexicons.SCRUB_RULES`` — email, SSN, IP, phone, adult-term —
 each a plain JVM-side ``regexp_replace`` so the whole scrub stays inside
-whole-stage codegen; ``rule_hits`` records, per row, which rules fired
-on the ORIGINAL text (lineage for downstream audits).
+whole-stage codegen; ``rule_hits`` records, per row, which rules
+ACTUALLY FIRED — each rule is tested against the text as it stood when
+that rule ran (after earlier replacements), so hits reconcile 1:1 with
+replacements in the scrubbed output (lineage for downstream PII audits:
+an SSN no longer reports a phantom 'phone' hit just because raw SSN
+digits also match the phone shape).
 
 Scale note: each rule is a narrow map over the text column; no shuffle,
 no Python. Rule regexes are restricted to the Java∩RE2 regex subset so
@@ -30,22 +34,26 @@ def scrubbed_expr(text: Column) -> Column:
 
 
 def rule_hits_expr(text: Column) -> Column:
-    """array<string> of rule names whose pattern matches the ORIGINAL
-    text, in rule order.
+    """array<string> of rule names that ACTUALLY FIRED, in rule order:
+    rule i is tested against the text after rules 0..i-1's replacements,
+    exactly the text ``scrubbed_expr`` hands it.
 
-    Hits are tested against the original text, not the staged chain: a
-    staged formulation re-executes rules 1..N-1's replacements to test
-    rule N (quadratic regex scans per row — measured as a material GC /
-    throughput hit). Replacement tokens (<EMAIL> etc.) contain no digits
-    so a later pattern can never match an earlier rule's output anyway.
+    The staged formulation looks quadratic (rule N's test embeds rules
+    1..N-1's replaces) but is not: Spark's subexpression elimination
+    shares each staged replace between the hit tests and the scrub
+    output — measured identical runtime to testing the original text,
+    and the hits now reconcile 1:1 with replacements (a raw SSN no
+    longer also reports 'phone').
     """
     hits = []
-    for name, pattern, _repl in SCRUB_RULES:
+    staged = text
+    for name, pattern, repl in SCRUB_RULES:
         hits.append(
-            F.when(text.rlike(pattern), F.array(F.lit(name))).otherwise(
+            F.when(staged.rlike(pattern), F.array(F.lit(name))).otherwise(
                 F.array().cast("array<string>")
             )
         )
+        staged = F.regexp_replace(staged, pattern, repl)
     # concat of conditional arrays, not array_compact: array_compact
     # desugars to a lambda filter, which knocks the projection out of
     # whole-stage codegen.

@@ -91,15 +91,16 @@ def q_filter(include=(), exclude=(), clean=False) -> str:
 
 
 def scrub_ctes(src: str = "documents") -> str:
-    """Layered CTEs s0..sN applying the ordered replace chain; rule hits
-    are tested on the ORIGINAL text (mirrors operators/scrub.py)."""
+    """Layered CTEs s0..sN applying the ordered replace chain; rule i's
+    hit is tested on the STAGED text t{i} (after rules 0..i-1), so hits
+    reconcile 1:1 with replacements (mirrors operators/scrub.py)."""
     ctes = [f"s0 as (select *, text as t0, cast([] as varchar[]) as hits0 from {src})"]
     for i, (name, pat, repl) in enumerate(lx.SCRUB_RULES):
         prev, cur = f"t{i}", f"t{i+1}"
         ctes.append(
             f"s{i+1} as (select * exclude ({prev}, hits{i}), "
             f"regexp_replace({prev}, '{pat}', '{repl}', 'g') as {cur}, "
-            f"case when regexp_matches(text, '{pat}') then list_append(hits{i}, '{name}') "
+            f"case when regexp_matches({prev}, '{pat}') then list_append(hits{i}, '{name}') "
             f"else hits{i} end as hits{i+1} from s{i})"
         )
     return "with " + ",\n".join(ctes)
@@ -171,6 +172,31 @@ def q_langid() -> str:
         f"with h as (select doc_id, {hits} from documents)\n"
         f"select doc_id, {label} as label, {best} as hits from h order by doc_id"
     )
+
+
+def q_sentence_ids() -> str:
+    """Per-line langid labels aligned with split(text, '\\n'); empty
+    lines -> '<none>' (the Spark side's null identification marker)."""
+    hits = ", ".join(
+        f"len(regexp_extract_all(lower(line), '{lx.langid_pattern(lang)}')) as h_{lang}"
+        for lang in lx.LANGID_ORDER
+    )
+    best = "greatest(" + ", ".join(f"h_{lang}" for lang in lx.LANGID_ORDER) + ")"
+    label = f"case when {best} = 0 then '{lx.LANGID_UNKNOWN}' "
+    for lang in lx.LANGID_ORDER:
+        label += f"when h_{lang} = {best} then '{lang}' "
+    label += "end"
+    return f"""
+with lines as (
+  select doc_id,
+         generate_subscripts({LINES}, 1) - 1 as line_idx,
+         unnest({LINES}) as line
+  from documents
+), h as (select doc_id, line_idx, line, {hits} from lines)
+select doc_id, line_idx,
+       case when length(line) = 0 then '<none>' else {label} end as label
+from h order by doc_id, line_idx
+"""
 
 
 def q_token_stats() -> str:
@@ -303,10 +329,21 @@ def q_simhash(bits: int = 32) -> str:
     )
 
 
-def q_jaccard_pairs(threshold: float = 0.5, k: int = 3) -> str:
+def q_jaccard_pairs(
+    threshold: float = 0.5, k: int = 3, max_shingle_df: int | None = 1000
+) -> str:
+    """Mirrors operators/dedup.py jaccard_pairs including the default
+    document-frequency cap (sizes computed AFTER the cap)."""
+    df_filter = (
+        f"sh0 as (select doc_id as kk, unnest(shingles) as s from __sh),\n"
+        f"rare as (select s from sh0 group by s having count(*) <= {max_shingle_df}),\n"
+        f"sh as (select sh0.* from sh0 semi join rare using (s)),"
+        if max_shingle_df is not None
+        else "sh as (select doc_id as kk, unnest(shingles) as s from __sh),"
+    )
     return f"""
 {shingled_cte(k=k)},
-sh as (select doc_id as kk, unnest(shingles) as s from __sh),
+{df_filter}
 sizes as (select kk, count(*) as n from sh group by kk),
 common as (
   select a.kk as key_a, b.kk as key_b, count(*) as common
@@ -320,6 +357,32 @@ join sizes sa on sa.kk = key_a
 join sizes sb on sb.kk = key_b
 where common / (sa.n + sb.n - common) >= {threshold}
 order by key_a, key_b
+"""
+
+
+def q_dedup_components(threshold: float = 0.5, k: int = 3) -> str:
+    """Connected-component near-dup survivors: transitive closure of
+    the Jaccard pair graph via WITH RECURSIVE min-label reachability —
+    the SQL twin of operators/components.py's alternating-min label
+    propagation (survivor = each component's min key + all unpaired
+    docs)."""
+    pairs = q_jaccard_pairs(threshold, k)
+    return f"""
+with recursive pairs as ({pairs}),
+edges as (
+  select key_a as u, key_b as v from pairs
+  union
+  select key_b as u, key_a as v from pairs
+),
+reach (u, label) as (
+  select u, u from edges
+  union
+  select e.u, r.label from edges e join reach r on e.v = r.u
+),
+comp as (select u as node, min(label) as component from reach group by u)
+select doc_id from documents
+where doc_id not in (select node from comp where node <> component)
+order by doc_id
 """
 
 

@@ -58,9 +58,12 @@ def ref_annotations(text: str) -> list[str] | None:
 
 def ref_scrub(text: str) -> tuple[str, list[str]]:
     """Mirror of operators/scrub.py: ordered regex replace chain; rule
-    hits tested on the ORIGINAL text."""
-    hits = [name for name, pattern, _ in lx.SCRUB_RULES if re.search(pattern, text)]
+    i's hit is tested on the staged text (after rules 0..i-1), so hits
+    == replacements that actually fired."""
+    hits = []
     out = text
-    for _name, pattern, repl in lx.SCRUB_RULES:
+    for name, pattern, repl in lx.SCRUB_RULES:
+        if re.search(pattern, out):
+            hits.append(name)
         out = re.sub(pattern, repl, out)
     return out, hits

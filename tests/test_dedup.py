@@ -104,3 +104,21 @@ def test_simhash_exact_collision_dedup(spark):
     )
     kept = sorted(r.doc_id for r in dedup_simhash(df, "doc_id").collect())
     assert kept == [1, 3]
+
+
+def test_jaccard_shingle_df_cap_bounds_blowup(spark):
+    """An ultra-common shingle shared by every doc must not generate
+    O(n^2) candidate pairs once its document frequency exceeds the cap;
+    docs still pair up via their OTHER (rare) shingles."""
+    from oscar_tools_spark.operators.dedup import jaccard_pairs
+
+    boiler = "all rights reserved by corp"  # one 3-shingle chain in every doc
+    rows = [(i, f"{boiler} unique{i} words{i} here{i}") for i in range(20)]
+    rows += [(100, f"{boiler} twin alpha beta"), (101, f"{boiler} twin alpha beta")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = jaccard_pairs(df, "doc_id", threshold=0.3, max_shingle_df=5).collect()
+    # the boilerplate shingles (df=22 > 5) are dropped: the only pair
+    # left is the exact twin connected by its rare shingles
+    assert [(r.key_a, r.key_b) for r in capped] == [(100, 101)]
+    uncapped = jaccard_pairs(df, "doc_id", threshold=0.3, max_shingle_df=None).collect()
+    assert len(uncapped) > 1  # boilerplate connects many docs without the cap

@@ -50,7 +50,7 @@ def test_every_query_has_callable_and_oracle_alignment():
         "dedup_embedding",
         "media_features",
         "langid_model",
-        "dedup_components",
+        "perplexity",
     }
 
 

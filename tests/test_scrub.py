@@ -13,10 +13,10 @@ GOLDEN = [
         "contact me at <EMAIL> asap",
         ["email"],
     ),
-    # hits are tested on the ORIGINAL text: the raw SSN digits also
-    # match the phone shape, so both rules report (the SSN rule wins the
-    # rewrite because the chain is ordered)
-    ("my ssn is 123-45-6789 ok", "my ssn is <SSN> ok", ["ssn", "phone"]),
+    # hits reconcile with replacements: the raw SSN digits would also
+    # match the phone shape, but by the time the phone rule runs the SSN
+    # is already '<SSN>' (no digits), so only the rule that fired reports
+    ("my ssn is 123-45-6789 ok", "my ssn is <SSN> ok", ["ssn"]),
     ("ping 192.168.0.12 please", "ping <IP> please", ["ip"]),
     ("call +1 555-123-4567 today", "call <PHONE> today", ["phone"]),
     (
