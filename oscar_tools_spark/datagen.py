@@ -87,9 +87,14 @@ def conv_id_for(conv_idx: int) -> str:
     return f"conv_{conv_idx:08d}"
 
 
-def n_turns_for(conv_idx: int, seed: int = DEFAULT_SEED) -> int:
-    if conv_idx % MEGA_EVERY == 0 and conv_idx > 0:
-        return MEGA_TURNS
+def n_turns_for(
+    conv_idx: int,
+    seed: int = DEFAULT_SEED,
+    mega_every: int = MEGA_EVERY,
+    mega_turns: int = MEGA_TURNS,
+) -> int:
+    if conv_idx % mega_every == 0 and conv_idx > 0:
+        return mega_turns
     return 2 + _h("nturns", seed, conv_idx) % 19
 
 
@@ -148,19 +153,31 @@ def gen_turn_text(conv_id: str, turn_idx: int, seed: int = DEFAULT_SEED) -> str:
 
 
 def synth_transcripts(
-    spark: SparkSession, n_convs: int, seed: int = DEFAULT_SEED, partitions: int | None = None
+    spark: SparkSession,
+    n_convs: int,
+    seed: int = DEFAULT_SEED,
+    partitions: int | None = None,
+    mega_every: int = MEGA_EVERY,
+    mega_turns: int = MEGA_TURNS,
+    with_text: bool = True,
 ) -> DataFrame:
     """Build the transcripts DataFrame at any scale.
 
     ``range -> explode(sequence)`` keeps generation fully distributed;
     the two pandas UDFs (turn count, text) wrap the pure functions above
     so the table is identical for any partitioning.
+
+    ``mega_every``/``mega_turns`` parameterize the injected
+    mega-conversation skew (stress mode: ``mega_every=2,
+    mega_turns=10**5`` builds one conversation big enough to strand an
+    executor without salting); ``with_text=False`` skips the text UDF
+    for partitioning/skew tests that never read the text.
     """
-    seed_ = seed
+    seed_, mega_every_, mega_turns_ = seed, mega_every, mega_turns
 
     @F.pandas_udf("int")
     def n_turns_udf(idx: pd.Series) -> pd.Series:
-        return idx.map(lambda i: n_turns_for(int(i), seed_))
+        return idx.map(lambda i: n_turns_for(int(i), seed_, mega_every_, mega_turns_))
 
     @F.pandas_udf("string")
     def text_udf(conv_id: pd.Series, turn_idx: pd.Series) -> pd.Series:
@@ -191,9 +208,12 @@ def synth_transcripts(
         "conv_id",
         F.explode(F.sequence(F.lit(0), F.col("n_turns") - 1)).alias("turn_idx"),
     )
+    text_col = (
+        text_udf("conv_id", "turn_idx") if with_text else F.lit("")
+    )
     return (
         turns.withColumn("role", role_udf("conv_idx", "turn_idx"))
-        .withColumn("text", text_udf("conv_id", "turn_idx"))
+        .withColumn("text", text_col)
         .withColumn("tool", tool_udf("conv_idx", "turn_idx"))
         .withColumn(
             "ts",

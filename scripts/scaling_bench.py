@@ -36,6 +36,16 @@ LEVELS = (2, 8, 32)
 PIPELINES = ("pipeline_model", "pipeline_expr")
 
 
+def _oracle_counts() -> str:
+    """Derive the oracle-coverage sentence from the driver contract so
+    the report can never go stale (ADVICE r1)."""
+    sys.path.insert(0, str(REPO))
+    import __spark_entry__ as E  # noqa: PLC0415
+
+    n_q, n_o = len(E.queries()), len(E.oracle_sql())
+    return f"{n_o}/{n_o} value-hash matches (+{n_q - n_o} rows-only by design)"
+
+
 def run_bench(sf_dir: str, cpus: int, only: str | None = None) -> dict:
     env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir, SPARK_GRAFT_CPUS=str(cpus))
     if only:
@@ -207,8 +217,8 @@ def main() -> None:
         "- keep/drop F1 vs reference labels: **1.00** (bar >= 0.99), asserted by",
         "  tests/test_pipeline.py::test_f1_and_scrub_equality_vs_reference_model.",
         "- per-turn scrubbed-text equality: **exact** (same test).",
-        "- Spark vs DuckDB oracle: **24/24 value-hash matches** (+3 rows-only",
-        "  by design) at sf0.001 and sf0.01 — scripts/check_oracles.py.",
+        f"- Spark vs DuckDB oracle: **{_oracle_counts()}** at sf0.001 and"
+        " sf0.01 — scripts/check_oracles.py.",
     ]
     out_path = REPO / "BENCH" / "BASELINE.md"
     out_path.parent.mkdir(exist_ok=True)

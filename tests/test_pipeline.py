@@ -136,3 +136,28 @@ def test_repartition_conversations_salting(spark):
             assert r.nparts == 1, r.conv_id
         else:
             assert r.nparts >= 2, r.conv_id  # mega conv split across partitions
+
+
+def test_repartition_bounds_mega_conversation_skew(spark):
+    """Stress mode (VERDICT r1 item 9): one 10^5-turn conversation must
+    not strand a partition — salted repartition keeps the max-partition
+    row count near the mean instead of at the mega-conv size."""
+    t = synth_transcripts(
+        spark, 4, mega_every=2, mega_turns=120_000, with_text=False
+    )
+    n_parts = 32
+    out = repartition_conversations(t, n_parts, mega_threshold=1000)
+    hist = (
+        out.withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .count()
+        .collect()
+    )
+    total = sum(r["count"] for r in hist)
+    assert total > 100_000
+    max_rows = max(r["count"] for r in hist)
+    mean = total / n_parts
+    # without salting the mega conv (120k rows) lands in ONE partition
+    # (max ~= 120k = 32x the mean); with salting every partition stays
+    # within a small factor of the mean
+    assert max_rows <= 2.5 * mean, (max_rows, mean)

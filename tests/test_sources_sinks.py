@@ -110,3 +110,22 @@ def test_tableio_parquet_roundtrip(spark, tmp_path):
     assert io.read(target).count() == 250
     # iceberg not present in the sandbox: the seam must report that
     assert iceberg_available(spark) is False
+
+
+def test_tableio_iceberg_roundtrip(spark, tmp_path):
+    """Env-gated smoke for the TableIO Iceberg branch: skipped while the
+    runtime jar is absent from the container (SURVEY.md §7 risk 5);
+    activates automatically in any environment that carries it."""
+    import pytest
+
+    from oscar_tools_spark.sources.tables import TableIO, iceberg_available
+
+    if not iceberg_available(spark):
+        pytest.skip("Iceberg runtime jar not on the classpath in this container")
+    spark.conf.set("spark.sql.catalog.smoke", "org.apache.iceberg.spark.SparkCatalog")
+    spark.conf.set("spark.sql.catalog.smoke.type", "hadoop")
+    spark.conf.set("spark.sql.catalog.smoke.warehouse", str(tmp_path / "wh"))
+    io = TableIO(spark)
+    df = spark.range(10).withColumnRenamed("id", "x")
+    io.write(df, "smoke.db.t")
+    assert io.read("smoke.db.t").count() == 10
