@@ -1,0 +1,36 @@
+"""Shared hash-family constants for MinHash: ONE md5 per shingle,
+``num_hashes`` derived hashes via multiply-mod mixing.
+
+Round 1 computed ``md5(f"{i}:{shingle}")`` per (shingle, hash-function)
+— 16 md5 evaluations per shingle dominated the minhash stage cost.
+The standard fix is a 2-universal family over a single base hash:
+
+    h_i(s) = (a_i * h(s) + b_i) mod P
+
+with ``h(s)`` = the first 32 bits of md5(s) and per-function constants
+``(a_i, b_i)`` derived deterministically from md5(i). Bounds chosen so
+the arithmetic is exact in BOTH engines: ``a_i < 2^30`` and
+``h < 2^32`` keep ``a_i * h + b_i < 2^62`` inside signed-64 range
+(DuckDB raises on bigint overflow; Spark silently wraps — neither may
+ever happen), and ``P = 2^31 - 1`` (Mersenne prime) keeps results
+31-bit. The min over a doc's shingles per function is the signature.
+
+Both the Spark expressions (operators/dedup.py) and the DuckDB oracle
+SQL (oracles.py) are generated from THESE constants, so the two
+implementations cannot drift.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+MINHASH_PRIME = (1 << 31) - 1  # 2147483647, Mersenne
+_A_BOUND = 1 << 30
+
+
+def mix_params(i: int) -> tuple[int, int]:
+    """Deterministic (a_i, b_i) for hash function i."""
+    d = hashlib.md5(f"minhash:{i}".encode()).digest()
+    a = (int.from_bytes(d[:4], "big") % (_A_BOUND - 1)) + 1  # 1 .. 2^30-1
+    b = int.from_bytes(d[4:8], "big") % MINHASH_PRIME
+    return a, b

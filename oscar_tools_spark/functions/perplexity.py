@@ -66,13 +66,44 @@ def score_text(text: str) -> float:
     return float(np.exp(-lp.mean()))
 
 
+_WORST = float(np.exp(-_LOGPROB.mean()))
+
+
+def _score_batch(texts: pd.Series) -> np.ndarray:
+    """Whole-batch scorer: one latin-1 encode + one table lookup + one
+    matrix gather for the entire Arrow batch, per-doc means via two
+    bincounts — no per-row numpy allocations (same pattern as
+    langid._score_batch; ~1e-15 relative difference vs ``score_text``
+    from summation order, far below the per-row rounding any consumer
+    applies)."""
+    n = len(texts)
+    if n == 0:
+        return np.empty(0, dtype=np.float64)
+    # NUL separates docs; a literal NUL in the input maps to '?' (OOV),
+    # exactly what latin-1 'replace' does to unencodable chars.
+    joined = "\x00".join((t or "").lower().replace("\x00", "?") for t in texts)
+    b = np.frombuffer(joined.encode("latin-1", "replace"), dtype=np.uint8)
+    ids = _LOOKUP[b]
+    nul = b == 0
+    doc_of = np.cumsum(nul, dtype=np.int32)
+    valid = ~nul[:-1] & ~nul[1:]  # bigram windows inside one doc
+    lp = _LOGPROB[ids[:-1][valid], ids[1:][valid]]
+    di = doc_of[:-1][valid]
+    sums = np.bincount(di, weights=lp, minlength=n)
+    cnts = np.bincount(di, minlength=n)
+    out = np.full(n, _WORST)
+    nz = cnts > 0
+    out[nz] = np.exp(-(sums[nz] / cnts[nz]))
+    return out
+
+
 def perplexity_udf():
     """Arrow-vectorized UDF (created lazily: pandas_udf needs an active
     session to parse its DDL return type)."""
 
     @F.pandas_udf("double")
     def _udf(texts: pd.Series) -> pd.Series:
-        return texts.map(score_text)
+        return pd.Series(_score_batch(texts))
 
     return _udf
 

@@ -97,31 +97,38 @@ def minhash_signatures(
     num_hashes: int = 16,
     shingle_k: int = 3,
 ) -> DataFrame:
-    """(key_cols..., mh_0..mh_{n-1}): per hash function i, the
-    lexicographic min of md5(i:shingle). md5 keeps Spark and the DuckDB
-    oracle identical; lexicographic min over hex strings is a valid
-    uniform min-hash.
+    """(key_cols..., mh_0..mh_{n-1}): per hash function i, the min of
+    ``(a_i * h + b_i) mod P`` over the doc's shingle base hashes
+    ``h = first-32-bits-of-md5(shingle)`` — ONE md5 per shingle, not
+    one per (shingle, hash-function) (round 1 paid 16 md5s per shingle;
+    the 2-universal multiply-mod family is the standard fix and stays
+    bit-identical in DuckDB — constants in functions/hashing.py).
 
-    Shape: explode shingles -> one md5 per (shingle, i) -> groupBy min.
-    Doing the mins as array expressions instead would inline the shingle
-    construction once PER hash function (higher-order functions are
-    interpreted, no codegen CSE) — measured 16x slower. The groupBy is
-    map-side combinable, so the shuffle carries one row per doc.
+    Shape: explode shingles -> one md5 per shingle -> groupBy with 16
+    min aggregates. Doing the mins as array expressions instead would
+    inline the shingle construction once PER hash function (higher-
+    order functions are interpreted, no codegen CSE) — measured 16x
+    slower. The groupBy is map-side combinable, so the shuffle carries
+    one row per doc.
     """
+    from ..functions.hashing import MINHASH_PRIME, mix_params
+
     sh = df.select(
         *key_cols,
         F.explode(word_shingles_expr(F.col(text_col), shingle_k)).alias("_s"),
     )
-    hashed = sh.select(
-        *key_cols,
-        *[
-            F.md5(F.concat(F.lit(f"{i}:"), F.col("_s"))).alias(f"h_{i}")
-            for i in range(num_hashes)
-        ],
+    hashed = sh.withColumn(
+        "_h", F.conv(F.substring(F.md5(F.col("_s")), 1, 8), 16, 10).cast("bigint")
     )
-    return hashed.groupBy(*key_cols).agg(
-        *[F.min(f"h_{i}").alias(f"mh_{i}") for i in range(num_hashes)]
-    )
+    aggs = []
+    for i in range(num_hashes):
+        a, b = mix_params(i)
+        aggs.append(
+            F.min(
+                F.pmod(F.lit(a) * F.col("_h") + F.lit(b), F.lit(MINHASH_PRIME))
+            ).alias(f"mh_{i}")
+        )
+    return hashed.groupBy(*key_cols).agg(*aggs)
 
 
 def minhash_bands(

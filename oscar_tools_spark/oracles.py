@@ -280,8 +280,15 @@ def shingled_cte(table: str = "documents", k: int = 3) -> str:
 
 
 def q_minhash_dedup(num_hashes: int = 16, band_size: int = 4, k: int = 3) -> str:
+    """Mirrors dedup.minhash_signatures: one 32-bit md5 base hash per
+    shingle, multiply-mod mixing per hash function (constants from
+    functions/hashing.py — exact integer arithmetic in both engines)."""
+    from .functions.hashing import MINHASH_PRIME, mix_params
+
     mins = ", ".join(
-        f"list_min(list_transform(shingles, s -> md5('{i}:' || s))) as mh_{i}"
+        "list_min(list_transform(__hv, h -> ({a} * h + {b}) % {p})) as mh_{i}".format(
+            a=mix_params(i)[0], b=mix_params(i)[1], p=MINHASH_PRIME, i=i
+        )
         for i in range(num_hashes)
     )
     n_bands = num_hashes // band_size
@@ -289,14 +296,17 @@ def q_minhash_dedup(num_hashes: int = 16, band_size: int = 4, k: int = 3) -> str
         "select doc_id, {b} as band_idx, md5({concat}) as band_key from sig".format(
             b=b,
             concat=" || '|' || ".join(
-                f"mh_{b * band_size + j}" for j in range(band_size)
+                f"cast(mh_{b * band_size + j} as varchar)" for j in range(band_size)
             ),
         )
         for b in range(n_bands)
     )
     return f"""
 {shingled_cte(k=k)},
-sig as (select doc_id, {mins} from __sh),
+hv as (select doc_id,
+       list_transform(shingles, s -> ('0x' || substr(md5(s), 1, 8))::bigint) as __hv
+       from __sh),
+sig as (select doc_id, {mins} from hv),
 bands as ({band_selects}),
 dups as (
   select distinct a.doc_id

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -47,21 +48,56 @@ class CurationConfig:
 MODEL_VERSIONS = f"langid={langid_mod.MODEL_VERSION};ppl={ppl_mod.MODEL_VERSION}"
 
 
+def fused_model_udf():
+    """langid + perplexity in ONE Arrow round-trip.
+
+    Each pandas UDF ships the full text column JVM->Python and results
+    back; two separate model UDFs pay that serialization twice. The
+    fused UDF runs both batch scorers on the same arrived batch —
+    measured as the dominant scaling cost of the model pipeline at low
+    core counts (BENCH/BASELINE.md). Created lazily (pandas_udf needs
+    an active session)."""
+
+    @F.pandas_udf("struct<label:string, prob:float, ppl:double>")
+    def _udf(texts: pd.Series) -> pd.DataFrame:
+        labels, probs = langid_mod._score_batch(texts)
+        ppl = ppl_mod._score_batch(texts)
+        return pd.DataFrame({"label": labels, "prob": probs, "ppl": ppl})
+
+    return _udf
+
+
 def annotate_stage(df: DataFrame, cfg: CurationConfig, text_col: str = "text") -> DataFrame:
     text = F.col(text_col)
     out = df.withColumn("annotations", annotations_expr(text))
-    scorer = (
-        langid_mod.langid_model_udf()(text)
-        if cfg.use_model_langid
-        else langid_mod.langid_expr(text)
-    )
-    out = out.withColumn("identification", scorer)
+    if cfg.use_model_langid and cfg.with_perplexity:
+        # one Python round-trip for both models; ExtractPythonUDFs
+        # evaluates the (canonically equal) UDF call once and the
+        # downstream projection just picks struct fields
+        m = fused_model_udf()(text)
+        out = (
+            out.withColumn(
+                "identification",
+                F.struct(
+                    m.getField("label").alias("label"),
+                    m.getField("prob").alias("prob"),
+                ),
+            )
+            .withColumn("perplexity", m.getField("ppl"))
+        )
+    else:
+        scorer = (
+            langid_mod.langid_model_udf()(text)
+            if cfg.use_model_langid
+            else langid_mod.langid_expr(text)
+        )
+        out = out.withColumn("identification", scorer)
+        if cfg.with_perplexity:
+            out = out.withColumn("perplexity", ppl_mod.perplexity_udf()(text))
     if cfg.with_sentence_ids:
         out = out.withColumn(
             "sentence_identifications", langid_mod.sentence_identifications_expr(text)
         )
-    if cfg.with_perplexity:
-        out = out.withColumn("perplexity", ppl_mod.perplexity_udf()(text))
     return out
 
 

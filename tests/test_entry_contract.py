@@ -51,6 +51,7 @@ def test_every_query_has_callable_and_oracle_alignment():
         "media_features",
         "langid_model",
         "perplexity",
+        "topk_cosine_lsh",
     }
 
 
