@@ -35,7 +35,8 @@ from .lexicons import LANGID_ORDER, LANGID_STOPWORDS, LANGID_UNKNOWN, langid_pat
 
 
 def stopword_hits_expr(text: Column, lang: str) -> Column:
-    return F.size(F.regexp_extract_all(F.lower(text), F.lit(langid_pattern(lang)), F.lit(0)))
+    """Stopword hit count (regexp_count — no match-array allocation)."""
+    return F.regexp_count(F.lower(text), F.lit(langid_pattern(lang)))
 
 
 def _best_struct(text: Column) -> Column:
@@ -277,12 +278,47 @@ def langid_model_udf():
 # ------------------------------------------------------------------ operators
 
 
+def identify_staged(
+    df: DataFrame, text_col: str = "text", out_col: str = "identification"
+) -> DataFrame:
+    """Expression langid as TWO projections: the per-language hit counts
+    materialize into an int-array column, and the argmax/label/prob sit
+    above it referencing only that array.
+
+    Why not just ``withColumn(out, langid_expr(text))``: Catalyst's
+    subexpression elimination skips subtrees under conditional branches,
+    and langid_expr's label/prob reference the best-hits struct 4x under
+    ``when`` — each reference re-evaluates all 5 regex scans (measured
+    6.0s vs 1.6s for this staged shape at sf0.1/32 cores). CollapseProject
+    keeps the two projections separate because the hit-array alias is
+    non-cheap and referenced more than once, so each regex runs exactly
+    once per row. Output is bit-identical to ``langid_expr``.
+    """
+    text = F.col(text_col)
+    hits = F.array(*[stopword_hits_expr(text, lang) for lang in LANGID_ORDER])
+    staged = df.withColumn("_lid_hits", hits)
+    h = F.col("_lid_hits")
+    best = F.array_max(h)
+    idx = F.array_position(h, best).cast("int")  # first max = LANGID_ORDER tie-break
+    total = sum(
+        [F.element_at(h, i + 1) for i in range(1, len(LANGID_ORDER))],
+        F.element_at(h, 1),
+    )
+    labels = F.array(*[F.lit(lang) for lang in LANGID_ORDER])
+    label = F.when(best == 0, F.lit(LANGID_UNKNOWN)).otherwise(F.element_at(labels, idx))
+    prob = F.when(best == 0, F.lit(0.0)).otherwise(
+        best.cast("double") / total.cast("double")
+    )
+    return staged.withColumn(
+        out_col, F.struct(label.alias("label"), prob.cast("float").alias("prob"))
+    ).drop("_lid_hits")
+
+
 def identify(df: DataFrame, text_col: str = "text", out_col: str = "identification",
              use_model: bool = True) -> DataFrame:
-    scorer = (
-        langid_model_udf()(F.col(text_col)) if use_model else langid_expr(F.col(text_col))
-    )
-    return df.withColumn(out_col, scorer)
+    if use_model:
+        return df.withColumn(out_col, langid_model_udf()(F.col(text_col)))
+    return identify_staged(df, text_col, out_col)
 
 
 def sentence_identifications_expr(text: Column) -> Column:

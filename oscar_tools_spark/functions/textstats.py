@@ -22,19 +22,18 @@ WS_TOKEN_PATTERN = r"\S+"
 
 
 def ws_token_count(text: Column) -> Column:
-    """Whitespace token count."""
-    return F.size(F.regexp_extract_all(text, F.lit(WS_TOKEN_PATTERN), F.lit(0)))
+    """Whitespace token count (regexp_count: no match-array allocation,
+    unlike size(regexp_extract_all(...)); counts are identical)."""
+    return F.regexp_count(text, F.lit(WS_TOKEN_PATTERN))
 
 
 def bpe_token_count(text: Column) -> Column:
     """BPE-ish token-count estimate (word pieces + symbols)."""
-    return F.size(F.regexp_extract_all(text, F.lit(BPE_TOKEN_PATTERN), F.lit(0)))
+    return F.regexp_count(text, F.lit(BPE_TOKEN_PATTERN))
 
 
 def stopword_count(text: Column) -> Column:
-    return F.size(
-        F.regexp_extract_all(F.lower(text), F.lit(QUALITY_STOPWORD_PATTERN), F.lit(0))
-    )
+    return F.regexp_count(F.lower(text), F.lit(QUALITY_STOPWORD_PATTERN))
 
 
 def punct_count(text: Column) -> Column:

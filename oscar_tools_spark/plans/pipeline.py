@@ -85,13 +85,12 @@ def annotate_stage(df: DataFrame, cfg: CurationConfig, text_col: str = "text") -
             )
             .withColumn("perplexity", m.getField("ppl"))
         )
+    elif cfg.use_model_langid:
+        out = out.withColumn("identification", langid_mod.langid_model_udf()(text))
     else:
-        scorer = (
-            langid_mod.langid_model_udf()(text)
-            if cfg.use_model_langid
-            else langid_mod.langid_expr(text)
-        )
-        out = out.withColumn("identification", scorer)
+        # staged two-projection shape: the per-language regex counts run
+        # once per row instead of once per conditional reference
+        out = langid_mod.identify_staged(out, text_col)
         if cfg.with_perplexity:
             out = out.withColumn("perplexity", ppl_mod.perplexity_udf()(text))
     if cfg.with_sentence_ids:
