@@ -71,3 +71,42 @@ def test_models_are_total_and_deterministic(text):
     p1 = score_text(text)
     assert p1 == score_text(text)
     assert p1 > 0
+
+
+@given(text=TEXTS)
+@settings(max_examples=300, deadline=None)
+def test_lookahead_shingle_regex_equals_window_definition(text):
+    """The \\b-lookahead regex used by word_shingles_expr must extract
+    exactly the sliding word-window k-grams of the normalized text
+    (Python re mirrors the Java regex subset used)."""
+    import re
+
+    k = 3
+    norm = re.sub(r"\s+", " ", re.sub(r"[^a-z0-9\s]", " ", text.lower())).strip()
+    words = norm.split(" ") if norm else []
+    if len(words) >= k:
+        want = [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
+    elif words:
+        want = [norm]
+    else:
+        want = [norm]  # '' -> [''] (oracle's len(__w) > 0 branch on [''])
+    pat = r"\b(?=(" + " ".join([r"[a-z0-9]+"] * k) + r"))"
+    got = re.findall(pat, norm) if len(words) >= k else want
+    assert got == want
+
+
+@given(h=st.integers(min_value=0, max_value=2**32 - 1),
+       i=st.integers(min_value=0, max_value=63))
+@settings(max_examples=500, deadline=None)
+def test_minhash_mix_family_bounds(h, i):
+    """Multiply-mod mixing must stay inside exact signed-64 arithmetic
+    for any 32-bit base hash (DuckDB raises on bigint overflow; Spark
+    silently wraps — both must never happen) and land in [0, P)."""
+    from oscar_tools_spark.functions.hashing import MINHASH_PRIME, mix_params
+
+    a, b = mix_params(i)
+    assert 1 <= a < 2**30
+    assert 0 <= b < MINHASH_PRIME
+    v = a * h + b
+    assert v < 2**63
+    assert 0 <= v % MINHASH_PRIME < MINHASH_PRIME
