@@ -33,13 +33,19 @@ def connected_components(
     sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).union(
         edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
     )
+    # localCheckpoint (eager) instead of persist: it BOTH materializes
+    # the iteration state and truncates lineage — without truncation the
+    # plan deepens by two joins per iteration, and a bare persist leaks
+    # (the final frame would stay pinned in executor storage forever;
+    # checkpoint blocks are dropped by the ContextCleaner once the
+    # DataFrame is unreferenced).
     labels = (
         sym.select("u")
         .distinct()
         .select(F.col("u").alias("node"), F.col("u").alias("component"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
-    sym = sym.persist()
+    sym = sym.localCheckpoint(eager=True)
     for _ in range(max_iterations):
         neighbor_min = (
             sym.join(labels, sym.v == labels.node)
@@ -54,7 +60,7 @@ def connected_components(
                     F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
                 ).alias("component"),
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -62,11 +68,9 @@ def connected_components(
             .filter(F.col("n.component") != F.col("o.component"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
-    sym.unpersist()
     return labels
 
 
