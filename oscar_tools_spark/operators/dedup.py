@@ -403,9 +403,14 @@ def dedup_embedding_lsh(
     n_bands = n_planes // band_size
     mask = (1 << band_size) - 1
     planes = hyperplanes(n_planes, dim)
+    # materialize signatures once: the probe and exact sides of the band
+    # join shuffle on DIFFERENT keys, so unlike the minhash/simhash
+    # self-joins no ReusedExchange kicks in — without this checkpoint
+    # the signature UDF would run twice over every vector. The frame is
+    # (key, 64-bit sig): ~16 bytes/doc, trivial to hold at any scale.
     sig = _ensure_parallelism(df).select(
         F.col(key_col).alias("k"), signature_udf(planes)(F.col(vec_col)).alias("_sig")
-    )
+    ).localCheckpoint(eager=True)
     band_entries = F.array(
         *[
             F.struct(
