@@ -61,7 +61,10 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # 5000-row Arrow batches keep the vectorized scorers' numpy
+        # temporaries cache-resident (A/B'd 2k/5k/10k/20k: 5k ~8% faster
+        # than the 10k default on the fused model pipeline)
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "5000")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )
