@@ -27,7 +27,7 @@ if str(REPO) not in sys.path:
 
 from oscar_tools_spark import oracles as O  # noqa: E402
 from oscar_tools_spark.functions.annotations import annotations_expr  # noqa: E402
-from oscar_tools_spark.functions.langid import langid_expr, stopword_hits_expr  # noqa: E402
+from oscar_tools_spark.functions.langid import stopword_hits_expr  # noqa: E402
 from oscar_tools_spark.functions import lexicons as lx  # noqa: E402
 from oscar_tools_spark.functions.textstats import (  # noqa: E402
     bpe_token_count,
@@ -149,13 +149,22 @@ def q_sample_budget(spark, sf_dir):
 
 
 def q_langid(spark, sf_dir):
+    """Staged shape (repo design rule): the per-language regex counts
+    materialize ONCE into a hit array; label and best-hits both read
+    that array. The previous langid_expr + separate greatest() pair
+    re-ran every regex scan per conditional reference (measured 6.0s
+    vs 1.6s at sf0.1/32 cores for the staged form)."""
+    from oscar_tools_spark.functions.langid import _ident_from_hits
+
     df = _docs(spark, sf_dir)
-    hits = [stopword_hits_expr(F.col("text"), lang) for lang in lx.LANGID_ORDER]
-    best = F.greatest(*hits)
-    return df.select(
+    hits = F.array(
+        *[stopword_hits_expr(F.col("text"), lang) for lang in lx.LANGID_ORDER]
+    )
+    staged = df.withColumn("_h", hits)
+    return staged.select(
         "doc_id",
-        langid_expr(F.col("text")).getField("label").alias("label"),
-        best.cast("bigint").alias("hits"),
+        _ident_from_hits(F.col("_h")).getField("label").alias("label"),
+        F.array_max(F.col("_h")).cast("bigint").alias("hits"),
     ).orderBy("doc_id")
 
 

@@ -296,8 +296,29 @@ def identify_staged(
     """
     text = F.col(text_col)
     hits = F.array(*[stopword_hits_expr(text, lang) for lang in LANGID_ORDER])
-    staged = df.withColumn("_lid_hits", hits)
-    h = F.col("_lid_hits")
+    # collision-safe temp name: an input that already carries a column
+    # named like the staging alias must not be overwritten and dropped
+    tmp = "_lid_hits"
+    existing = set(df.columns)
+    while tmp in existing:
+        tmp = "_" + tmp
+    staged = df.withColumn(tmp, hits)
+    return staged.withColumn(out_col, _ident_from_hits(F.col(tmp))).drop(tmp)
+
+
+def identify(df: DataFrame, text_col: str = "text", out_col: str = "identification",
+             use_model: bool = True) -> DataFrame:
+    if use_model:
+        return df.withColumn(out_col, langid_model_udf()(F.col(text_col)))
+    return identify_staged(df, text_col, out_col)
+
+
+def _ident_from_hits(h: Column) -> Column:
+    """struct<label,prob> from an already-evaluated per-language
+    hit-count array. ``h`` must be a cheap reference (a lambda variable
+    or a staged projection alias) — every regex scan happened upstream,
+    so the repeated references under ``when()`` here cost only array
+    reads."""
     best = F.array_max(h)
     idx = F.array_position(h, best).cast("int")  # first max = LANGID_ORDER tie-break
     total = sum(
@@ -309,24 +330,29 @@ def identify_staged(
     prob = F.when(best == 0, F.lit(0.0)).otherwise(
         best.cast("double") / total.cast("double")
     )
-    return staged.withColumn(
-        out_col, F.struct(label.alias("label"), prob.cast("float").alias("prob"))
-    ).drop("_lid_hits")
-
-
-def identify(df: DataFrame, text_col: str = "text", out_col: str = "identification",
-             use_model: bool = True) -> DataFrame:
-    if use_model:
-        return df.withColumn(out_col, langid_model_udf()(F.col(text_col)))
-    return identify_staged(df, text_col, out_col)
+    return F.struct(label.alias("label"), prob.cast("float").alias("prob"))
 
 
 def sentence_identifications_expr(text: Column) -> Column:
     """Per-line identification array aligned with split(text, '\\n'),
     NULL entry for empty/unidentifiable lines (reference
-    oscar_doc.rs:365-380 has a null at :371). Expression scorer only —
-    keeps the whole thing inside codegen with no explode/shuffle."""
-    return F.transform(
-        F.split(text, "\n"),
-        lambda line: F.when(F.length(line) > 0, langid_expr(line)),
+    oscar_doc.rs:365-380 has a null at :371). No explode/shuffle.
+
+    Staged per-line shape: an inner ``transform`` materializes the
+    per-language hit-count array for every line (each stopword regex
+    runs EXACTLY once per line), and the ``zip_with`` consumer derives
+    label/prob from the bound hit array. The previous formulation
+    inlined ``langid_expr`` directly in the lambda, where its ~4
+    conditional references to the best-hits struct re-ran all five
+    regex scans per reference (interpreted HOFs have no CSE — the
+    pitfall this repo measured at 4x on doc-level langid; see README
+    "Design rules"). Bit-identical output, ~4x less regex work.
+    """
+    lines = F.split(text, "\n")
+    hits = F.transform(
+        lines,
+        lambda line: F.array(*[stopword_hits_expr(line, lang) for lang in LANGID_ORDER]),
+    )
+    return F.zip_with(
+        lines, hits, lambda line, h: F.when(F.length(line) > 0, _ident_from_hits(h))
     )

@@ -278,7 +278,12 @@ def jaccard_pairs(
     threshold: float = 0.8,
     max_shingle_df: int | None = 1000,
 ) -> DataFrame:
-    """Candidate pairs with exact n-gram Jaccard >= threshold.
+    """Candidate pairs with n-gram Jaccard >= threshold — APPROXIMATE
+    by default: the ``max_shingle_df`` cap (on unless ``None``) removes
+    ultra-frequent shingles from both the pairing join AND the Jaccard
+    denominator, so docs connected only through high-DF shingles are
+    not paired and reported similarities use the capped shingle
+    universe. Pass ``max_shingle_df=None`` for exact semantics.
 
     Pair generation joins docs sharing >= 1 shingle; ``max_shingle_df``
     drops ultra-frequent shingles before the join (at web scale the
@@ -324,8 +329,13 @@ def dedup_jaccard(
     text_col: str = "text",
     shingle_k: int = 3,
     threshold: float = 0.8,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
-    pairs = jaccard_pairs(df, key_col, text_col, shingle_k, threshold)
+    """Exact n-gram-Jaccard dedup, lowest key wins. The small-scale
+    helper: the DF cap defaults OFF here (the d² blowup it guards
+    against needs web-scale shingle frequencies); pass ``max_shingle_df``
+    explicitly to opt in to the approximate capped semantics."""
+    pairs = jaccard_pairs(df, key_col, text_col, shingle_k, threshold, max_shingle_df)
     dup_keys = pairs.select(F.col("key_b").alias(key_col)).distinct()
     return df.join(dup_keys, key_col, "left_anti")
 
@@ -400,6 +410,11 @@ def dedup_embedding_lsh(
     """
     from .similarity import cosine_expr, hyperplanes, signature_udf
 
+    if n_planes % band_size != 0:
+        raise ValueError(
+            f"n_planes ({n_planes}) must be a multiple of band_size "
+            f"({band_size}); trailing planes would be silently ignored"
+        )
     n_bands = n_planes // band_size
     mask = (1 << band_size) - 1
     planes = hyperplanes(n_planes, dim)
@@ -408,9 +423,16 @@ def dedup_embedding_lsh(
     # self-joins no ReusedExchange kicks in — without this checkpoint
     # the signature UDF would run twice over every vector. The frame is
     # (key, 64-bit sig): ~16 bytes/doc, trivial to hold at any scale.
-    sig = _ensure_parallelism(df).select(
-        F.col(key_col).alias("k"), signature_udf(planes)(F.col(vec_col)).alias("_sig")
-    ).localCheckpoint(eager=True)
+    # materialize() uses the reliable checkpoint when a checkpoint dir
+    # is configured (plans/materialize.py — executor-loss safety).
+    from ..plans.materialize import materialize
+
+    sig = materialize(
+        _ensure_parallelism(df).select(
+            F.col(key_col).alias("k"),
+            signature_udf(planes)(F.col(vec_col)).alias("_sig"),
+        )
+    )
     band_entries = F.array(
         *[
             F.struct(

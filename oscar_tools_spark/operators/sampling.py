@@ -108,6 +108,13 @@ def sample_by_budget(
     sampled rows of ``df`` (original columns), ordered by ``key_cols``.
     ``partitions=1`` degenerates to a single global window (useful as a
     test oracle for the distributed prefix sum).
+
+    DETERMINISM PRECONDITION: ``df`` must evaluate identically across
+    Spark jobs — the prefix sum reads it twice (per-range totals, then
+    the window pass) with no materialization. A nondeterministic input
+    (unseeded ``sample()``, ``rand()`` columns, a table mutating
+    between jobs) silently over/undershoots the budget. Materialize
+    such inputs first (``df.localCheckpoint()`` or write+re-read).
     """
     size = F.col(size_col) if size_col else F.octet_length(F.col(text_col))
     keyed = _with_shuffle_key(df, key_cols, seed).withColumn("_sz", size.cast("bigint"))
@@ -146,6 +153,10 @@ def sample_by_budget_with_replacement(
     universe (the reference draws until overflow; 3x the
     without-replacement depth is plenty for any budget < half the
     corpus).
+
+    Same DETERMINISM PRECONDITION as ``sample_by_budget``: the input
+    subtree is evaluated twice (totals + window); nondeterministic
+    inputs must be materialized by the caller first.
     """
     size = F.col(size_col) if size_col else F.octet_length(F.col(text_col))
     keyed = df.withColumn("_sz", size.cast("bigint")).filter(

@@ -66,6 +66,10 @@ def _plane_component(plane: int, dim: int) -> float:
 
 
 def hyperplanes(n_planes: int, dim: int) -> list[list[float]]:
+    # signatures pack one sign bit per plane into a SIGNED 64-bit long;
+    # bit 63 would flip the sign and >=64 silently overflows
+    if not 1 <= n_planes <= 63:
+        raise ValueError(f"n_planes must be in [1, 63], got {n_planes}")
     return [[_plane_component(p, d) for d in range(dim)] for p in range(n_planes)]
 
 
@@ -89,6 +93,8 @@ def signature_udf(planes: list[list[float]]):
     matmul per batch, signs packed into a bigint. ~n_planes x cheaper
     than the per-plane ``aggregate`` lambdas of ``lsh_signature_expr``
     for wide embeddings. Created lazily (pandas_udf needs a session)."""
+    if not 1 <= len(planes) <= 63:  # int64 sign-bit / overflow guard
+        raise ValueError(f"signature_udf needs 1..63 planes, got {len(planes)}")
     plane_mat = np.asarray(planes, dtype=np.float64).T  # (dim, n_planes)
     weights = (1 << np.arange(len(planes))).astype(np.int64)
 

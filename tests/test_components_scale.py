@@ -1,0 +1,61 @@
+"""Large-star/small-star bounds: O(log n) rounds on a path graph (the
+worst case for the min-label propagation it replaced, which needed
+O(diameter) rounds), and reliable-checkpoint selection when a
+checkpoint dir is configured."""
+
+from __future__ import annotations
+
+import math
+import os
+
+from pyspark.sql import functions as F
+
+from oscar_tools_spark.operators.components import connected_components
+from oscar_tools_spark.plans.materialize import materialize
+
+
+def _path_edges(spark, n):
+    return spark.range(n - 1).select(
+        F.col("id").alias("key_a"), (F.col("id") + 1).alias("key_b")
+    )
+
+
+def test_path_graph_converges_in_log_rounds(spark):
+    n = 1024
+    stats: dict = {}
+    labels = connected_components(_path_edges(spark, n), stats=stats)
+    rows = labels.collect()
+    assert len(rows) == n
+    assert all(r.component == 0 for r in rows)
+    # doubling bound: log2(1024)=10; prototype measured exactly 11
+    # (one extra fixpoint-confirmation round). Allow +3 slack.
+    assert stats["rounds"] <= math.log2(n) + 3, stats
+
+
+def test_two_components_and_singletons(spark):
+    edges = spark.createDataFrame(
+        [(5, 3), (3, 9), (20, 21), (21, 22), (22, 20)], "key_a long, key_b long"
+    )
+    comp = {r.node: r.component for r in connected_components(edges).collect()}
+    assert comp == {3: 3, 5: 3, 9: 3, 20: 20, 21: 20, 22: 20}
+
+
+def test_materialize_uses_reliable_checkpoint_when_dir_set(spark, tmp_path):
+    ckdir = str(tmp_path / "ck")
+    sc = spark.sparkContext
+    assert sc.getCheckpointDir() is None
+    df = spark.range(10)
+    out = materialize(df)  # no dir -> localCheckpoint, nothing on disk
+    assert out.count() == 10
+    sc.setCheckpointDir(ckdir)
+    try:
+        out = materialize(spark.range(10))
+        assert out.count() == 10
+        # reliable checkpoint writes RDD blocks under the configured dir
+        found = any(files for _, _, files in os.walk(ckdir))
+        assert found, "no checkpoint files written under the checkpoint dir"
+    finally:
+        # reset for other session-scoped tests ($eq setter via getattr —
+        # '$' is not valid Python attribute syntax)
+        getattr(sc._jsc.sc(), "checkpointDir_$eq")(sc._jvm.scala.Option.empty())
+    assert sc.getCheckpointDir() is None

@@ -75,3 +75,39 @@ def test_score_batch_matches_classify_rowwise():
         want_lab, want_p = classify(t)
         assert lab == want_lab, (t[:40], lab, want_lab)
         assert p == want_p, (t[:40], p, want_p)
+
+
+def test_identify_staged_survives_lid_hits_collision(spark):
+    """An input already carrying a '_lid_hits' column must pass through
+    untouched (the staging alias picks a fresh name)."""
+    from oscar_tools_spark.functions.langid import identify_staged
+
+    df = spark.createDataFrame(
+        [("the cat and the dog", "keepme")], "text string, _lid_hits string"
+    )
+    rows = identify_staged(df).collect()
+    assert rows[0]._lid_hits == "keepme"
+    assert rows[0].identification.label == "en"
+
+
+def test_sentence_ids_match_doc_langid_per_line(spark):
+    """Staged per-line path must agree with langid_expr applied to each
+    line individually (bit-identical semantics)."""
+    text = "\n".join(s for s, _ in SAMPLES) + "\n\nthe end of the text"
+    df = spark.createDataFrame([(text,)], "text string")
+    arr = df.select(
+        sentence_identifications_expr(F.col("text")).alias("a")
+    ).first().a
+    lines = text.split("\n")
+    per_line = (
+        spark.createDataFrame([(l,) for l in lines], "line string")
+        .select(langid_expr(F.col("line")).alias("i"))
+        .collect()
+    )
+    assert len(arr) == len(lines)
+    for got, line, want in zip(arr, lines, per_line):
+        if len(line) == 0:
+            assert got is None
+        else:
+            assert got.label == want.i.label
+            assert abs((got.prob or 0) - (want.i.prob or 0)) < 1e-6

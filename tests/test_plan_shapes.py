@@ -51,6 +51,25 @@ def test_identify_staged_keeps_hits_projection_separate(spark):
     assert "_lid_hits" in plan  # alias survives as a real intermediate
 
 
+def test_sentence_ids_runs_each_regex_once(spark):
+    """The per-line langid must stage hit counts in an inner transform:
+    inlining langid_expr in the lambda re-ran every stopword regex ~5x
+    per line (interpreted HOFs have no CSE; measured 7.3s vs 1.8s on
+    574k transcript turns at 32 cores)."""
+    from oscar_tools_spark.functions.langid import sentence_identifications_expr
+    from oscar_tools_spark.functions.lexicons import LANGID_ORDER, langid_pattern
+
+    spark.conf.set("spark.sql.maxToStringFields", "2000")
+    df = _docs(spark)
+    out = df.select(
+        F.posexplode(sentence_identifications_expr(F.col("text"))).alias("i", "ident")
+    )
+    plan = _plan(out)
+    for lang in LANGID_ORDER:
+        pat = langid_pattern(lang)[:40]
+        assert plan.count(pat) == 1, (lang, plan.count(pat))
+
+
 def test_minhash_and_simhash_self_joins_reuse_exchange(spark):
     """Both sides of the band self-join shuffle identically, so the
     signature computation must run once (ReusedExchange), not twice."""
