@@ -29,7 +29,15 @@ from pyspark.sql import functions as F  # noqa: E402
 
 import __spark_entry__ as E  # noqa: E402
 from oscar_tools_spark.datagen import synth_transcripts  # noqa: E402
-from oscar_tools_spark.operators.dedup import dedup_lines, dedup_minhash_lsh  # noqa: E402
+from oscar_tools_spark.functions.langid import sentence_identifications_expr  # noqa: E402
+from oscar_tools_spark.operators.components import dedup_components  # noqa: E402
+from oscar_tools_spark.operators.dedup import (  # noqa: E402
+    dedup_embedding_lsh,
+    dedup_lines,
+    dedup_minhash_lsh,
+    dedup_simhash_hamming,
+    jaccard_pairs,
+)
 from oscar_tools_spark.operators.sampling import sample_by_budget  # noqa: E402
 from oscar_tools_spark.operators.similarity import topk_cosine  # noqa: E402
 from oscar_tools_spark.plans.pipeline import CurationConfig, curate  # noqa: E402
@@ -133,6 +141,38 @@ def main() -> None:
     timed("topk_cosine", lambda: run_noop(topk_cosine(emb, qvec, k=10)))
     # q7: SQL-oracle flagship over documents
     timed("curation_docs", lambda: run_noop(E.q_curation_pipeline(spark, sf_dir)))
+    # q8-q11: the round-2 heavy operators (plan guards pin their shapes;
+    # these baselines pin their constants)
+    timed(
+        "dedup_embedding",
+        lambda: run_noop(
+            dedup_embedding_lsh(emb, "vec_id", dim=64, threshold=0.98)
+        ),
+    )
+    timed(
+        "dedup_components",
+        lambda: run_noop(
+            dedup_components(docs, jaccard_pairs(docs, "doc_id", threshold=0.5), "doc_id")
+        ),
+    )
+    timed(
+        "simhash_hamming_dedup",
+        lambda: run_noop(dedup_simhash_hamming(docs, "doc_id", chunks=4)),
+    )
+    # per-line langid over the transcripts table — the per-line hot path
+    # (staged zip_with shape; the inline-HOF form measured 4x slower)
+    timed(
+        "sentence_ids",
+        lambda: run_noop(
+            transcripts.select(
+                "conv_id",
+                "turn_idx",
+                F.posexplode(
+                    sentence_identifications_expr(F.col("text"))
+                ).alias("line_idx", "ident"),
+            )
+        ),
+    )
 
     total = round(sum(timings.values()), 3)
     result = {

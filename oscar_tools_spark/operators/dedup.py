@@ -295,6 +295,8 @@ def jaccard_pairs(
     sides of the ratio see the same shingle universe (mirrored in the
     DuckDB oracle). Returns (key_a, key_b, jaccard) with key_a < key_b.
     """
+    from ..plans.materialize import materialize
+
     sh = _ensure_parallelism(df).select(
         F.col(key_col).alias("k"),
         F.explode(word_shingles_expr(F.col(text_col), shingle_k)).alias("s"),
@@ -302,6 +304,13 @@ def jaccard_pairs(
     if max_shingle_df is not None:
         rare = sh.groupBy("s").count().filter(F.col("count") <= max_shingle_df).select("s")
         sh = sh.join(rare, "s", "left_semi")
+    # materialize the (k, s) frame once: its three consumers (sizes agg,
+    # both self-join sides) shuffle on different keys, and column
+    # pruning breaks exchange-reuse canonicalization — without this the
+    # shingle explode + md5 ran twice (2 Generate nodes in the plan;
+    # same defect class fixed for embedding signatures in e0d4ad2).
+    # Plan-guarded by tests/test_plan_shapes.py.
+    sh = materialize(sh)
     sizes = sh.groupBy("k").agg(F.count("*").alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (

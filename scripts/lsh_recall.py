@@ -1,0 +1,156 @@
+"""Measured recall/precision for the two LSH families at sf0.1.
+
+The 100 TB pitch of ``dedup_minhash_lsh`` and ``dedup_embedding_lsh``
+rests on analytic recall claims; this harness measures them against
+exact ground truth on the driver testdata (VERDICT r2 item 3).
+
+* MinHash: candidate pairs from the banded self-join vs exact n-gram
+  Jaccard (computed uncapped via the same shingle definition), recall
+  reported per Jaccard level and per (num_hashes, band_size) setting.
+* Embedding: LSH candidate pairs and the survivor set of
+  ``dedup_embedding_lsh`` vs exact cosine ground truth (numpy — the
+  harness's oracle, not a pipeline path).
+
+Usage: python scripts/lsh_recall.py [sf_dir]
+Prints a markdown table ready for BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from oscar_tools_spark.operators.dedup import (  # noqa: E402
+    dedup_embedding_lsh,
+    jaccard_pairs,
+    minhash_bands,
+)
+from oscar_tools_spark.session import get_spark  # noqa: E402
+
+
+def minhash_candidate_pairs(docs, num_hashes, band_size):
+    bands = minhash_bands(docs, ["doc_id"], num_hashes=num_hashes, band_size=band_size)
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("key_a"), F.col("b.doc_id").alias("key_b"))
+        .distinct()
+    )
+
+
+def minhash_recall(spark, sf_dir, settings=((16, 4), (16, 2), (32, 4))):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    truth = {
+        (r.key_a, r.key_b): r.jaccard
+        for r in jaccard_pairs(
+            docs, "doc_id", threshold=0.5, max_shingle_df=None
+        ).collect()
+    }
+    rows = []
+    for num_hashes, band_size in settings:
+        cand = {
+            (r.key_a, r.key_b)
+            for r in minhash_candidate_pairs(docs, num_hashes, band_size).collect()
+        }
+        for jmin in (0.8, 0.9):
+            t = {p for p, j in truth.items() if j >= jmin}
+            hit = len(t & cand)
+            rec = hit / len(t) if t else float("nan")
+            rows.append(
+                f"| minhash h={num_hashes} b={band_size} | j>={jmin} | "
+                f"{len(t)} | {len(cand)} | {rec:.3f} |"
+            )
+    return rows
+
+
+def embedding_recall(spark, sf_dir, threshold=0.98, n_planes=16, band_size=4):
+    """The sf0.1 embeddings carry NO natural near-dups (max pairwise
+    cosine 0.60), so recall is measured on PLANTED duplicates: for a
+    deterministic sample of base vectors, append a perturbed copy at a
+    calibrated exact cosine (v' = normalize(v + eps*g), g unit ⟂ v,
+    cos = 1/sqrt(1+eps²)). Every planted pair's higher id must be
+    dropped by dedup_embedding_lsh; recall = dropped/planted per level.
+    Precision is structurally 1.0 (candidates are cosine-verified), so
+    only recall can fail."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    pdf = emb.select("vec_id", "embedding").toPandas()
+    ids = pdf["vec_id"].to_numpy()
+    mat = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    dim = mat.shape[1]
+
+    rng = np.random.default_rng(42)
+    levels = [0.9801, 0.985, 0.99, 0.995]  # all >= the 0.98 threshold
+    per_level = 200
+    next_id = int(ids.max()) + 1
+    rows_new, planted = [], {}  # dup_id -> (base_id, target_cos)
+    base_ix = rng.choice(len(ids), size=per_level * len(levels), replace=False)
+    for li, c in enumerate(levels):
+        eps = float(np.sqrt(1.0 / c**2 - 1.0))
+        for bi in base_ix[li * per_level : (li + 1) * per_level]:
+            v = mat[bi]
+            g = rng.standard_normal(dim)
+            g -= g.dot(v) * v
+            g /= np.linalg.norm(g)
+            v2 = v + eps * g
+            v2 /= np.linalg.norm(v2)
+            rows_new.append((next_id, [float(x) for x in v2]))
+            planted[next_id] = (int(ids[bi]), c)
+            next_id += 1
+
+    aug = emb.select("vec_id", "embedding").union(
+        spark.createDataFrame(rows_new, "vec_id long, embedding array<double>")
+    )
+    survivors = {
+        r.vec_id
+        for r in dedup_embedding_lsh(
+            aug, "vec_id", dim=dim, threshold=threshold,
+            n_planes=n_planes, band_size=band_size,
+        )
+        .select("vec_id")
+        .collect()
+    }
+    out = []
+    for c in levels:
+        ids_at = [d for d, (_, lc) in planted.items() if lc == c]
+        dropped = sum(1 for d in ids_at if d not in survivors)
+        out.append(
+            f"| embedding LSH p={n_planes} b={band_size} (planted dups) | "
+            f"cos={c} | {len(ids_at)} | dropped {dropped} | "
+            f"{dropped / len(ids_at):.3f} |"
+        )
+    # originals must all survive (no false drops: verification is exact)
+    false_drops = sum(1 for i in ids if int(i) not in survivors)
+    out.append(
+        f"| embedding LSH p={n_planes} b={band_size} | originals kept | "
+        f"{len(ids)} | false drops {false_drops} | "
+        f"{1 - false_drops / len(ids):.3f} |"
+    )
+    return out
+
+
+def main(sf_dir: str) -> None:
+    spark = get_spark("lsh-recall", cores=16, shuffle_partitions=16)
+    print("| family | level | true pairs | candidates | recall |")
+    print("|---|---|---|---|---|")
+    for row in minhash_recall(spark, sf_dir):
+        print(row)
+    for row in embedding_recall(spark, sf_dir):
+        print(row)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1")

@@ -1,0 +1,64 @@
+"""Regenerate the driver-contract query counts embedded in README.md.
+
+The counts drifted twice when hand-edited (round-1 ADVICE #5, round-2
+VERDICT #2), so they are now DERIVED from ``__spark_entry__``:
+
+    python scripts/update_doc_counts.py          # rewrite README.md
+    python scripts/update_doc_counts.py --check  # exit 1 on drift
+
+tests/test_docs.py runs the --check mode so pytest fails on any drift.
+No Spark session is needed — only the dict sizes.
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+import __spark_entry__ as E  # noqa: E402
+
+README = REPO / "README.md"
+
+
+def expected_lines() -> dict[str, str]:
+    n_q = len(E.queries())
+    n_o = len(E.oracle_sql())
+    n_rows_only = n_q - n_o
+    return {
+        # pattern-to-find (regex) -> replacement line fragment
+        r"driver contract: `entry\(\)`, \d+ `queries\(\)` with \d+ `oracle_sql\(\)` twins \(\d+ rows-only by design\)": (
+            f"driver contract: `entry()`, {n_q} `queries()` with {n_o} "
+            f"`oracle_sql()` twins ({n_rows_only} rows-only by design)"
+        ),
+        r"\d+ of the \d+ in the driver contract;": f"{n_o} of the {n_q} in the driver contract;",
+        r"the other \d+ are rows-only by design": f"the other {n_rows_only} are rows-only by design",
+    }
+
+
+def main() -> int:
+    check = "--check" in sys.argv
+    text = README.read_text()
+    new = text
+    for pat, repl in expected_lines().items():
+        if not re.search(pat, new):
+            print(f"pattern not found in README.md: {pat}")
+            return 1
+        new = re.sub(pat, repl, new)
+    if new == text:
+        print("README.md counts up to date")
+        return 0
+    if check:
+        print("README.md counts DRIFTED from __spark_entry__ — run "
+              "python scripts/update_doc_counts.py")
+        return 1
+    README.write_text(new)
+    print("README.md counts rewritten")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

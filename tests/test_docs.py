@@ -1,0 +1,20 @@
+"""Docs must not drift from the code: README's driver-contract counts
+are derived from __spark_entry__ (they were hand-edited and drifted in
+two consecutive rounds)."""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def test_readme_counts_match_driver_contract():
+    proc = subprocess.run(
+        [sys.executable, str(REPO / "scripts" / "update_doc_counts.py"), "--check"],
+        capture_output=True,
+        text=True,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr

@@ -89,6 +89,18 @@ def test_minhash_and_simhash_self_joins_reuse_exchange(spark):
         spark.conf.set("spark.sql.adaptive.enabled", "true")
 
 
+def test_jaccard_pairs_computes_shingles_once(spark):
+    """The exploded-shingle frame feeds three consumers shuffling on
+    different keys; column pruning breaks exchange reuse, so without
+    materialization the explode ran twice. All Generate nodes must sit
+    behind the checkpoint — zero in the downstream plan."""
+    from oscar_tools_spark.operators.dedup import jaccard_pairs
+
+    docs = _docs(spark)
+    plan = _plan(jaccard_pairs(docs, "doc_id", threshold=0.5))
+    assert plan.count("Generate explode") == 0, plan[:2000]
+
+
 def test_no_cartesian_in_any_driver_query(spark):
     """Every contract query must plan without CartesianProduct /
     BroadcastNestedLoopJoin — the all-pairs shapes that cannot survive
