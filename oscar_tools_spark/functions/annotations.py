@@ -44,13 +44,20 @@ def tag_conditions(text: Column) -> dict[str, Column]:
     regex trick (one greedy match per long line) instead of
     filter(lines, lambda ...), keeping the whole predicate codegen'd.
     """
+    from .textstats import alpha_count
+
     lines = F.split(text, "\n")
     n_lines = F.size(lines)
     long_line_pattern = rf"[^\n]{{{SHORT_LINE_MAX_CHARS},}}"
     long_lines = F.size(F.regexp_extract_all(text, F.lit(long_line_pattern), F.lit(0)))
     short_lines = n_lines - long_lines
     total_chars = F.length(text)
-    alpha_chars = F.length(F.regexp_replace(text, "[^A-Za-z]", ""))
+    # alpha_count is translate()-based, NOT a regex strip: a char-class
+    # regexp_replace mixed with any other pattern in the same fused
+    # stage deoptimizes the JVM regex hot loop (measured 32.5s vs 1.6s
+    # for this predicate + the scrub chain at sf0.1/32 cores — the
+    # round-3 pipeline_expr finding in BENCH/BASELINE.md)
+    alpha_chars = alpha_count(text)
     lower = F.lower(text)
 
     return {

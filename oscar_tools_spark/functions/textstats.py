@@ -36,12 +36,22 @@ def stopword_count(text: Column) -> Column:
     return F.regexp_count(F.lower(text), F.lit(QUALITY_STOPWORD_PATTERN))
 
 
+# translate()-deleted character sets: counting chars in a class needs
+# no regex, and a char-class regexp_replace is actively harmful — mixed
+# with ANY other pattern in the same fused stage it deoptimizes the JVM
+# regex engine's hot loop (measured 20x on the alpha predicate + scrub
+# chain pair; BENCH/BASELINE.md round-3 finding). translate is a pure
+# char-map: same values, no regex engine involvement.
+_ALPHA_CHARS = "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"
+_PUNCT_CHARS = ".,;:!?'\"()[]-"
+
+
 def punct_count(text: Column) -> Column:
-    return F.length(F.regexp_replace(text, r"[^.,;:!?'\"()\[\]-]", ""))
+    return F.length(text) - F.length(F.translate(text, _PUNCT_CHARS, ""))
 
 
 def alpha_count(text: Column) -> Column:
-    return F.length(F.regexp_replace(text, "[^A-Za-z]", ""))
+    return F.length(text) - F.length(F.translate(text, _ALPHA_CHARS, ""))
 
 
 def quality_score_expr(text: Column) -> Column:
