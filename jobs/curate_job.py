@@ -34,10 +34,19 @@ def main() -> None:
     ap.add_argument("--no-model", action="store_true")
     ap.add_argument("--no-resume", action="store_true",
                     help="single write, no bucket manifest")
+    ap.add_argument("--checkpoint-dir", default=None,
+                    help="reliable-checkpoint directory (HDFS/S3). When set, "
+                    "iterative operators (connected components, embedding "
+                    "LSH) truncate lineage to REPLICATED storage and survive "
+                    "executor loss; without it they fall back to "
+                    "localCheckpoint (single-host only — see "
+                    "plans/materialize.py)")
     args = ap.parse_args()
 
     spark = SparkSession.builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if args.checkpoint_dir:
+        spark.sparkContext.setCheckpointDir(args.checkpoint_dir)
 
     from oscar_tools_spark.plans.checkpoint import run_resumable
     from oscar_tools_spark.plans.pipeline import (

@@ -13,7 +13,8 @@ whenever the SparkContext has a checkpoint directory configured
 loss), falling back to ``localCheckpoint`` only when no directory is
 set. Cluster jobs should call
 ``spark.sparkContext.setCheckpointDir("hdfs://...")`` (jobs/curate_job
-does); tests and local runs need nothing.
+exposes ``--checkpoint-dir`` for this); tests and local runs need
+nothing.
 """
 
 from __future__ import annotations

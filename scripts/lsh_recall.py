@@ -143,12 +143,15 @@ def embedding_recall(spark, sf_dir, threshold=0.98, n_planes=16, band_size=4):
 
 def main(sf_dir: str) -> None:
     spark = get_spark("lsh-recall", cores=16, shuffle_partitions=16)
-    print("| family | level | true pairs | candidates | recall |")
-    print("|---|---|---|---|---|")
-    for row in minhash_recall(spark, sf_dir):
-        print(row)
-    for row in embedding_recall(spark, sf_dir):
-        print(row)
+    lines = ["| family | level | true pairs | candidates | recall |",
+             "|---|---|---|---|---|"]
+    lines += minhash_recall(spark, sf_dir)
+    lines += embedding_recall(spark, sf_dir)
+    print("\n".join(lines))
+    # persist for the BENCH/BASELINE.md generator (scaling_bench.py)
+    out = REPO / "BENCH" / "lsh_recall.md"
+    out.parent.mkdir(exist_ok=True)
+    out.write_text("\n".join(lines) + "\n")
     spark.stop()
 
 

@@ -308,11 +308,55 @@ def main() -> None:
         "Structural conclusions above rest on the flat probes, not on any",
         "single pair.",
         "",
+        "## Round-3 findings",
+        "",
+        "- **translate() for char-class counts — pipeline_expr 52.8s -> 5.1s",
+        "  (10x), pipeline_model 44.0 -> 12.8s at sf0.1/32 cores.** Profiling",
+        "  the COMPOSED pipeline (not its stages) showed an 8x composition",
+        "  penalty: a char-class strip `regexp_replace(text,'[^A-Za-z]','')`",
+        "  fused in the same whole-stage-codegen loop as ANY other regex",
+        "  deoptimizes the JVM regex engine's hot loop (the alpha predicate +",
+        "  scrub chain pair: 32.5s fused vs 1.6s + 1.9s separate; ruled out:",
+        "  CSE loss 5.8s, wholeStage off 39s, methodSplitThreshold 37s,",
+        "  -XX:-DontCompileHugeMethods 24.9s). alpha/punct counts are now",
+        "  `length(text) - length(translate(text, CHARS, ''))` — a pure",
+        "  char-map, bit-identical values, plan-guarded.",
+        "- **Per-line langid staged (sentence_identifications_expr): 7.32s ->",
+        "  1.83s on 574k transcript turns at 32 cores.** The inline-HOF form",
+        "  re-ran every stopword regex ~5x per line; hit counts now",
+        "  materialize once per line in an inner `transform` and a `zip_with`",
+        "  derives label/prob from the bound array. Plan-guarded (each",
+        "  language pattern appears exactly once).",
+        "- **Connected components now large-star/small-star** (O(log n)",
+        "  rounds): a 1024-node path converges in 11 rounds vs ~1024 for the",
+        "  replaced min-label propagation; pytest pins the log2(n)+3 bound.",
+        "- **sample_budget 0.55s (r1) -> ~0.9s (r2+)** is the accepted price",
+        "  of byte-budget correctness + the leak-free pure range partitioner:",
+        "  the input subtree is read twice (totals + window) instead of",
+        "  pinning a persist forever. Both scans are narrow; at 0.4s absolute",
+        "  on sf0.1 this is the right trade.",
+        "",
         "## Full suite at local[32] (driver bench shape)",
         "",
         "```json",
         json.dumps(full32, indent=2),
         "```",
+        *(
+            [
+                "",
+                "## LSH recall vs exact ground truth (sf0.1)",
+                "",
+                "Measured by scripts/lsh_recall.py (minhash candidates vs",
+                "uncapped exact Jaccard; embedding LSH vs planted duplicates",
+                "at calibrated exact cosines — the testdata has no natural",
+                "near-dup vectors, max pairwise cosine 0.60). Shipped",
+                "parameters (h=16, b=4 / p=16, b=4) meet the >=0.95 bar:",
+                "",
+                (REPO / "BENCH" / "lsh_recall.md").read_text().rstrip(),
+            ]
+            if (REPO / "BENCH" / "lsh_recall.md").exists()
+            else []
+        ),
         "",
         "## Per-level raw results",
         "",

@@ -164,3 +164,31 @@ def test_dedup_embedding_lsh_plan_has_no_cartesian(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_translate_counts_match_regex_strips(spark):
+    """alpha_count/punct_count switched from char-class regexp_replace
+    to translate() for the 20x fused-stage regex deopt (see
+    BENCH/BASELINE.md round-3 findings); values must stay bit-identical
+    to the regex formulation, including unicode and null."""
+    from oscar_tools_spark.functions.textstats import alpha_count, punct_count
+
+    rows = [
+        ("",), ("abc XYZ",), ("héllo wörld 123",), ("...!?[]()-;:'\"",),
+        ("a\nb\tc  d",), ("日本語テキスト abc",), ("\x00weird\x01",), (None,),
+    ]
+    df = spark.createDataFrame(rows, "text string")
+    t = F.col("text")
+    alpha_re = F.length(F.regexp_replace(t, "[^A-Za-z]", ""))
+    punct_re = F.length(t) - F.length(F.regexp_replace(t, r"[.,;:!?'\"()\[\]-]", ""))
+    out = df.select(
+        (alpha_count(t) == alpha_re).alias("a"),
+        (punct_count(t) == punct_re).alias("p"),
+        t.isNull().alias("n"),
+        alpha_count(t).isNull().alias("an"),
+    ).collect()
+    for r in out:
+        if r.n:
+            assert r.an  # null text -> null count, same as regex path
+        else:
+            assert r.a and r.p
