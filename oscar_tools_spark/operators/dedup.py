@@ -393,89 +393,72 @@ def dedup_embedding_lsh(
     dim: int,
     vec_col: str = "embedding",
     threshold: float = 0.995,
-    n_planes: int = 16,
-    band_size: int = 4,
+    n_planes: int = 384,
+    band_size: int = 16,
+    max_band_bucket: int | None = None,
 ) -> DataFrame:
     """Scale path for embedding near-dup: banded random-hyperplane LSH
     candidate generation + exact cosine verification, greedy
     lowest-key-wins — same policy as ``dedup_embedding_cosine`` but with
     bucketed equi-joins instead of the O(n²) all-pairs product.
 
-    Recall: a plane separates a pair at angle θ with probability θ/π;
-    at cos ≥ 0.98 (θ ≤ 11.5°, p ≈ 0.064) a 4-bit band matches within
-    hamming-1 with prob ≈ 0.977, so missing all 4 bands is ~3e-7 —
-    the survivor set equals the brute-force one in practice (asserted
-    at small n by tests/test_textstats_similarity.py).
+    Band geometry (why 16-bit bands, not 4-bit + hamming probes): a
+    plane agrees on a pair at angle θ with probability s = 1 - θ/π.
+    Candidate volume is driven by UNRELATED pairs (s ≈ 0.5): a 16-bit
+    band collides at s^16 ≈ 2^-16, so expected candidate fraction is
+    ≤ n_bands · 2^-16 ≈ 4e-4 — vs the old 4-bit+hamming-1 scheme whose
+    per-band collision was 5/16, i.e. 77% of ALL pairs became
+    candidates (measured on the sf0.1 embeddings), brute force in
+    disguise. Recall at the default 24 bands: a pair at cos 0.995
+    (s = 0.968) hits a band with p = s^16 = 0.60, missing all 24 is
+    (1-0.60)^24 ≈ 4e-10; at cos 0.98 (s = 0.936, band hit 0.35) the
+    miss rate is (1-0.35)^24 ≈ 3e-5. Measured recall on planted dups
+    is in BENCH/lsh_recall.md; survivor-set equality vs brute force is
+    asserted at small n by tests/test_textstats_similarity.py.
 
     Plan shape (the 100 TB rationale):
-    * signatures: one Arrow matmul per batch (``signature_udf``);
-    * candidate join: per band, hamming-1 probe keys (band_size + 1
-      per doc, each a few bytes) equi-joined against exact band keys —
-      the shuffle carries narrow (key, band) rows, never vectors;
+    * band keys: ONE Arrow matmul per batch emits all n_bands keys
+      (``band_signature_udf``), exploded to narrow (key, band_idx,
+      band_key) rows — n_bands · ~20 bytes per vector of shuffle;
+    * candidate join: band self-equi-join on (band_idx, band_key);
+      both sides shuffle identically so the signature computation runs
+      ONCE (ReusedExchange, plan-guarded) — no checkpoint needed,
+      unlike the old probe-vs-exact join whose sides shuffled on
+      different keys;
     * verification: vectors are joined back only for DISTINCT candidate
       pairs, so the wide rows move once per candidate, not per band;
     * no CartesianProduct / BroadcastNestedLoopJoin anywhere (asserted
-      by a plan test).
+      by a plan test);
+    * skew: a corpus with many EXACT-duplicate vectors puts them all in
+      the same bucket of every band (quadratic in that bucket) — run
+      exact dedup (hash of the vector bytes) first, or set
+      ``max_band_bucket`` to skip candidate generation inside buckets
+      larger than the cap (recall loss confined to those buckets, same
+      trade as ``max_shingle_df`` in jaccard_pairs).
     """
-    from .similarity import cosine_expr, hyperplanes, signature_udf
+    from .similarity import band_signature_udf, cosine_expr, hyperplanes
 
-    if n_planes % band_size != 0:
-        raise ValueError(
-            f"n_planes ({n_planes}) must be a multiple of band_size "
-            f"({band_size}); trailing planes would be silently ignored"
-        )
-    n_bands = n_planes // band_size
-    mask = (1 << band_size) - 1
     planes = hyperplanes(n_planes, dim)
-    # materialize signatures once: the probe and exact sides of the band
-    # join shuffle on DIFFERENT keys, so unlike the minhash/simhash
-    # self-joins no ReusedExchange kicks in — without this checkpoint
-    # the signature UDF would run twice over every vector. The frame is
-    # (key, 64-bit sig): ~16 bytes/doc, trivial to hold at any scale.
-    # materialize() uses the reliable checkpoint when a checkpoint dir
-    # is configured (plans/materialize.py — executor-loss safety).
-    from ..plans.materialize import materialize
-
-    sig = materialize(
-        _ensure_parallelism(df).select(
+    sig_udf = band_signature_udf(planes, band_size)
+    bands = (
+        _ensure_parallelism(df)
+        .select(
             F.col(key_col).alias("k"),
-            signature_udf(planes)(F.col(vec_col)).alias("_sig"),
+            F.posexplode(sig_udf(F.col(vec_col))).alias("band_idx", "band_key"),
         )
     )
-    band_entries = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band_idx"),
-                F.shiftright(F.col("_sig"), b * band_size)
-                .bitwiseAND(F.lit(mask))
-                .alias("band_key"),
-            )
-            for b in range(n_bands)
-        ]
-    )
-    bands = sig.select("k", F.explode(band_entries).alias("b")).select(
-        "k", "b.band_idx", "b.band_key"
-    )
-    # probe side: the exact key plus its hamming-1 neighbors, so two
-    # signatures differing by <=1 bit inside any band still collide
-    probe_keys = F.array(
-        F.col("band_key"),
-        *[
-            F.col("band_key").bitwiseXOR(F.lit(1 << j)).cast("bigint")
-            for j in range(band_size)
-        ],
-    )
-    probes = bands.select(
-        "k", "band_idx", F.explode(probe_keys).alias("probe_key")
-    )
+    if max_band_bucket is not None:
+        small = (
+            bands.groupBy("band_idx", "band_key")
+            .count()
+            .filter(F.col("count") <= max_band_bucket)
+            .select("band_idx", "band_key")
+        )
+        bands = bands.join(small, ["band_idx", "band_key"])
     cand = (
-        probes.alias("a")
-        .join(
-            bands.alias("b"),
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.probe_key") == F.col("b.band_key"))
-            & (F.col("a.k") > F.col("b.k")),
-        )
+        bands.alias("a")
+        .join(bands.alias("b"), ["band_idx", "band_key"])
+        .filter(F.col("a.k") > F.col("b.k"))
         .select(F.col("a.k").alias("ka"), F.col("b.k").alias("kb"))
         .distinct()
     )

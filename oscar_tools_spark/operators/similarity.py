@@ -66,10 +66,11 @@ def _plane_component(plane: int, dim: int) -> float:
 
 
 def hyperplanes(n_planes: int, dim: int) -> list[list[float]]:
-    # signatures pack one sign bit per plane into a SIGNED 64-bit long;
-    # bit 63 would flip the sign and >=64 silently overflows
-    if not 1 <= n_planes <= 63:
-        raise ValueError(f"n_planes must be in [1, 63], got {n_planes}")
+    # plane count is unbounded here; the SIGNED-int64 packing limit
+    # (<= 63) is enforced where packing happens: signature_udf for the
+    # single-long signature, band_signature_udf per band key
+    if n_planes < 1:
+        raise ValueError(f"n_planes must be >= 1, got {n_planes}")
     return [[_plane_component(p, d) for d in range(dim)] for p in range(n_planes)]
 
 
@@ -105,6 +106,45 @@ def signature_udf(planes: list[list[float]]):
         mat = np.vstack(vecs.to_numpy())  # (batch, dim)
         bits = mat.astype(np.float64) @ plane_mat >= 0.0
         return pd.Series(bits @ weights)
+
+    return _udf
+
+
+def band_signature_udf(planes: list[list[float]], band_size: int):
+    """Arrow-vectorized BANDED signature: one (batch x dim) @ (dim x
+    n_planes) matmul per batch, sign bits packed per band into an
+    ``array<bigint>`` of n_planes/band_size keys.
+
+    This is the selectivity knob the single-long ``signature_udf``
+    cannot reach: packing every plane into one int64 caps the total at
+    63 planes, which forces tiny bands (4-bit keys = 16 buckets/band —
+    measured 77% of ALL pairs colliding on the sf0.1 embeddings, i.e.
+    brute force with extra steps). Per-band packing caps only the BAND
+    at 63 bits, so 16-bit bands (65k buckets) with as many bands as
+    recall demands are cheap: an unrelated pair (s ≈ 0.5/bit) collides
+    on a 16-bit band with p ≈ 2^-16, and candidate volume scales as
+    sum-of-squared-bucket-sizes instead of n².
+    """
+    n_planes = len(planes)
+    if not 1 <= band_size <= 63:  # int64 sign-bit / overflow guard
+        raise ValueError(f"band_size must be in [1, 63], got {band_size}")
+    if n_planes % band_size:
+        raise ValueError(
+            f"n_planes ({n_planes}) must be a multiple of band_size "
+            f"({band_size}); trailing planes would be silently ignored"
+        )
+    n_bands = n_planes // band_size
+    plane_mat = np.asarray(planes, dtype=np.float64).T  # (dim, n_planes)
+    weights = (1 << np.arange(band_size)).astype(np.int64)
+
+    @F.pandas_udf("array<long>")
+    def _udf(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        mat = np.vstack(vecs.to_numpy())  # (batch, dim)
+        bits = mat.astype(np.float64) @ plane_mat >= 0.0
+        keys = bits.reshape(len(mat), n_bands, band_size) @ weights
+        return pd.Series(list(keys))
 
     return _udf
 

@@ -75,7 +75,7 @@ def minhash_recall(spark, sf_dir, settings=((16, 4), (16, 2), (32, 4))):
     return rows
 
 
-def embedding_recall(spark, sf_dir, threshold=0.98, n_planes=16, band_size=4):
+def embedding_recall(spark, sf_dir, threshold=0.98, n_planes=384, band_size=16):
     """The sf0.1 embeddings carry NO natural near-dups (max pairwise
     cosine 0.60), so recall is measured on PLANTED duplicates: for a
     deterministic sample of base vectors, append a perturbed copy at a

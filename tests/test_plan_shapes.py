@@ -89,6 +89,31 @@ def test_minhash_and_simhash_self_joins_reuse_exchange(spark):
         spark.conf.set("spark.sql.adaptive.enabled", "true")
 
 
+def test_embedding_lsh_band_join_reuses_exchange(spark):
+    """The banded-signature self-join must shuffle once: both sides are
+    the same (key, band_idx, band_key) frame keyed on (band_idx,
+    band_key), so the signature matmul UDF runs ONCE per vector
+    (ReusedExchange). The old probe-vs-exact design shuffled its sides
+    on different keys and needed a checkpoint to avoid recompute."""
+    from oscar_tools_spark.operators.dedup import dedup_embedding_lsh
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    # pin the at-scale shape: with testdata-sized inputs the planner
+    # broadcasts the band join's build side, which re-evaluates the
+    # signature UDF (harmless at broadcast sizes); at scale both sides
+    # sort-merge over the SAME hash exchange and the matmul runs once
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(dedup_embedding_lsh(emb, "vec_id", dim=64, threshold=0.98))
+        assert "ReusedExchange" in plan
+        # exactly one Python-UDF evaluation of the signature batch
+        assert plan.count("ArrowEvalPython") == 1
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
 def test_pipeline_counts_chars_with_translate_not_regex(spark):
     """Char-class counts (alpha ratio, punctuation) must be translate()
     based: a char-class strip regexp_replace mixed with ANY other regex
