@@ -88,16 +88,20 @@ def connected_components(
     component = min node key of the component. When ``stats`` is given,
     ``stats["rounds"]`` records the large+small-star rounds to fixpoint
     (the O(log n) bound is pinned by tests/test_components_scale.py)."""
+    # materialize the raw pair list ONCE (self-pairs included), then
+    # derive both the node universe and the working edge set from it —
+    # the edges subtree is often an expensive candidate-generation plan
+    # (e.g. jaccard_pairs), and referencing `edges` again for the node
+    # set at the end would re-run it from scratch
+    e0 = materialize(
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct()
+    )
     nodes = (
-        edges.select(F.col(src).alias("node"))
-        .union(edges.select(F.col(dst).alias("node")))
+        e0.select(F.col("u").alias("node"))
+        .union(e0.select(F.col("v").alias("node")))
         .distinct()
     )
-    e = materialize(
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .filter(F.col("u") != F.col("v"))
-        .distinct()
-    )
+    e = e0.filter(F.col("u") != F.col("v"))
     prev = _checksum(e)
     rounds = 0
     for _ in range(max_iterations):
