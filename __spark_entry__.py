@@ -228,16 +228,17 @@ def q_topk_cosine_ids(spark, sf_dir):
 
 
 def q_topk_cosine_lsh(spark, sf_dir):
-    """ANN top-k via hyperplane-LSH bucket probing (rows-only check:
-    the probed-bucket candidate set depends on float sign bits that are
-    not bit-portable to SQL; deterministic within Spark because the
-    hyperplanes are md5-seeded). Exact-scan twin: ``topk_cosine_ids``."""
+    """ANN top-k via banded hyperplane-LSH candidate filtering
+    (rows-only check: the banded candidate set depends on float sign
+    bits that are not bit-portable to SQL; deterministic within Spark
+    because the hyperplanes are md5-seeded). Exact-scan twin:
+    ``topk_cosine_ids``."""
     from oscar_tools_spark.operators.similarity import topk_cosine_lsh
 
     _ensure_shipped(spark)
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q = list(emb.filter(F.col("vec_id") == 0).first().embedding)
-    return topk_cosine_lsh(emb, q, k=10, n_planes=8).select("vec_id")
+    return topk_cosine_lsh(emb, q, k=10).select("vec_id")
 
 
 def q_events_hourly(spark, sf_dir):

@@ -327,6 +327,16 @@ def main() -> None:
         "  materialize once per line in an inner `transform` and a `zip_with`",
         "  derives label/prob from the bound array. Plan-guarded (each",
         "  language pattern appears exactly once).",
+        "- **Embedding-LSH bands widened to 16 bits (24 bands, per-band",
+        "  packed array<bigint> signatures).** The old 4-bit bands +",
+        "  hamming-1 probes collided unrelated vectors at 5/16 per band —",
+        "  measured 77% of ALL sf0.1 pairs became candidates (brute force",
+        "  in disguise). Wide bands collide unrelated pairs at ~2^-16:",
+        "  measured 7e-4 candidate fraction (1078x fewer), recall on",
+        "  planted dups still 1.000 at every level (see LSH recall table),",
+        "  dedup_embedding 5.0s -> 1.4s at sf0.1. The band self-join now",
+        "  keys both sides identically, so the signature matmul runs once",
+        "  (ReusedExchange, plan-guarded) with no checkpoint.",
         "- **Connected components now large-star/small-star** (O(log n)",
         "  rounds): a 1024-node path converges in 11 rounds vs ~1024 for the",
         "  replaced min-label propagation; pytest pins the log2(n)+3 bound.",
@@ -349,8 +359,13 @@ def main() -> None:
                 "Measured by scripts/lsh_recall.py (minhash candidates vs",
                 "uncapped exact Jaccard; embedding LSH vs planted duplicates",
                 "at calibrated exact cosines — the testdata has no natural",
-                "near-dup vectors, max pairwise cosine 0.60). Shipped",
-                "parameters (h=16, b=4 / p=16, b=4) meet the >=0.95 bar:",
+                "near-dup vectors, max pairwise cosine 0.60). Shipped dedup",
+                "parameters (minhash h=16 b=4; embedding p=384 b=16) meet",
+                "the >=0.95 bar. The ANN top-k row is measured in the HARD",
+                "regime by construction: random vectors put the true top-10",
+                "at cosine ~0.3-0.45, where hyperplane LSH is weakest — on",
+                "corpora with real near-neighbors (cos >= 0.7, band hit",
+                "p >= 0.35/band) the same parameters retrieve >= 0.99:",
                 "",
                 (REPO / "BENCH" / "lsh_recall.md").read_text().rstrip(),
             ]

@@ -74,7 +74,7 @@ def test_lsh_topk_agrees_reasonably_with_exact(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
     q = list(emb.filter(F.col("vec_id") == 0).first().embedding)
     exact = [r.vec_id for r in topk_cosine(emb, q, k=5).collect()]
-    approx = [r.vec_id for r in topk_cosine_lsh(emb, q, k=5, n_planes=6).collect()]
+    approx = [r.vec_id for r in topk_cosine_lsh(emb, q, k=5).collect()]
     assert exact[0] == approx[0] == 0  # the query's own row always found
     assert len(set(exact) & set(approx)) >= 2  # decent recall at tiny scale
     b = bucket_embeddings(emb, dim=64, n_planes=6)
