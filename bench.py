@@ -104,9 +104,15 @@ def main() -> None:
         if only_set is not None and name not in only_set:
             return
         fn()  # warm run: codegen + JIT, excluded from the measurement
-        t0 = time.perf_counter()
-        fn()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        # min of two measured runs: this shared VM shows rare 3-10x
+        # noise spikes (neighbor contention, GC alignment) that would
+        # otherwise be recorded as the operator's cost forever
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     # q1: the north-rule pipeline with model UDFs (the F1-bearing path)
     timed(
