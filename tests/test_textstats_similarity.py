@@ -166,6 +166,46 @@ def test_dedup_embedding_lsh_plan_has_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_dedup_embedding_lsh_band_bucket_cap(spark):
+    """Exact-duplicate-heavy input is the LSH skew case: identical
+    vectors share EVERY band bucket, so one hot bucket goes quadratic.
+    max_band_bucket skips candidate generation inside oversized buckets
+    (bounded work, recall loss confined to the capped buckets) while
+    distinct near-dup pairs elsewhere still dedup normally."""
+    import numpy as np
+
+    from oscar_tools_spark.operators.dedup import dedup_embedding_lsh
+
+    rng = np.random.default_rng(99)
+    dim = 16
+    hot = rng.standard_normal(dim)
+    hot /= np.linalg.norm(hot)
+    rows = [(i, [float(x) for x in hot]) for i in range(50)]  # 50 exact dups
+    v = rng.standard_normal(dim)
+    v /= np.linalg.norm(v)
+    w = v + 0.001 * rng.standard_normal(dim)
+    w /= np.linalg.norm(w)
+    rows += [(100, [float(x) for x in v]), (101, [float(x) for x in w])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    uncapped = {
+        r.vec_id
+        for r in dedup_embedding_lsh(df, "vec_id", dim=dim, threshold=0.99).collect()
+    }
+    assert uncapped == {0, 100}  # one survivor per duplicate set
+
+    capped = {
+        r.vec_id
+        for r in dedup_embedding_lsh(
+            df, "vec_id", dim=dim, threshold=0.99, max_band_bucket=10
+        ).collect()
+    }
+    # hot-bucket members are exempted from pairing (kept), the pair in
+    # normal-sized buckets still dedups
+    assert set(range(50)) <= capped
+    assert capped & {100, 101} == {100}
+
+
 def test_translate_counts_match_regex_strips(spark):
     """alpha_count/punct_count switched from char-class regexp_replace
     to translate() for the 20x fused-stage regex deopt (see
