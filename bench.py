@@ -71,7 +71,11 @@ def run_noop(df) -> None:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    sf = sf_of(sf_dir)
+    # SPARK_GRAFT_SF_FORCE scales the SYNTHESIZED transcripts table
+    # independently of the testdata dir (the doc/embedding tables top
+    # out at sf0.1) — used by scaling_bench --sf1 for the
+    # throughput-vs-input-size evidence
+    sf = float(os.environ.get("SPARK_GRAFT_SF_FORCE") or sf_of(sf_dir))
     spark = get_spark(
         f"bench-{cpus}",
         cores=cpus,

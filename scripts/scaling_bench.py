@@ -152,6 +152,55 @@ def measure_full32(sf_dir: str) -> None:
     print("full32 done")
 
 
+def measure_sf1(sf_dir: str) -> None:
+    """10x the transcript volume (sf=1.0, ~5.7M turns) at local[32]:
+    flat turns/s vs the sf0.1 run is the throughput-vs-input-size
+    evidence (the per-turn work is row-local; only the shuffle-free
+    scan grows)."""
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SF_DIR=sf_dir,
+        SPARK_GRAFT_CPUS="32",
+        SPARK_GRAFT_SF_FORCE="1.0",
+        SPARK_GRAFT_BENCH_ONLY=",".join(PIPELINES),
+    )
+    out = subprocess.run(
+        [sys.executable, str(REPO / "bench.py")],
+        env=env, capture_output=True, text=True, check=True,
+    )
+    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+    (REPO / "BENCH" / "raw_sf1.json").write_text(
+        json.dumps(json.loads(line), indent=2)
+    )
+    print("sf1 done")
+
+
+def _sf1_section(full32: dict) -> list[str]:
+    """Throughput-vs-input-size table when the --sf1 run exists."""
+    p = REPO / "BENCH" / "raw_sf1.json"
+    if not p.exists():
+        return []
+    sf1 = json.loads(p.read_text())
+    lines = [
+        "",
+        "## Throughput vs input size (local[32], same code, 10x the turns)",
+        "",
+        "Per-turn work is row-local (one codegen stage / one Arrow",
+        "stage, no shuffle), so turns/s should hold as the input grows —",
+        "the property that matters at 10^12 turns, where 'fast at sf0.1'",
+        "means nothing unless it is also flat in n:",
+        "",
+        "| query | turns/s @ sf0.1 (574k turns) | turns/s @ sf1.0 "
+        f"({sf1['n_turns']:,} turns) | ratio |",
+        "|---|---|---|---|",
+    ]
+    for q, key in (("pipeline_model", "turns_per_sec_model"),
+                   ("pipeline_expr", "turns_per_sec_expr")):
+        a, b = full32[key], sf1[key]
+        lines.append(f"| {q} | {a:,.0f} | {b:,.0f} | {b / a:.2f} |")
+    return lines
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     if len(sys.argv) > 2 and sys.argv[2] == "--level":
@@ -162,6 +211,9 @@ def main() -> None:
         return
     if len(sys.argv) > 2 and sys.argv[2] == "--full32":
         measure_full32(sf_dir)
+        return
+    if len(sys.argv) > 2 and sys.argv[2] == "--sf1":
+        measure_sf1(sf_dir)
         return
     # report mode: assemble from raw files (running any missing level inline)
     results = {}
@@ -351,6 +403,7 @@ def main() -> None:
         "```json",
         json.dumps(full32, indent=2),
         "```",
+        *_sf1_section(full32),
         *(
             [
                 "",
