@@ -241,6 +241,19 @@ def q_topk_cosine_lsh(spark, sf_dir):
     return topk_cosine_lsh(emb, q, k=10).select("vec_id")
 
 
+def q_topk_cosine_ivf(spark, sf_dir):
+    """ANN top-k via IVF coarse quantization (rows-only check: cell
+    assignment depends on float k-means centroids, not SQL-portable;
+    deterministic within Spark — bounded lowest-key sample, stride
+    init, Lloyd in numpy). Exact-scan twin: ``topk_cosine_ids``."""
+    from oscar_tools_spark.operators.similarity import topk_cosine_ivf
+
+    _ensure_shipped(spark)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = list(emb.filter(F.col("vec_id") == 0).first().embedding)
+    return topk_cosine_ivf(emb, q, k=10, n_centroids=16, n_probe=4).select("vec_id")
+
+
 def q_events_hourly(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return (
@@ -479,6 +492,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "update_lang_codes": q_update_lang_codes,
         "topk_cosine_ids": q_topk_cosine_ids,
         "topk_cosine_lsh": q_topk_cosine_lsh,
+        "topk_cosine_ivf": q_topk_cosine_ivf,
         "events_hourly": q_events_hourly,
         "sessionize": q_sessionize,
         "topk_per_lang": q_topk_per_lang,

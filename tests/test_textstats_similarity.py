@@ -166,6 +166,34 @@ def test_dedup_embedding_lsh_plan_has_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_ivf_topk_deterministic_and_overlaps_exact(spark, sf_dir):
+    """IVF ANN: deterministic (bounded lowest-key sample + stride init,
+    no RNG), finds the query's own row, and overlaps the exact top-k."""
+    from oscar_tools_spark.operators.similarity import (
+        ivf_centroids,
+        topk_cosine,
+        topk_cosine_ivf,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+    q = list(emb.filter(F.col("vec_id") == 0).first().embedding)
+    exact = [r.vec_id for r in topk_cosine(emb, q, k=5).collect()]
+    a1 = [r.vec_id for r in topk_cosine_ivf(emb, q, k=5, n_centroids=16, n_probe=4).collect()]
+    a2 = [r.vec_id for r in topk_cosine_ivf(emb, q, k=5, n_centroids=16, n_probe=4).collect()]
+    assert a1 == a2  # deterministic end to end
+    assert a1[0] == exact[0] == 0
+    assert len(set(exact) & set(a1)) >= 2
+    # probing ALL cells must recover the exact scan
+    full = [r.vec_id for r in topk_cosine_ivf(emb, q, k=5, n_centroids=16, n_probe=16).collect()]
+    assert full == exact
+    # unit centroids
+    import numpy as np
+
+    cent = ivf_centroids(emb, 64, n_centroids=16)
+    assert np.allclose(np.linalg.norm(cent, axis=1), 1.0)
+    emb.unpersist()
+
+
 def test_dedup_embedding_lsh_band_bucket_cap(spark):
     """Exact-duplicate-heavy input is the LSH skew case: identical
     vectors share EVERY band bucket, so one hot bucket goes quadratic.
