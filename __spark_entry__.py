@@ -241,6 +241,47 @@ def q_topk_cosine_lsh(spark, sf_dir):
     return topk_cosine_lsh(emb, q, k=10).select("vec_id")
 
 
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-family repetition signals per document: duplicate 2-/3-
+    gram fractions (pure expressions over the shared shingle machinery)
+    plus the most-repeated-line fraction (explode -> two map-side-
+    combinable aggs)."""
+    from oscar_tools_spark.functions.textstats import dup_ngram_frac_expr
+
+    df = _docs(spark, sf_dir)
+    fr = df.select(
+        "doc_id",
+        F.round(dup_ngram_frac_expr(F.col("text"), 2), 6).alias("dup_2gram_frac"),
+        F.round(dup_ngram_frac_expr(F.col("text"), 3), 6).alias("dup_3gram_frac"),
+    )
+    lines = df.select(
+        "doc_id", F.explode(F.split(F.col("text"), "\n")).alias("line")
+    )
+    lr = (
+        lines.groupBy("doc_id", "line")
+        .count()
+        .groupBy("doc_id")
+        .agg(F.round(F.max("count") / F.sum("count"), 6).alias("max_line_frac"))
+    )
+    return fr.join(lr, "doc_id").orderBy("doc_id")
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: docs with doc_id % 50 == 0 play the
+    eval suite; corpus docs sharing >= 1 distinct word 8-gram with any
+    of them are dropped (broadcast of the benchmark shingle set)."""
+    from oscar_tools_spark.operators.decontaminate import decontaminate
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    corp = docs.filter(F.col("doc_id") % 50 != 0)
+    return (
+        decontaminate(corp, bench, "doc_id", shingle_k=8)
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
 def q_topk_cosine_ivf(spark, sf_dir):
     """ANN top-k via IVF coarse quantization (rows-only check: cell
     assignment depends on float k-means centroids, not SQL-portable;
@@ -493,6 +534,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_cosine_ids": q_topk_cosine_ids,
         "topk_cosine_lsh": q_topk_cosine_lsh,
         "topk_cosine_ivf": q_topk_cosine_ivf,
+        "repetition_stats": q_repetition_stats,
+        "decontaminate": q_decontaminate,
         "events_hourly": q_events_hourly,
         "sessionize": q_sessionize,
         "topk_per_lang": q_topk_per_lang,
@@ -543,5 +586,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_hamming_dedup": O.q_simhash_hamming_dedup(),
         "sample_with_replacement": O.q_sample_with_replacement(SAMPLE_BUDGET),
         "corpus_stats": O.q_corpus_stats(),
+        "repetition_stats": O.q_repetition_stats(),
+        "decontaminate": O.q_decontaminate(),
         "curation_pipeline": O.q_curation_pipeline(),
     }

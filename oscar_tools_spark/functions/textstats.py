@@ -74,6 +74,33 @@ def quality_score_expr(text: Column) -> Column:
     return F.round(length_pts + alpha_pts + stop_pts + punct_pts, 4)
 
 
+def dup_ngram_frac_expr(text: Column, k: int = 3) -> Column:
+    """Fraction of word k-gram OCCURRENCES that are repeats of an
+    earlier k-gram in the same document — the Gopher-family repetition
+    signal ("fraction of duplicate n-grams"; Rae et al. §A.1.1). High
+    values mark template/boilerplate/looping text.
+
+    = (total_grams - distinct_grams) / total_grams, where total follows
+    directly from the word count (n - k + 1) and distinct reuses the
+    dedup family's shingle array — both integer-exact and mirrored in
+    the DuckDB oracle. Documents with fewer than k words score 0.0
+    (their single whole-text shingle cannot repeat); null text -> null.
+    """
+    from ..operators.dedup import word_shingles_expr
+
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(text), r"[^a-z0-9\s]", " "), r"\s+", " "
+        )
+    )
+    n = F.size(F.split(norm, " "))
+    total = n - F.lit(k - 1)
+    distinct = F.size(word_shingles_expr(text, k))
+    return F.when(
+        n >= k, (total - distinct).cast("double") / total.cast("double")
+    ).otherwise(F.when(text.isNotNull(), F.lit(0.0)))
+
+
 def fingerprint_expr(text: Column) -> Column:
     """64-bit-ish document fingerprint of normalized text.
 

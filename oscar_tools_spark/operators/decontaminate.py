@@ -1,0 +1,77 @@
+"""Benchmark decontamination: drop training documents that share word
+n-grams with an evaluation/benchmark table.
+
+The standard LLM-pipeline guard against train/test leakage (GPT-3
+appendix C, Gopher §A.8): a document is contaminated when at least
+``min_hits`` distinct benchmark shingles (word n-grams, default k=8)
+appear in it. Shingling reuses the exact normalized-word machinery of
+the dedup family (``word_shingles_expr``) so the DuckDB oracle twin is
+the same SQL CTE.
+
+Scale shape: the benchmark side is SMALL by definition (eval suites are
+10^4-10^6 rows); its distinct shingle set is built once and broadcast,
+so the contamination check is a map-side hash semi-join against the
+exploded document shingles — no shuffle of the corpus, no all-pairs
+anything. The corpus side streams: explode -> broadcast-join ->
+map-side-combinable count per doc. For benchmark suites too large to
+broadcast, pass ``broadcast_benchmark=False`` and the same plan runs as
+a shuffle join on the shingle key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import _ensure_parallelism, word_shingles_expr
+
+
+def contamination_counts(
+    df: DataFrame,
+    benchmark: DataFrame,
+    key_col: str,
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    shingle_k: int = 8,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """(key, hits) — the number of DISTINCT benchmark shingles found in
+    each document; documents with zero hits are absent."""
+    bench = (
+        benchmark.select(
+            F.explode(
+                word_shingles_expr(F.col(bench_text_col), shingle_k)
+            ).alias("_s")
+        ).distinct()
+    )
+    if broadcast_benchmark:
+        bench = F.broadcast(bench)
+    doc_sh = _ensure_parallelism(df).select(
+        F.col(key_col),
+        F.explode(word_shingles_expr(F.col(text_col), shingle_k)).alias("_s"),
+    )
+    # word_shingles_expr is distinct per doc, so count(*) counts
+    # distinct contaminated shingles without a second dedup pass
+    return doc_sh.join(bench, "_s").groupBy(key_col).agg(
+        F.count("*").alias("hits")
+    )
+
+
+def decontaminate(
+    df: DataFrame,
+    benchmark: DataFrame,
+    key_col: str,
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    shingle_k: int = 8,
+    min_hits: int = 1,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Remove documents sharing >= ``min_hits`` distinct word
+    ``shingle_k``-grams with any benchmark row."""
+    hits = contamination_counts(
+        df, benchmark, key_col, text_col, bench_text_col, shingle_k,
+        broadcast_benchmark,
+    )
+    dirty = hits.filter(F.col("hits") >= min_hits).select(key_col)
+    return df.join(dirty, key_col, "left_anti")

@@ -541,3 +541,45 @@ scored as (
 )
 select vec_id from scored order by cos desc, vec_id limit {k}
 """
+
+
+def q_repetition_stats() -> str:
+    """Gopher-family repetition signals (Rae et al. §A.1.1): duplicate
+    word 2-/3-gram fractions (whole-word-count arithmetic + the shared
+    shingle CTE) and the most-repeated-line fraction."""
+    return f"""
+with __wtab as (select doc_id, text, {WORDS_SQL} as __w from documents),
+s as (select doc_id, text, len(__w) as n,
+             {shingles_sql(2)} as sh2, {shingles_sql(3)} as sh3
+      from __wtab),
+fr as (select doc_id,
+  case when n >= 2 then round((n - 1 - len(sh2)) / cast(n - 1 as double), 6)
+       else 0.0 end as dup_2gram_frac,
+  case when n >= 3 then round((n - 2 - len(sh3)) / cast(n - 2 as double), 6)
+       else 0.0 end as dup_3gram_frac
+  from s),
+lines as (select doc_id, unnest(string_split(text, chr(10))) as line from documents),
+lc as (select doc_id, line, count(*) as c from lines group by 1, 2),
+lr as (select doc_id, round(max(c) / cast(sum(c) as double), 6) as max_line_frac
+       from lc group by 1)
+select fr.doc_id, dup_2gram_frac, dup_3gram_frac, max_line_frac
+from fr join lr using (doc_id) order by doc_id
+"""
+
+
+def q_decontaminate(shingle_k: int = 8, modulus: int = 50) -> str:
+    """Benchmark decontamination twin: documents with doc_id % modulus
+    == 0 play the eval suite; corpus docs sharing >= 1 distinct word
+    k-gram with any of them are dropped."""
+    return f"""
+with bench_w as (select doc_id, {WORDS_SQL} as __w
+                 from documents where doc_id % {modulus} = 0),
+bench_sh as (select distinct unnest({shingles_sql(shingle_k)}) as s from bench_w),
+corp_w as (select doc_id, {WORDS_SQL} as __w
+           from documents where doc_id % {modulus} <> 0),
+corp_sh as (select doc_id, unnest({shingles_sql(shingle_k)}) as s from corp_w),
+dirty as (select distinct c.doc_id from corp_sh c join bench_sh b on c.s = b.s)
+select doc_id from documents
+where doc_id % {modulus} <> 0 and doc_id not in (select doc_id from dirty)
+order by doc_id
+"""

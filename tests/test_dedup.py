@@ -122,3 +122,65 @@ def test_jaccard_shingle_df_cap_bounds_blowup(spark):
     assert [(r.key_a, r.key_b) for r in capped] == [(100, 101)]
     uncapped = jaccard_pairs(df, "doc_id", threshold=0.3, max_shingle_df=None).collect()
     assert len(uncapped) > 1  # boilerplate connects many docs without the cap
+
+
+def test_decontaminate_drops_benchmark_overlap(spark):
+    """A doc sharing one distinct 8-gram with the benchmark is dropped;
+    clean docs and short benchmark rows (whole-text shingle fallback)
+    behave per the shared shingle semantics."""
+    from oscar_tools_spark.operators.decontaminate import (
+        contamination_counts,
+        decontaminate,
+    )
+
+    leak = "the quick brown fox jumps over the lazy dog tonight"
+    bench = spark.createDataFrame(
+        [(0, f"benchmark question: {leak} answer follows"), (1, "short row")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (10, f"training text that contains {leak} verbatim inside"),
+            (11, "completely unrelated training document with many fresh words"),
+            (12, "short row"),  # exact match of the short benchmark row
+        ],
+        "doc_id long, text string",
+    )
+    counts = {
+        r.doc_id: r.hits
+        for r in contamination_counts(corpus, bench, "doc_id").collect()
+    }
+    assert counts.get(10, 0) >= 1 and 11 not in counts
+    kept = sorted(
+        r.doc_id for r in decontaminate(corpus, bench, "doc_id").collect()
+    )
+    assert kept == [11]
+    # min_hits above the overlap keeps everything
+    kept_all = sorted(
+        r.doc_id
+        for r in decontaminate(corpus, bench, "doc_id", min_hits=100).collect()
+    )
+    assert kept_all == [10, 11, 12]
+
+
+def test_dup_ngram_frac_values(spark):
+    """Exact fractions: repeats / total k-gram occurrences."""
+    from oscar_tools_spark.functions.textstats import dup_ngram_frac_expr
+
+    rows = [
+        (0, "a b a b a b"),     # 3-grams: aba,bab,aba,bab -> 2 dup of 4
+        (1, "one two three"),   # single 3-gram, no repeats
+        (2, "tiny"),            # < k words -> 0.0
+        (3, "x x x x x"),       # 3-grams all identical: 2 dup of 3
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r.f
+        for r in df.select(
+            "doc_id", dup_ngram_frac_expr(F.col("text"), 3).alias("f")
+        ).collect()
+    }
+    assert out[0] == 0.5
+    assert out[1] == 0.0
+    assert out[2] == 0.0
+    assert abs(out[3] - 2 / 3) < 1e-12
