@@ -169,6 +169,15 @@ def main() -> None:
         "simhash_hamming_dedup",
         lambda: run_noop(dedup_simhash_hamming(docs, "doc_id", chunks=4)),
     )
+    # round-3 additions: decontamination + repetition signals
+    timed(
+        "decontaminate",
+        lambda: run_noop(E.q_decontaminate(spark, sf_dir)),
+    )
+    timed(
+        "repetition_stats",
+        lambda: run_noop(E.q_repetition_stats(spark, sf_dir)),
+    )
     # per-line langid over the transcripts table — the per-line hot path
     # (staged zip_with shape; the inline-HOF form measured 4x slower)
     timed(

@@ -52,6 +52,7 @@ def test_every_query_has_callable_and_oracle_alignment():
         "langid_model",
         "perplexity",
         "topk_cosine_lsh",
+        "topk_cosine_ivf",
     }
 
 
