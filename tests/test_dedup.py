@@ -161,6 +161,14 @@ def test_decontaminate_drops_benchmark_overlap(spark):
         for r in decontaminate(corpus, bench, "doc_id", min_hits=100).collect()
     )
     assert kept_all == [10, 11, 12]
+    # shuffle-join fallback (oversized benchmark suites) is result-equal
+    kept_shuffle = sorted(
+        r.doc_id
+        for r in decontaminate(
+            corpus, bench, "doc_id", broadcast_benchmark=False
+        ).collect()
+    )
+    assert kept_shuffle == kept
 
 
 def test_dup_ngram_frac_values(spark):
