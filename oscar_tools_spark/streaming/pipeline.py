@@ -63,6 +63,40 @@ def tag_rates(stream: DataFrame, window: str = "10 minutes", slide: str | None =
     )
 
 
+def dedup_stream(
+    stream: DataFrame,
+    keys: list[str] | None = None,
+    text_col: str = "text",
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming exact dedup: drop turns whose normalized-text
+    fingerprint was already seen within the watermark horizon.
+
+    The streaming analog of the batch ``dedup_docs_exact``/v1 dedup:
+    ``dropDuplicatesWithinWatermark`` keeps per-key state and EVICTS
+    keys older than the watermark horizon — plain ``dropDuplicates``
+    without the event-time column among its keys would grow state
+    forever, which no infinite stream survives. Fingerprint = the same
+    md5-based ``fingerprint_expr`` used batch-side, so batch and
+    streaming agree on what "duplicate" means. Pass explicit ``keys``
+    (e.g. ["conv_id"]) to scope dedup to a grouping instead of the
+    global corpus.
+    """
+    from ..functions.textstats import fingerprint_expr
+
+    fp_col = "_fp"
+    while fp_col in stream.columns:  # collision guard
+        fp_col += "_"
+    keyed = stream.withColumn(fp_col, fingerprint_expr(F.col(text_col)))
+    dedup_keys = (keys or []) + [fp_col]
+    return (
+        keyed.withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(dedup_keys)
+        .drop(fp_col)
+    )
+
+
 def run_to_parquet(
     curated: DataFrame, out_path: str, checkpoint: str, once: bool = True
 ):

@@ -90,3 +90,38 @@ def test_multimodal_raise_contract(spark):
     media = synth_media(spark, 3)
     with pytest.raises(Exception, match="NotImplementedError|decoding"):
         extract_features(media, decode_fn=RAISE).collect()
+
+
+def test_streaming_dedup_drops_repeats(spark, tmp_path):
+    """dropDuplicatesWithinWatermark keeps one row per normalized-text
+    fingerprint inside the horizon; batch fingerprint semantics apply
+    (whitespace/punctuation-insensitive exact dedup)."""
+    from datetime import datetime
+
+    from oscar_tools_spark.streaming.pipeline import dedup_stream, stream_transcripts
+
+    rows = [
+        ("c1", 0, "user", "Hello   world!", None, datetime(2024, 1, 1, 0, 0, 0)),
+        ("c1", 1, "user", "hello world", None, datetime(2024, 1, 1, 0, 0, 5)),
+        ("c2", 0, "user", "something else", None, datetime(2024, 1, 1, 0, 0, 7)),
+        ("c2", 1, "user", "HELLO WORLD", None, datetime(2024, 1, 1, 0, 0, 9)),
+    ]
+    src = str(tmp_path / "in")
+    spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    ).write.mode("overwrite").parquet(src)
+    q = (
+        dedup_stream(stream_transcripts(spark, src))
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_smoke")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert q.exception() is None
+    out = spark.sql("select text from dedup_smoke").collect()
+    texts = sorted(r.text for r in out)
+    # one survivor for the hello-world fingerprint + the distinct row
+    assert len(texts) == 2
+    assert "something else" in texts
