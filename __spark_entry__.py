@@ -241,6 +241,22 @@ def q_topk_cosine_lsh(spark, sf_dir):
     return topk_cosine_lsh(emb, q, k=10).select("vec_id")
 
 
+def q_sample_per_group(spark, sf_dir):
+    """Stratified budget sampling: an independent byte budget per lang
+    (the domain-mixing primitive). Per-group windows are natural window
+    partitions, so the prefix sum is one distributed window pass."""
+    from oscar_tools_spark.operators.sampling import sample_by_budget_per_group
+
+    return (
+        sample_by_budget_per_group(
+            _docs(spark, sf_dir), ["doc_id"], "lang", SAMPLE_BUDGET,
+            size_col="n_chars", seed=42,
+        )
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
 def q_repetition_stats(spark, sf_dir):
     """Gopher-family repetition signals per document: duplicate 2-/3-
     gram fractions (pure expressions over the shared shingle machinery)
@@ -536,6 +552,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_cosine_ivf": q_topk_cosine_ivf,
         "repetition_stats": q_repetition_stats,
         "decontaminate": q_decontaminate,
+        "sample_per_group": q_sample_per_group,
         "events_hourly": q_events_hourly,
         "sessionize": q_sessionize,
         "topk_per_lang": q_topk_per_lang,
@@ -588,5 +605,6 @@ def oracle_sql() -> dict[str, str]:
         "corpus_stats": O.q_corpus_stats(),
         "repetition_stats": O.q_repetition_stats(),
         "decontaminate": O.q_decontaminate(),
+        "sample_per_group": O.q_sample_budget_per_group(SAMPLE_BUDGET),
         "curation_pipeline": O.q_curation_pipeline(),
     }

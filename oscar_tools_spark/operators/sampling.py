@@ -184,3 +184,59 @@ def sample_by_budget_with_replacement(
         .distinct()
     )
     return df.join(chosen, key_cols, "left_semi").orderBy(*key_cols)
+
+
+def sample_by_budget_per_group(
+    df: DataFrame,
+    key_cols: list[str],
+    group_col: str,
+    budget_bytes: int | dict[str, int],
+    size_col: str | None = None,
+    text_col: str = "text",
+    seed: int = 42,
+) -> DataFrame:
+    """Stratified budget sampling — the domain-mixing primitive: an
+    independent byte budget PER ``group_col`` value (language, source,
+    domain), each with the same deterministic md5-shuffle +
+    strict-``<``-boundary semantics as ``sample_by_budget``.
+
+    ``budget_bytes`` is one budget applied to every group, or a
+    {group: budget} dict (groups absent from the dict are dropped —
+    an explicit mixing recipe samples nothing it does not name).
+
+    Scale shape: groups are natural window partitions, so the prefix
+    sum is ONE ``Window.partitionBy(group).orderBy(md5)`` pass — no
+    driver-side range offsets needed (that machinery exists to avoid a
+    single-partition GLOBAL window; per-group windows are already
+    distributed). Skewed groups shuffle as one partition each; for a
+    group so large that one partition cannot hold it, sample that group
+    alone with ``sample_by_budget`` (range-partitioned) instead.
+
+    Same determinism precondition as ``sample_by_budget``: ``df`` must
+    evaluate identically across jobs.
+    """
+    size = F.col(size_col) if size_col else F.octet_length(F.col(text_col))
+    keyed = _with_shuffle_key(df, key_cols, seed).withColumn(
+        "_sz", size.cast("bigint")
+    )
+    if isinstance(budget_bytes, dict):
+        budget_col = F.coalesce(
+            *[
+                F.when(F.col(group_col) == g, F.lit(b))
+                for g, b in sorted(budget_bytes.items())
+            ],
+            F.lit(None),
+        ) if budget_bytes else F.lit(None)
+    else:
+        budget_col = F.lit(budget_bytes)
+    w = Window.partitionBy(group_col).orderBy("_sk").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        keyed.withColumn("_budget", budget_col.cast("bigint"))
+        .filter(F.col("_sz") <= F.col("_budget"))
+        .withColumn("_cum", F.sum("_sz").over(w))
+        .filter(F.col("_cum") < F.col("_budget"))
+        .drop("_sk", "_sz", "_cum", "_budget")
+        .orderBy(*key_cols)
+    )

@@ -583,3 +583,22 @@ select doc_id from documents
 where doc_id % {modulus} <> 0 and doc_id not in (select doc_id from dirty)
 order by doc_id
 """
+
+
+def q_sample_budget_per_group(budget: int, seed: int = 42) -> str:
+    """Stratified (per-lang) budget sampling twin of
+    sampling.sample_by_budget_per_group: independent md5-shuffle prefix
+    sums per group, strict < boundary."""
+    return f"""
+with keyed as (
+  select doc_id, lang, n_chars,
+         md5('{seed}:' || cast(doc_id as varchar)) as sk
+  from documents where n_chars <= {budget}
+), cum as (
+  select doc_id,
+         sum(n_chars) over (partition by lang order by sk
+                            rows between unbounded preceding and current row) as c
+  from keyed
+)
+select doc_id from cum where c < {budget} order by doc_id
+"""

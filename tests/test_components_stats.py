@@ -68,3 +68,39 @@ def test_corpus_stats_and_histogram(spark, sf_dir):
 
     hist = {r.tag: r.n for r in tag_histogram(docs).collect()}
     assert sum(hist.values()) >= docs.count()
+
+
+def test_sample_per_group_budgets_are_independent(spark):
+    """Each group spends its own budget: per-group sampled bytes stay
+    under budget, groups do not steal from each other, and a dict
+    budget drops unnamed groups."""
+    from oscar_tools_spark.operators.sampling import (
+        sample_by_budget,
+        sample_by_budget_per_group,
+    )
+
+    rows = [(i, "a" if i % 2 == 0 else "b", 10) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string, sz int")
+    out = sample_by_budget_per_group(
+        df, ["doc_id"], "grp", 105, size_col="sz"
+    ).collect()
+    by_grp = {}
+    for r in out:
+        by_grp.setdefault(r.grp, []).append(r.doc_id)
+    # strict < boundary: 10 rows of 10 bytes reach cum 100, the 11th
+    # hits 110 which is not < 105 -> exactly 10 per group
+    assert sorted(len(v) for v in by_grp.values()) == [10, 10]
+    # per-group == running sample_by_budget on each group alone
+    for g in ("a", "b"):
+        solo = sorted(
+            r.doc_id
+            for r in sample_by_budget(
+                df.filter(F.col("grp") == g), ["doc_id"], 105, size_col="sz"
+            ).collect()
+        )
+        assert solo == sorted(by_grp[g])
+    # dict budgets: unnamed groups sample nothing
+    only_a = sample_by_budget_per_group(
+        df, ["doc_id"], "grp", {"a": 105}, size_col="sz"
+    ).collect()
+    assert {r.grp for r in only_a} == {"a"} and len(only_a) == 10
