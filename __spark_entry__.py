@@ -241,6 +241,19 @@ def q_topk_cosine_lsh(spark, sf_dir):
     return topk_cosine_lsh(emb, q, k=10).select("vec_id")
 
 
+def q_dedup_substring(spark, sf_dir):
+    """Long-gram exact-substring dedup (Lee et al. style): docs sharing
+    any word 20-gram with a lower-keyed doc are dropped. 20 grams (not
+    the 50 default) so the small testdata docs actually collide."""
+    from oscar_tools_spark.operators.dedup import dedup_exact_substring
+
+    return (
+        dedup_exact_substring(_docs(spark, sf_dir), "doc_id", gram_k=20)
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
 def q_sample_per_group(spark, sf_dir):
     """Stratified budget sampling: an independent byte budget per lang
     (the domain-mixing primitive). Per-group windows are natural window
@@ -553,6 +566,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "decontaminate": q_decontaminate,
         "sample_per_group": q_sample_per_group,
+        "dedup_substring": q_dedup_substring,
         "events_hourly": q_events_hourly,
         "sessionize": q_sessionize,
         "topk_per_lang": q_topk_per_lang,
@@ -606,5 +620,6 @@ def oracle_sql() -> dict[str, str]:
         "repetition_stats": O.q_repetition_stats(),
         "decontaminate": O.q_decontaminate(),
         "sample_per_group": O.q_sample_budget_per_group(SAMPLE_BUDGET),
+        "dedup_substring": O.q_dedup_substring(),
         "curation_pipeline": O.q_curation_pipeline(),
     }

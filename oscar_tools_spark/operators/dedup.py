@@ -267,6 +267,53 @@ def dedup_simhash(df: DataFrame, key_col: str, text_col: str = "text") -> DataFr
     return keyed.join(winner, ["simhash", key_col], "left_semi").drop("simhash")
 
 
+# ------------------------------------------------- long-gram substring dedup
+
+
+def dedup_exact_substring(
+    df: DataFrame,
+    key_col: str,
+    text_col: str = "text",
+    gram_k: int = 50,
+) -> DataFrame:
+    """Drop documents sharing ANY exact word ``gram_k``-gram with a
+    lower-keyed document — the distributable approximation of
+    suffix-array substring dedup (Lee et al., "Deduplicating Training
+    Data Makes Language Models Better": a shared 50-token span marks a
+    near-verbatim copy regardless of the rest of the document).
+
+    Greedy lowest-key-wins, consistent with the other dedup families.
+    Plan: explode grams (md5 to 64-bit so the shuffle carries 8-byte
+    keys, not 300-byte strings) -> map-side-combinable min(key) per
+    gram -> re-join to flag non-winners -> anti-join. Long grams are
+    near-unique outside true copies, so per-gram groups are tiny and
+    skew-free; documents shorter than ``gram_k`` words fall back to
+    their whole normalized text (exact-duplicate semantics), matching
+    the shared shingle definition and its DuckDB oracle.
+    """
+    grams = (
+        _ensure_parallelism(df)
+        .select(
+            F.col(key_col).alias("_k"),
+            F.explode(word_shingles_expr(F.col(text_col), gram_k)).alias("_s"),
+        )
+        .select(
+            "_k",
+            F.conv(F.substring(F.md5(F.col("_s")), 1, 15), 16, 10)
+            .cast("bigint")
+            .alias("_g"),
+        )
+    )
+    winners = grams.groupBy("_g").agg(F.min("_k").alias("_w"))
+    dirty = (
+        grams.join(winners, "_g")
+        .filter(F.col("_k") != F.col("_w"))
+        .select(F.col("_k").alias(key_col))
+        .distinct()
+    )
+    return df.join(dirty, key_col, "left_anti")
+
+
 # ------------------------------------------------------------ n-gram Jaccard
 
 

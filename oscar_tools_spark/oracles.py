@@ -602,3 +602,19 @@ with keyed as (
 )
 select doc_id from cum where c < {budget} order by doc_id
 """
+
+
+def q_dedup_substring(gram_k: int = 20) -> str:
+    """Long-gram substring dedup twin of dedup.dedup_exact_substring:
+    drop docs sharing any word k-gram (md5 -> 60-bit int, identical
+    integer arithmetic) with a lower-keyed doc."""
+    return f"""
+with __wtab as (select doc_id, {WORDS_SQL} as __w from documents),
+g0 as (select doc_id, unnest({shingles_sql(gram_k)}) as s from __wtab),
+g as (select doc_id, ('0x' || substr(md5(s), 1, 15))::bigint as gv from g0),
+w as (select gv, min(doc_id) as winner from g group by gv),
+dirty as (select distinct g.doc_id from g join w using (gv)
+          where g.doc_id <> w.winner)
+select doc_id from documents
+where doc_id not in (select doc_id from dirty) order by doc_id
+"""

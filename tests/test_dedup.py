@@ -192,3 +192,28 @@ def test_dup_ngram_frac_values(spark):
     assert out[1] == 0.0
     assert out[2] == 0.0
     assert abs(out[3] - 2 / 3) < 1e-12
+
+
+def test_dedup_exact_substring_semantics(spark):
+    """A shared k-gram span anywhere in two docs drops the higher key;
+    short docs fall back to whole-text exact-dup semantics."""
+    from oscar_tools_spark.operators.dedup import dedup_exact_substring
+
+    span = " ".join(f"w{i}" for i in range(10))  # a 10-word span
+    rows = [
+        (1, f"prefix one {span} suffix alpha"),
+        (2, f"totally different framing here {span} and more trailing words"),
+        (3, "no overlap with anything else in this tiny corpus at all ok"),
+        (4, "short doc"),
+        (5, "short doc"),  # whole-text fallback: exact dup of 4
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = sorted(
+        r.doc_id for r in dedup_exact_substring(df, "doc_id", gram_k=10).collect()
+    )
+    assert kept == [1, 3, 4]
+    # gram_k larger than every doc -> whole-text fallback only
+    kept_all = sorted(
+        r.doc_id for r in dedup_exact_substring(df, "doc_id", gram_k=100).collect()
+    )
+    assert kept_all == [1, 2, 3, 4]
