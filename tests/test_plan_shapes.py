@@ -152,3 +152,22 @@ def test_no_cartesian_in_any_driver_query(spark):
         plan = _plan(fn(spark, sf))
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_decontaminate_broadcasts_benchmark_side(spark):
+    """The corpus side must NOT shuffle: the benchmark shingle set is
+    the broadcast build side of a hash join, so the contamination check
+    is map-side over the exploded corpus shingles."""
+    from oscar_tools_spark.operators.decontaminate import contamination_counts
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    corp = docs.filter(F.col("doc_id") % 50 != 0)
+    plan = _plan(contamination_counts(corp, bench, "doc_id"))
+    assert "BroadcastHashJoin" in plan
+    # exactly two hash exchanges, both small: the benchmark-side
+    # distinct and the final per-doc count (which must partial-agg
+    # map-side). The exploded CORPUS shingles never hash-shuffle.
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "partial_count" in plan
+    assert "hashpartitioning(_s" not in plan.split("BroadcastExchange")[0]
