@@ -169,7 +169,7 @@ def main() -> None:
         "simhash_hamming_dedup",
         lambda: run_noop(dedup_simhash_hamming(docs, "doc_id", chunks=4)),
     )
-    # round-3 additions: decontamination + repetition signals
+    # round-3 additions: decontamination + repetition signals + substring dedup
     timed(
         "decontaminate",
         lambda: run_noop(E.q_decontaminate(spark, sf_dir)),
@@ -177,6 +177,10 @@ def main() -> None:
     timed(
         "repetition_stats",
         lambda: run_noop(E.q_repetition_stats(spark, sf_dir)),
+    )
+    timed(
+        "dedup_substring",
+        lambda: run_noop(E.q_dedup_substring(spark, sf_dir)),
     )
     # per-line langid over the transcripts table — the per-line hot path
     # (staged zip_with shape; the inline-HOF form measured 4x slower)
