@@ -389,6 +389,16 @@ def main() -> None:
         "  dedup_embedding 5.0s -> 1.4s at sf0.1. The band self-join now",
         "  keys both sides identically, so the signature matmul runs once",
         "  (ReusedExchange, plan-guarded) with no checkpoint.",
+        "- **Global orderBy double-evaluates expensive projections.** A",
+        "  Sort range-samples its child in a separate job, so heavy",
+        "  expressions BELOW the Sort run twice; the flagship curation",
+        "  query went 2.8s -> 1.85s at sf0.1 by sorting the narrow frame",
+        "  and projecting scrub/score ABOVE the Sort (same rows/order/",
+        "  values, oracle-pinned). Pattern: never put non-cheap",
+        "  projections under a global sort.",
+        "- **Bench records min-of-two measured runs** (after the warm",
+        "  run): this shared VM shows rare 3-10x noise spikes that a",
+        "  single measurement would immortalize as an operator's cost.",
         "- **Connected components now large-star/small-star** (O(log n)",
         "  rounds): a 1024-node path converges in 11 rounds vs ~1024 for the",
         "  replaced min-label propagation; pytest pins the log2(n)+3 bound.",
