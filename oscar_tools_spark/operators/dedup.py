@@ -291,7 +291,14 @@ def dedup_exact_substring(
     their whole normalized text (exact-duplicate semantics), matching
     the shared shingle definition and its DuckDB oracle.
     """
-    grams = (
+    from ..plans.materialize import materialize
+
+    # materialize the (key, gram-hash) frame once: its two consumers
+    # (winner agg, flag join) shuffle on the same key but column-pruned
+    # canonicalization breaks exchange reuse — without this the shingle
+    # explode + md5 ran twice (same defect class as jaccard_pairs,
+    # plan-guarded below)
+    grams = materialize(
         _ensure_parallelism(df)
         .select(
             F.col(key_col).alias("_k"),

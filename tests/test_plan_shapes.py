@@ -141,6 +141,16 @@ def test_jaccard_pairs_computes_shingles_once(spark):
     assert plan.count("Generate explode") == 0, plan[:2000]
 
 
+def test_substring_dedup_computes_grams_once(spark):
+    """The gram frame feeds the winner agg and the flag join; pruned
+    canonicalization breaks exchange reuse, so without materialization
+    the explode + md5 ran twice."""
+    from oscar_tools_spark.operators.dedup import dedup_exact_substring
+
+    plan = _plan(dedup_exact_substring(_docs(spark), "doc_id", gram_k=20))
+    assert plan.count("Generate explode") == 0, plan[:2000]
+
+
 def test_no_cartesian_in_any_driver_query(spark):
     """Every contract query must plan without CartesianProduct /
     BroadcastNestedLoopJoin — the all-pairs shapes that cannot survive
