@@ -1,0 +1,68 @@
+"""Integration coverage for the spark-submit entry point — the one
+path the north rule names for deployment (jobs/curate_job.py). Runs
+main() in-process against the test session (spark-submit only supplies
+the session; the script itself just declares the plan)."""
+
+from __future__ import annotations
+
+import json
+import sys
+
+import pytest
+
+from oscar_tools_spark.datagen import synth_transcripts
+
+
+def _run_job(capsys, argv: list[str]) -> dict:
+    sys.path.insert(0, "/root/repo/jobs")
+    import curate_job
+
+    old = sys.argv
+    sys.argv = ["curate_job.py", *argv]
+    try:
+        curate_job.main()
+    finally:
+        sys.argv = old
+    out = [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")]
+    return json.loads(out[-1])
+
+
+@pytest.fixture()
+def transcripts_path(spark, tmp_path):
+    p = str(tmp_path / "in")
+    synth_transcripts(spark, 40).write.mode("overwrite").parquet(p)
+    return p
+
+
+def test_job_no_resume_writes_curated_output(spark, transcripts_path, tmp_path, capsys):
+    out_path = str(tmp_path / "out")
+    rec = _run_job(
+        capsys,
+        ["--input", transcripts_path, "--output", out_path,
+         "--exclude", "adult", "noisy", "--no-model", "--no-resume"],
+    )
+    assert rec == {"output": out_path, "resume": False}
+    out = spark.read.parquet(out_path)
+    for col in ("conv_id", "turn_idx", "text", "identification", "annotations",
+                "rule_hits", "model_versions", "source_part"):
+        assert col in out.columns, col
+    # excluded tags actually filtered
+    from pyspark.sql import functions as F
+
+    assert out.filter(
+        F.arrays_overlap(F.col("annotations"), F.array(F.lit("adult"), F.lit("noisy")))
+    ).count() == 0
+
+
+def test_job_resume_skips_completed_buckets(spark, transcripts_path, tmp_path, capsys):
+    out_path = str(tmp_path / "out")
+    argv = ["--input", transcripts_path, "--output", out_path,
+            "--no-model", "--buckets", "4"]
+    first = _run_job(capsys, argv)
+    assert first["buckets"] == 4 and first["rows"] > 0
+    n_rows = spark.read.parquet(out_path).count()
+    assert n_rows == first["rows"]
+    # second run: manifest says everything is done -> identical output
+    second = _run_job(capsys, argv)
+    assert second["rows"] == first["rows"]
+    assert spark.read.parquet(out_path).count() == n_rows
