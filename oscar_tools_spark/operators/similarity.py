@@ -71,7 +71,21 @@ def hyperplanes(n_planes: int, dim: int) -> list[list[float]]:
     # single-long signature, band_signature_udf per band key
     if n_planes < 1:
         raise ValueError(f"n_planes must be >= 1, got {n_planes}")
-    return [[_plane_component(p, d) for d in range(dim)] for p in range(n_planes)]
+    return [list(row) for row in _hyperplanes_cached(n_planes, dim)]
+
+
+from functools import lru_cache  # noqa: E402
+
+
+@lru_cache(maxsize=16)
+def _hyperplanes_cached(n_planes: int, dim: int) -> tuple[tuple[float, ...], ...]:
+    # md5-derived components are deterministic, so the (n_planes, dim)
+    # table is pure — cached because the 384-plane default costs ~25k
+    # md5 calls per operator construction (driver-side, but repeated in
+    # every query build)
+    return tuple(
+        tuple(_plane_component(p, d) for d in range(dim)) for p in range(n_planes)
+    )
 
 
 def lsh_signature_expr(vec: Column, planes: list[list[float]]) -> Column:
