@@ -417,6 +417,17 @@ def main() -> None:
         *(
             [
                 "",
+                "## Dedup throughput vs input size (10x near-dup expansion)",
+                "",
+                (REPO / "BENCH" / "dedup_scale.md").read_text()
+                .split("\n", 1)[1].strip(),
+            ]
+            if (REPO / "BENCH" / "dedup_scale.md").exists()
+            else []
+        ),
+        *(
+            [
+                "",
                 "## LSH recall vs exact ground truth (sf0.1)",
                 "",
                 "Measured by scripts/lsh_recall.py (minhash candidates vs",
