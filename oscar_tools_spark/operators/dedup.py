@@ -234,6 +234,12 @@ def simhash_table(
     word hashing 32x, since higher-order functions are interpreted with
     no codegen CSE).
     """
+    if not 1 <= bits <= 32:
+        # the base word hash is the md5's first 8 hex chars = 32 bits;
+        # bits > 32 would vote on always-zero positions and SILENTLY
+        # emit dead signature bits (and >= 63 would overflow the signed
+        # int64 packing). Widen the substring before widening bits.
+        raise ValueError(f"bits must be in [1, 32], got {bits}")
     words = F.array_distinct(
         F.split(
             F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9\s]", " ")),
