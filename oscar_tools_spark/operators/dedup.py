@@ -171,6 +171,11 @@ def minhash_bands(
 ) -> DataFrame:
     """(key_cols..., band_idx, band_key) — one row per (doc, band)."""
     sig = minhash_signatures(df, key_cols, text_col, num_hashes, shingle_k)
+    if num_hashes % band_size:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be a multiple of band_size "
+            f"({band_size}); trailing hashes would be silently ignored"
+        )
     n_bands = num_hashes // band_size
     bands = F.array(
         *[
@@ -548,6 +553,12 @@ def dedup_simhash_hamming(
     equi-join generates candidates; exact hamming (bit_count of xor)
     verifies; lowest key wins.
     """
+    if bits % chunks:
+        raise ValueError(
+            f"bits ({bits}) must be a multiple of chunks ({chunks}); "
+            "trailing bits would be silently excluded from every band "
+            "and the pigeonhole guarantee would not hold"
+        )
     width = bits // chunks
     sh = simhash_table(df, [key_col], text_col, bits)
     bands = sh.select(
