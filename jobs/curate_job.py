@@ -43,7 +43,18 @@ def main() -> None:
                     "plans/materialize.py)")
     args = ap.parse_args()
 
-    spark = SparkSession.builder.getOrCreate()
+    builder = SparkSession.builder
+    if args.checkpoint_dir:
+        # let the ContextCleaner delete reliable-checkpoint data once the
+        # DataFrame is GC'd (default false -> per-round checkpoints from
+        # connected components / jaccard / substring dedup would
+        # accumulate unbounded on the checkpoint FS for a long job).
+        # Must be on the SparkConf BEFORE the context exists; if
+        # spark-submit already created it, set the same key with --conf.
+        builder = builder.config(
+            "spark.cleaner.referenceTracking.cleanCheckpoints", "true"
+        )
+    spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     if args.checkpoint_dir:
         spark.sparkContext.setCheckpointDir(args.checkpoint_dir)

@@ -104,18 +104,42 @@ def connected_components(
     e = e0.filter(F.col("u") != F.col("v"))
     prev = _checksum(e)
     rounds = 0
+    converged = prev[0] == 0  # empty edge set is already a fixpoint
     for _ in range(max_iterations):
+        if converged:
+            break
         e = materialize(_small_star(_large_star(e)))
         rounds += 1
         cur = _checksum(e)
         if cur == prev:
+            converged = True
             break
         prev = cur
     if stats is not None:
         stats["rounds"] = rounds
-    # fixpoint is a star forest: e == (node, root). Roots (and isolated
-    # nodes, if the caller ever passes self-pairs) label themselves.
-    assigned = e.select(F.col("u").alias("node"), F.col("v").alias("component"))
+        stats["converged"] = converged
+    if not converged:
+        import warnings
+
+        warnings.warn(
+            f"connected_components: checksum did not stabilize within "
+            f"max_iterations={max_iterations} rounds; labels below are "
+            f"min-over-remaining-edges and may OVER-segment components "
+            f"(raise max_iterations — the doubling algorithm needs only "
+            f"O(log n) rounds)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    # fixpoint is a star forest: e == (node, root), one row per node.
+    # The min-agg is the identity there (each u has exactly one v) and
+    # makes the output well-formed — one label per node — even when the
+    # loop exhausted max_iterations mid-contraction (where raw e could
+    # still hold conflicting duplicate rows per node). Roots (and
+    # isolated nodes, if the caller ever passes self-pairs) label
+    # themselves.
+    assigned = e.groupBy(F.col("u").alias("node")).agg(
+        F.min("v").alias("component")
+    )
     self_labeled = nodes.join(
         assigned.select("node"), "node", "left_anti"
     ).select("node", F.col("node").alias("component"))

@@ -301,6 +301,11 @@ def dedup_exact_substring(
     skew-free; documents shorter than ``gram_k`` words fall back to
     their whole normalized text (exact-duplicate semantics), matching
     the shared shingle definition and its DuckDB oracle.
+
+    NOTE: calling this function EAGERLY RUNS a Spark job (the gram
+    frame is materialized via ``plans.materialize`` so its two
+    consumers don't recompute the explode+md5) — plan construction is
+    not lazy here.
     """
     from ..plans.materialize import materialize
 
@@ -359,6 +364,12 @@ def jaccard_pairs(
     Sizes (the Jaccard denominator) are computed AFTER the cap so both
     sides of the ratio see the same shingle universe (mirrored in the
     DuckDB oracle). Returns (key_a, key_b, jaccard) with key_a < key_b.
+
+    NOTE: calling this function EAGERLY RUNS a Spark job (the shingle
+    frame is materialized via ``plans.materialize`` so its three
+    consumers don't recompute the explode) — plan construction is not
+    lazy here. The same applies to ``dedup_jaccard`` and
+    ``connected_components``, which build on it.
     """
     from ..plans.materialize import materialize
 

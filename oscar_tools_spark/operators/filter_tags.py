@@ -101,11 +101,11 @@ def keep_expr_from_text(
         if not exc:
             # untagged -> keep (clean irrelevant); tagged -> drop
             return ~any_of(list(conds))
-        if clean:
-            # untagged kept by clean; tagged kept unless excluded —
-            # i.e. keep == not excluded
-            return ~exc_hit
-        return ~exc_hit  # untagged keep; tagged non-excluded keep
+        # exclude-only: untagged docs are kept whether or not `clean` is
+        # set (clean only matters for tag-less docs, and with include
+        # empty those are kept regardless), and tagged docs are kept
+        # unless excluded — so both arms collapse to NOT excluded.
+        return ~exc_hit
     inc_subset = conds[inc[0]]
     for t in inc[1:]:
         inc_subset = inc_subset & conds[t]

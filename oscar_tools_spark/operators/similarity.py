@@ -309,6 +309,14 @@ def topk_cosine_lsh(
     query; for repeated-query serving, persist signatures once via
     ``bucket_embeddings`` + ``bucketBy`` writes instead.
     """
+    if n_planes % band_size:
+        # fail here with the same message as band_signature_udf — a
+        # non-divisible pair would otherwise surface as an opaque numpy
+        # reshape error on the query side before the udf guard is hit
+        raise ValueError(
+            f"n_planes ({n_planes}) must be a multiple of band_size "
+            f"({band_size}); trailing planes would be silently ignored"
+        )
     dim = len(query_vec)
     planes = hyperplanes(n_planes, dim)
     n_bands = n_planes // band_size

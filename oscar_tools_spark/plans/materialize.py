@@ -15,6 +15,14 @@ set. Cluster jobs should call
 ``spark.sparkContext.setCheckpointDir("hdfs://...")`` (jobs/curate_job
 exposes ``--checkpoint-dir`` for this); tests and local runs need
 nothing.
+
+Cleanup caveat: reliable checkpoint files are deleted by the
+ContextCleaner ONLY when ``spark.cleaner.referenceTracking.
+cleanCheckpoints=true`` (default false) is on the SparkConf at context
+creation — otherwise every per-round checkpoint from the iterative
+operators stays on the checkpoint filesystem for the life of the job.
+jobs/curate_job sets it whenever ``--checkpoint-dir`` is passed; other
+entry points should do the same (or clean the directory between runs).
 """
 
 from __future__ import annotations
