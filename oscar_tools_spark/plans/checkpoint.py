@@ -4,8 +4,20 @@ North-rule requirement: a 10^12-turn job must survive restarts without
 recomputing finished work. The unit of commit is a *conversation
 bucket*: ``pmod(xxhash64(conv_id), n_buckets)`` — coarse enough that
 the manifest stays tiny (one line per bucket), fine enough that a
-restart loses at most 1/n_buckets of progress. Conversations never
+restart loses at most one pass of progress. Conversations never
 straddle buckets, so per-turn AND per-conversation semantics are safe.
+
+Scan economics (why single-pass): ``_bucket`` is a COMPUTED column —
+no source supports pushdown or partition pruning on it, so a loop that
+filters the input once per bucket reads the FULL input n_buckets times
+(at 100 TB with 16 buckets: 1.6 PB of scan to write 100 TB). The
+default path therefore writes ALL not-yet-done buckets in ONE job via
+``partitionBy`` with dynamic partition overwrite, and derives the
+manifest records from the committed partition listing. The per-bucket
+loop survives only as the explicit retry path (``per_bucket=True``)
+for isolating a poisoned bucket, and ``buckets_per_pass`` offers the
+middle ground — commit granularity of k buckets at a scan cost of
+ceil(todo/k) passes.
 
 The manifest is a JSONL sidecar next to the output: one record per
 completed bucket with row counts and the model versions that produced
@@ -25,6 +37,10 @@ from pyspark.sql import functions as F
 
 from .pipeline import MODEL_VERSIONS
 
+# partition-directory column name; fixed so resumed runs and
+# read_resumable_output agree on the layout (out_path/bucket=N/...)
+BUCKET_COL = "bucket"
+
 
 def bucket_expr(conv_col: str, n_buckets: int):
     return F.pmod(F.xxhash64(F.col(conv_col)), F.lit(n_buckets))
@@ -41,6 +57,36 @@ def load_manifest(manifest_path: str) -> dict[int, dict]:
     return done
 
 
+def _append_manifest(manifest_path: str, rec: dict) -> None:
+    with open(manifest_path, "a") as f:
+        f.write(json.dumps(rec) + "\n")
+
+
+def _bucket_counts(
+    spark: SparkSession, out_path: str, buckets: list[int]
+) -> dict[int, int]:
+    """Row count per committed bucket partition (0 for buckets that
+    produced no rows — dynamic overwrite writes no dir for them).
+    Parquet count() resolves from footer metadata, not a data scan."""
+    paths = [
+        os.path.join(out_path, f"{BUCKET_COL}={b}")
+        for b in buckets
+        if os.path.exists(os.path.join(out_path, f"{BUCKET_COL}={b}"))
+    ]
+    counts = dict.fromkeys(buckets, 0)
+    if paths:
+        rows = (
+            spark.read.option("basePath", out_path)
+            .parquet(*paths)
+            .groupBy(BUCKET_COL)
+            .count()
+            .collect()
+        )
+        for r in rows:
+            counts[int(r[BUCKET_COL])] = int(r["count"])
+    return counts
+
+
 def run_resumable(
     df: DataFrame,
     transform: Callable[[DataFrame], DataFrame],
@@ -48,42 +94,119 @@ def run_resumable(
     n_buckets: int = 16,
     conv_col: str = "conv_id",
     manifest_path: str | None = None,
+    buckets_per_pass: int | None = None,
+    per_bucket: bool = False,
 ) -> dict[int, dict]:
-    """Run ``transform`` bucket-by-bucket, committing each bucket's
-    output and manifest line atomically-enough for restart safety
-    (output dir written before the manifest line; an interrupted bucket
-    is simply rewritten on resume — writes are idempotent per bucket).
+    """Run ``transform`` over the not-yet-done conversation buckets,
+    committing output partitions and manifest lines atomically-enough
+    for restart safety (partitions land via dynamic partition
+    overwrite BEFORE their manifest lines; an interrupted pass is
+    simply rewritten on resume — writes are idempotent per bucket).
+
+    ``transform`` must be conversation-local (it is applied to a union
+    of buckets, which is equivalent to per-bucket application exactly
+    when results only depend on rows of the same conversation — the
+    same property the bucket-commit semantics already require) and must
+    retain ``conv_col`` in its output; if it drops the column, the
+    per-bucket fallback path is used automatically.
+
+    ``buckets_per_pass`` trades scan count against commit granularity:
+    None (default) writes all incomplete buckets in one pass / one
+    input scan; k commits every k buckets at ceil(todo/k) scans.
+    ``per_bucket=True`` forces the one-bucket-per-job retry path (full
+    input scan per bucket — use it to isolate a failing bucket, not
+    for fresh runs).
 
     Returns the completed manifest {bucket: record}.
     """
     manifest_path = manifest_path or os.path.join(out_path, "_manifest.jsonl")
     os.makedirs(out_path, exist_ok=True)
     done = load_manifest(manifest_path)
-    bucketed = df.withColumn("_bucket", bucket_expr(conv_col, n_buckets))
+    todo = [b for b in range(n_buckets) if b not in done]
+    if not todo:
+        return done
 
-    for b in range(n_buckets):
-        if b in done:
-            continue
+    if per_bucket:
+        return _run_per_bucket(
+            df, transform, out_path, n_buckets, conv_col, manifest_path, done, todo
+        )
+
+    chunk = len(todo) if buckets_per_pass is None else max(1, buckets_per_pass)
+    for i in range(0, len(todo), chunk):
+        group = todo[i : i + chunk]
+        t0 = time.time()
+        part = df
+        if len(group) < n_buckets:
+            part = part.filter(bucket_expr(conv_col, n_buckets).isin(group))
+        out = transform(part)
+        if conv_col not in out.columns:
+            # cannot derive the partition column from the output —
+            # fall back to bucketing the INPUT per bucket (scan-heavy,
+            # but correct for projection-style transforms)
+            return _run_per_bucket(
+                df, transform, out_path, n_buckets, conv_col, manifest_path, done, todo
+            )
+        if BUCKET_COL in out.columns:
+            raise ValueError(
+                f"transform output already has a '{BUCKET_COL}' column; "
+                "rename it — run_resumable uses it as the partition dir"
+            )
+        (
+            out.withColumn(BUCKET_COL, bucket_expr(conv_col, n_buckets))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(BUCKET_COL)
+            .parquet(out_path)
+        )
+        secs = round(time.time() - t0, 3)
+        counts = _bucket_counts(df.sparkSession, out_path, group)
+        for b in group:
+            rec = {
+                "bucket": b,
+                "rows": counts[b],
+                "seconds": secs,
+                "pass_buckets": len(group),
+                "model_versions": MODEL_VERSIONS,
+                "path": os.path.join(out_path, f"{BUCKET_COL}={b}"),
+            }
+            _append_manifest(manifest_path, rec)
+            done[b] = rec
+    return done
+
+
+def _run_per_bucket(
+    df: DataFrame,
+    transform: Callable[[DataFrame], DataFrame],
+    out_path: str,
+    n_buckets: int,
+    conv_col: str,
+    manifest_path: str,
+    done: dict[int, dict],
+    todo: list[int],
+) -> dict[int, dict]:
+    """Retry path: one job (and one FULL input scan) per bucket."""
+    bucketed = df.withColumn("_bucket", bucket_expr(conv_col, n_buckets))
+    for b in todo:
         t0 = time.time()
         part = bucketed.filter(F.col("_bucket") == b).drop("_bucket")
         out = transform(part)
-        target = os.path.join(out_path, f"bucket={b}")
+        target = os.path.join(out_path, f"{BUCKET_COL}={b}")
         out.write.mode("overwrite").parquet(target)
         n_rows = out.sparkSession.read.parquet(target).count()
         rec = {
             "bucket": b,
             "rows": n_rows,
             "seconds": round(time.time() - t0, 3),
+            "pass_buckets": 1,
             "model_versions": MODEL_VERSIONS,
             "path": target,
         }
-        with open(manifest_path, "a") as f:
-            f.write(json.dumps(rec) + "\n")
+        _append_manifest(manifest_path, rec)
         done[b] = rec
     return done
 
 
 def read_resumable_output(spark: SparkSession, out_path: str) -> DataFrame:
     return spark.read.option("basePath", out_path).parquet(
-        os.path.join(out_path, "bucket=*")
+        os.path.join(out_path, f"{BUCKET_COL}=*")
     )
