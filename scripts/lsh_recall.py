@@ -217,25 +217,25 @@ def ann_recall(spark, sf_dir, n_queries=20, k=10):
         exact = {r.vec_id for r in topk_cosine(emb2, q, k=k).collect()}
         approx = {
             r.vec_id
-            for r in topk_cosine_ivf(emb2, q, k=k, n_centroids=64, n_probe=8).collect()
+            for r in topk_cosine_ivf(emb2, q, k=k).collect()
         }
         ivf_recalls.append(len(exact & approx) / k)
         ivf_fracs.append(
-            topk_cosine_ivf(emb2, q, k=n, n_centroids=64, n_probe=8).count() / n
+            topk_cosine_ivf(emb2, q, k=n).count() / n
         )
         top = {
             r.vec_id
-            for r in topk_cosine_ivf(aug, q, k=k, n_centroids=64, n_probe=8).collect()
+            for r in topk_cosine_ivf(aug, q, k=k).collect()
         }
         ivf_found += planted[qid] in top
     emb2.unpersist()
     rows.append(
-        f"| ANN topk IVF c=64 probe=8 | recall@{k}, {n_queries} queries | "
+        f"| ANN topk IVF defaults c=128 probe=16 assign=2 | recall@{k}, {n_queries} queries | "
         f"{k * n_queries} | scan {sum(ivf_fracs) / len(ivf_fracs):.1%} of rows | "
         f"{sum(ivf_recalls) / len(ivf_recalls):.3f} |"
     )
     rows.append(
-        f"| ANN topk IVF c=64 probe=8 (planted neighbor) | cos=0.9 in top-{k} | "
+        f"| ANN topk IVF defaults c=128 probe=16 assign=2 (planted neighbor) | cos=0.9 in top-{k} | "
         f"{n_queries} | found {ivf_found} | {ivf_found / n_queries:.3f} |"
     )
     return rows

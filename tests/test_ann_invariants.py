@@ -1,0 +1,123 @@
+"""Recall invariants for the approximate ANN paths (VERDICT r3 #2).
+
+``topk_cosine_lsh`` / ``topk_cosine_ivf`` are rows-only in the driver
+contract (float cosines, approximate by design) — but they DO admit a
+checkable set-level invariant: a planted true near-neighbor at
+cos >= 0.9 must appear in the approximate top-k, because at that
+similarity the analytic miss probability is negligible for both
+schemes (banded LSH: <= (1-s^band_size)^n_bands ~ 1e-4; IVF: the
+neighbor's multi-assigned cells overlap the query's probed cells).
+Previously this lived only in scripts/lsh_recall.py, where a refactor
+could zero ANN recall with no red light; this gate pins it.
+
+Everything here is deterministic (fixed rng seed, md5-derived planes,
+deterministic centroid init), so a pass is stable — not a statistical
+flake.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from oscar_tools_spark.operators.similarity import (
+    topk_cosine,
+    topk_cosine_ivf,
+    topk_cosine_lsh,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+N_QUERIES = 6
+K = 10
+TARGET_COS = 0.9
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    """Augmented embedding frame + {query_id: (query_vec, planted_id)}.
+
+    For each query vector, plant one perturbed copy at exact cosine
+    TARGET_COS (v' = normalize(v + eps*g), g unit, g ⟂ v,
+    cos = 1/sqrt(1+eps^2)) — same construction as scripts/lsh_recall.py.
+    """
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    pdf = emb.select("vec_id", "embedding").toPandas()
+    ids = pdf["vec_id"].to_numpy()
+    mat = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    dim = mat.shape[1]
+
+    rng = np.random.default_rng(7)
+    eps = float(np.sqrt(1.0 / TARGET_COS**2 - 1.0))
+    next_id = int(ids.max()) + 1
+    queries, new_rows = {}, []
+    for qi in range(N_QUERIES):
+        v = mat[qi]
+        g = rng.standard_normal(dim)
+        g -= g.dot(v) * v
+        g /= np.linalg.norm(g)
+        w = v + eps * g
+        w /= np.linalg.norm(w)
+        queries[int(ids[qi])] = ([float(x) for x in v], next_id)
+        new_rows.append((next_id, [float(x) for x in w]))
+        next_id += 1
+    aug = (
+        emb.select("vec_id", "embedding")
+        .union(
+            spark.createDataFrame(new_rows, "vec_id long, embedding array<double>")
+        )
+        .cache()
+    )
+    aug.count()
+    yield aug, queries
+    aug.unpersist()
+
+
+def test_exact_topk_finds_planted_neighbor(planted):
+    """Sanity: the exact scan ranks the planted cos-0.9 copy first
+    (background testdata vectors top out near cos 0.6)."""
+    aug, queries = planted
+    for qid, (q, planted_id) in queries.items():
+        top = topk_cosine(aug, q, k=K).collect()
+        # rank 1 is the query itself (cos 1.0 — it is in the corpus)
+        assert top[0].vec_id == qid and top[0].cosine == pytest.approx(1.0)
+        assert top[1].vec_id == planted_id
+        assert top[1].cosine == pytest.approx(TARGET_COS, abs=1e-3)
+
+
+def test_lsh_topk_contains_planted_neighbor(planted):
+    aug, queries = planted
+    for _, (q, planted_id) in queries.items():
+        got = {r.vec_id for r in topk_cosine_lsh(aug, q, k=K).collect()}
+        assert planted_id in got, f"LSH missed planted neighbor {planted_id}"
+
+
+def test_ivf_topk_contains_planted_neighbor(planted):
+    """At shipped defaults (c=128, probe=16, assign=2) — the 500-vector
+    base gives ~4 vectors/cell, the small-cell stress case."""
+    aug, queries = planted
+    for _, (q, planted_id) in queries.items():
+        got = {r.vec_id for r in topk_cosine_ivf(aug, q, k=K).collect()}
+        assert planted_id in got, f"IVF missed planted neighbor {planted_id}"
+
+
+def test_ivf_multi_assign_returns_sorted_cells(spark):
+    """n_assign cells come back nearest-first and distinct."""
+    from oscar_tools_spark.operators.similarity import ivf_assign_udf
+
+    rng = np.random.default_rng(3)
+    cent = rng.standard_normal((8, 4))
+    cent /= np.linalg.norm(cent, axis=1, keepdims=True)
+    vecs = [( [float(x) for x in rng.standard_normal(4)],) for _ in range(20)]
+    df = spark.createDataFrame(vecs, "embedding array<double>")
+    out = df.select(
+        ivf_assign_udf(cent, 3)(F.col("embedding")).alias("cells"),
+        "embedding",
+    ).collect()
+    for r in out:
+        v = np.asarray(r.embedding)
+        v /= np.linalg.norm(v)
+        sims = cent @ v
+        want = list(np.argsort(-sims)[:3])
+        assert list(r.cells) == [int(c) for c in want]
