@@ -254,6 +254,20 @@ def q_dedup_substring(spark, sf_dir):
     )
 
 
+def q_dedup_substring_excise(spark, sf_dir):
+    """Span-EXCISION substring dedup (Lee et al.'s actual semantics:
+    cut the duplicated 20-gram span out of higher-keyed docs, keep the
+    rest) — the token-preserving sibling of dedup_substring, which
+    drops whole documents."""
+    from oscar_tools_spark.operators.dedup import excise_exact_substring
+
+    return (
+        excise_exact_substring(_docs(spark, sf_dir), "doc_id", gram_k=20)
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+    )
+
+
 def q_sample_per_group(spark, sf_dir):
     """Stratified budget sampling: an independent byte budget per lang
     (the domain-mixing primitive). Per-group windows are natural window
@@ -572,6 +586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "sample_per_group": q_sample_per_group,
         "dedup_substring": q_dedup_substring,
+        "dedup_substring_excise": q_dedup_substring_excise,
         "events_hourly": q_events_hourly,
         "sessionize": q_sessionize,
         "topk_per_lang": q_topk_per_lang,
@@ -626,5 +641,6 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": O.q_decontaminate(),
         "sample_per_group": O.q_sample_budget_per_group(SAMPLE_BUDGET),
         "dedup_substring": O.q_dedup_substring(),
+        "dedup_substring_excise": O.q_dedup_substring_excise(),
         "curation_pipeline": O.q_curation_pipeline(),
     }

@@ -286,6 +286,7 @@ def dedup_exact_substring(
     key_col: str,
     text_col: str = "text",
     gram_k: int = 50,
+    mode: str = "drop",
 ) -> DataFrame:
     """Drop documents sharing ANY exact word ``gram_k``-gram with a
     lower-keyed document — the distributable approximation of
@@ -302,12 +303,25 @@ def dedup_exact_substring(
     their whole normalized text (exact-duplicate semantics), matching
     the shared shingle definition and its DuckDB oracle.
 
+    ``mode="excise"`` switches to the Lee et al. span-REMOVAL
+    semantics via :func:`excise_exact_substring`: instead of dropping
+    the whole document, only the duplicated token span is cut out and
+    the surviving rows keep their (rewritten) text — at 100 TB the
+    difference between the two policies is real training tokens. The
+    two modes return different shapes (drop: surviving input rows;
+    excise: ALL rows, text rewritten), hence the explicit switch.
+
     NOTE: calling this function EAGERLY RUNS a Spark job (the gram
     frame is materialized via ``plans.materialize`` so its two
     consumers don't recompute the explode+md5) — plan construction is
     not lazy here.
     """
     from ..plans.materialize import materialize
+
+    if mode == "excise":
+        return excise_exact_substring(df, key_col, text_col, gram_k)
+    if mode != "drop":
+        raise ValueError(f"mode must be 'drop' or 'excise', got {mode!r}")
 
     # materialize the (key, gram-hash) frame once: its two consumers
     # (winner agg, flag join) shuffle on the same key but column-pruned
@@ -335,6 +349,136 @@ def dedup_exact_substring(
         .distinct()
     )
     return df.join(dirty, key_col, "left_anti")
+
+
+def excise_exact_substring(
+    df: DataFrame,
+    key_col: str,
+    text_col: str = "text",
+    gram_k: int = 50,
+) -> DataFrame:
+    """Span-excision substring dedup (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better" — the paper's actual
+    semantics: REMOVE the duplicated span, keep the rest): every word
+    ``gram_k``-gram whose globally-lowest-keyed occurrence lives in a
+    LOWER-keyed document is excised from this document, overlapping and
+    adjacent duplicate spans merged into one cut. Returns ALL input
+    rows; only documents that lost a span have ``text_col`` rewritten.
+
+    Token model (documented, deterministic, oracle-mirrored):
+    * tokens = whitespace split of the trimmed text; a gram is ``gram_k``
+      consecutive tokens with NON-EMPTY normalization (lowercase, strip
+      non-alphanumerics) — punctuation-only tokens don't break a gram,
+      they ride along inside the span and are excised with it. This is
+      the same gram universe as the drop mode's ``word_shingles_expr``.
+    * excised documents are reconstructed as their surviving tokens
+      joined by single spaces (token-level rewrite; original inter-token
+      whitespace is not preserved IN REWRITTEN DOCS — untouched docs
+      keep their exact original text).
+    * documents with fewer than ``gram_k`` eligible tokens are never
+      touched (no whole-text fallback here, unlike drop mode — there is
+      no span to excise).
+    * the lowest-keyed document holding a gram keeps all its text, even
+      if the gram repeats within it (greedy lowest-key-wins, consistent
+      with every dedup family in this module).
+
+    Scale shape: posexplode to (key, pos, token) rows -> per-document
+    window builds gram keys from ``gram_k-1`` leads (documents are
+    natural window partitions — one shuffle on the doc key, linear
+    scan within) -> map-side-combinable min(key) per 60-bit gram hash
+    -> flagged spans merged into islands per doc (second windowed pass
+    over FLAGGED rows only, so the covered-token explode is linear in
+    excised tokens, not k x flagged grams) -> anti-join on covered
+    positions -> per-doc ordered re-join of survivors. No all-pairs
+    joins anywhere; per-gram groups are tiny (long grams are
+    near-unique outside true copies).
+
+    NOTE: like the drop mode, calling this EAGERLY RUNS Spark jobs
+    (gram and island frames are materialized — multiple consumers).
+    """
+    from ..plans.materialize import materialize
+
+    if gram_k < 2:
+        raise ValueError(f"gram_k must be >= 2, got {gram_k}")
+    # single-space-normalized text: split(" ") then aligns raw token
+    # positions 1:1 with the per-token normalization below
+    nws = F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")
+    toks = _ensure_parallelism(df).select(
+        F.col(key_col).alias("_k"),
+        F.posexplode(F.split(nws, " ")).alias("_p", "_t"),
+    )
+    # per-token normalization staged in its OWN projection: fusing a
+    # char-class regex into a larger codegen stage measured 10-20x
+    # slower elsewhere in this repo (see functions/textstats.py)
+    ntoks = toks.select(
+        "_k",
+        "_p",
+        "_t",
+        F.regexp_replace(F.lower("_t"), "[^a-z0-9]", "").alias("_nt"),
+    )
+    wtoks = ntoks.filter(F.col("_nt") != "")
+    w = Window.partitionBy("_k").orderBy("_p")
+    gram = F.concat_ws(
+        " ", F.col("_nt"), *[F.lead("_nt", j).over(w) for j in range(1, gram_k)]
+    )
+    span_end = F.lead("_p", gram_k - 1).over(w)
+    grams = materialize(
+        wtoks.select(
+            "_k",
+            "_p",
+            F.conv(F.substring(F.md5(gram), 1, 15), 16, 10)
+            .cast("bigint")
+            .alias("_gh"),
+            span_end.alias("_pe"),
+        ).filter(F.col("_pe").isNotNull())
+    )
+    winners = grams.groupBy("_gh").agg(F.min("_k").alias("_w"))
+    flagged = (
+        grams.join(winners, "_gh")
+        .filter(F.col("_k") != F.col("_w"))
+        .select("_k", "_p", "_pe")
+    )
+    # merge overlapping/adjacent spans into islands so the covered-token
+    # explode is linear in excised tokens (a duplicated run would
+    # otherwise emit gram_k rows per gram before dedup)
+    prev_end = F.max("_pe").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    new_island = F.when(
+        prev_end.isNull() | (F.col("_p") > prev_end + 1), 1
+    ).otherwise(0)
+    islands = materialize(
+        flagged.withColumn(
+            "_isl",
+            F.sum(new_island).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("_k", "_isl")
+        .agg(F.min("_p").alias("_s"), F.max("_pe").alias("_e"))
+    )
+    covered = islands.select("_k", F.explode(F.sequence("_s", "_e")).alias("_p"))
+    touched = islands.select("_k").distinct().withColumn("_exc", F.lit(True))
+    rebuilt = (
+        toks.join(touched.select("_k"), "_k", "left_semi")
+        .join(covered, ["_k", "_p"], "left_anti")
+        .groupBy("_k")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_p", "_t"))),
+                    lambda x: x["_t"],
+                ),
+                " ",
+            ).alias("_new_text")
+        )
+    )
+    joined = (
+        df.join(touched.withColumnRenamed("_k", key_col), key_col, "left")
+        .join(rebuilt.withColumnRenamed("_k", key_col), key_col, "left")
+    )
+    return joined.withColumn(
+        text_col,
+        F.when(
+            F.col("_exc").isNotNull(), F.coalesce("_new_text", F.lit(""))
+        ).otherwise(F.col(text_col)),
+    ).drop("_exc", "_new_text")
 
 
 # ------------------------------------------------------------ n-gram Jaccard

@@ -618,3 +618,56 @@ dirty as (select distinct g.doc_id from g join w using (gv)
 select doc_id from documents
 where doc_id not in (select doc_id from dirty) order by doc_id
 """
+
+
+def q_dedup_substring_excise(gram_k: int = 20) -> str:
+    """Span-excision twin of dedup.excise_exact_substring: rebuild each
+    doc with every globally-duplicated word k-gram span (winner =
+    lowest doc_id) cut out; untouched docs keep their exact text.
+    Token model mirrors the Spark side: single-space-normalized split,
+    per-token lowercase/strip-non-alnum normalization, grams over
+    non-empty normalized tokens via window leads, covered raw-token
+    positions removed, survivors re-joined by single spaces."""
+    leads = ", ".join(f"lead(nt, {j}) over w" for j in range(1, gram_k))
+    return f"""
+with t0 as (
+  select doc_id, text,
+         string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ') as l
+  from documents),
+toks as (
+  select doc_id,
+         unnest(list_transform(l, (x, i) -> struct_pack(p := i - 1, t := x)),
+                recursive := true)
+  from t0),
+ntoks as (
+  select doc_id, p, t,
+         regexp_replace(lower(t), '[^a-z0-9]', '', 'g') as nt
+  from toks),
+wt as (select * from ntoks where nt <> ''),
+g0 as (
+  select doc_id, p, concat_ws(' ', nt, {leads}) as g,
+         lead(p, {gram_k - 1}) over w as pe
+  from wt window w as (partition by doc_id order by p)),
+g as (select doc_id, p, pe, ('0x' || substr(md5(g), 1, 15))::bigint as gh
+      from g0 where pe is not null),
+wnr as (select gh, min(doc_id) as w from g group by gh),
+flagged as (select g.doc_id, g.p, g.pe
+            from g join wnr using (gh) where g.doc_id <> wnr.w),
+covered as (select distinct doc_id, unnest(range(p, pe + 1)) as p from flagged),
+touched as (select distinct doc_id from flagged),
+kept as (
+  select tk.doc_id, tk.p, tk.t
+  from toks tk
+  join touched using (doc_id)
+  left join covered c on c.doc_id = tk.doc_id and c.p = tk.p
+  where c.p is null),
+rebuilt as (select doc_id, string_agg(t, ' ' order by p) as new_text
+            from kept group by doc_id)
+select d.doc_id,
+       case when touched.doc_id is not null
+            then coalesce(rebuilt.new_text, '') else d.text end as text
+from documents d
+left join touched on touched.doc_id = d.doc_id
+left join rebuilt on rebuilt.doc_id = d.doc_id
+order by d.doc_id
+"""

@@ -217,3 +217,88 @@ def test_dedup_exact_substring_semantics(spark):
         r.doc_id for r in dedup_exact_substring(df, "doc_id", gram_k=100).collect()
     )
     assert kept_all == [1, 2, 3, 4]
+
+
+def test_excise_exact_substring_golden(spark):
+    """Hand-computed excision fixtures (Lee et al. span-removal):
+    shared k-grams are cut out of higher-keyed docs, overlapping and
+    adjacent spans merge into one cut, punctuation-only tokens inside a
+    span ride along, the winner doc and untouched docs keep their
+    EXACT original text."""
+    from oscar_tools_spark.operators.dedup import (
+        dedup_exact_substring,
+        excise_exact_substring,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "a quick brown fox leaps high"),
+        (3, "The QUICK,  brown fox!! runs"),  # norm-matches, double space
+        (4, "quick - brown fox extra"),  # punct token inside the span
+        (5, "quick brown fox"),  # fully covered -> empty text
+        (6, "nothing shared here at all"),
+        (7, "tiny doc"),  # fewer than k tokens -> untouched
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r.text
+        for r in excise_exact_substring(df, "doc_id", gram_k=3).collect()
+    }
+    want = {
+        1: "the quick brown fox jumps over the lazy dog",  # winner, intact
+        # doc2 grams: "a quick brown", "quick brown fox"(p1-3, shared
+        # with doc1), "brown fox leaps", "fox leaps high" -> cut 1..3
+        2: "a leaps high",
+        # doc3: "the quick brown"(p0-2) AND "quick brown fox"(p1-3)
+        # both shared -> overlapping spans merge -> cut 0..3
+        3: "runs",
+        # doc4 tokens [quick, -, brown, fox, extra]; eligible grams skip
+        # the punct token: "quick brown fox" spans raw 0..3 -> cut 0..3
+        # (the "-" is excised with the span)
+        4: "extra",
+        5: "",
+        6: "nothing shared here at all",
+        7: "tiny doc",
+    }
+    assert got == want
+    # row count preserved, no rows dropped
+    assert len(got) == len(rows)
+
+    # mode dispatch through dedup_exact_substring
+    via_mode = {
+        r.doc_id: r.text
+        for r in dedup_exact_substring(
+            df, "doc_id", gram_k=3, mode="excise"
+        ).collect()
+    }
+    assert via_mode == want
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="drop.*excise|excise|mode"):
+        dedup_exact_substring(df, "doc_id", mode="nope")
+
+
+def test_excise_merges_adjacent_spans(spark):
+    """Two DISJOINT shared grams separated by a gap keep the gap token;
+    adjacent (back-to-back) shared spans merge without swallowing
+    neighbors."""
+    from oscar_tools_spark.operators.dedup import excise_exact_substring
+
+    rows = [
+        (1, "aa bb cc"),
+        (2, "dd ee ff"),
+        # two shared grams with one private token between -> two cuts,
+        # "gap" survives; trailing private tokens survive
+        (3, "aa bb cc gap dd ee ff tail one two"),
+        # back-to-back shared spans (no gap) -> one merged cut
+        (4, "aa bb cc dd ee ff solo extra pad"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r.text
+        for r in excise_exact_substring(df, "doc_id", gram_k=3).collect()
+    }
+    assert got[3] == "gap tail one two"
+    assert got[4] == "solo extra pad"
+    assert got[1] == "aa bb cc" and got[2] == "dd ee ff"
