@@ -263,13 +263,27 @@ def _score_batch(texts: pd.Series) -> tuple[list[str], list[float]]:
     return labels.tolist(), probs.tolist()
 
 
-def langid_model_udf():
+def langid_model_udf(score_batch=None):
     """Arrow-vectorized UDF (created lazily: pandas_udf needs an active
-    session to parse its DDL return type)."""
+    session to parse its DDL return type).
+
+    THE MODEL-SWAP SEAM: pass ``score_batch`` — a callable
+    ``(pd.Series of str) -> (labels: list[str], probs: list[float])``
+    — to replace the built-in trigram scorer with a real model (e.g. a
+    fastText lid.176 wrapper calling ``model.predict`` on the batch).
+    The callable is captured in the UDF closure and cloudpickle ships
+    it to every Python worker, so the swap needs no module patching
+    (which would NOT survive to executors — workers re-import modules
+    fresh). Ship-by-value caveat: cloudpickle serializes a TOP-LEVEL
+    function of an importable module by reference — define the wrapper
+    as a closure/local function, or make its module importable on the
+    workers (spark-submit --py-files). Exercised by
+    tests/test_model_swap.py."""
+    scorer = score_batch or _score_batch
 
     @F.pandas_udf("struct<label:string, prob:float>")
     def _udf(texts: pd.Series) -> pd.DataFrame:
-        labels, probs = _score_batch(texts)
+        labels, probs = scorer(texts)
         return pd.DataFrame({"label": labels, "prob": probs})
 
     return _udf

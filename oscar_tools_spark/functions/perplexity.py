@@ -97,13 +97,25 @@ def _score_batch(texts: pd.Series) -> np.ndarray:
     return out
 
 
-def perplexity_udf():
+def perplexity_udf(score_batch=None):
     """Arrow-vectorized UDF (created lazily: pandas_udf needs an active
-    session to parse its DDL return type)."""
+    session to parse its DDL return type).
+
+    THE MODEL-SWAP SEAM: pass ``score_batch`` — a callable
+    ``(pd.Series of str) -> array-like of float`` — to replace the
+    built-in char-bigram scorer with a real LM (e.g. a KenLM wrapper
+    scoring the batch). Captured in the closure and shipped to workers
+    by cloudpickle; no module patching (which would not survive to
+    executor worker processes). Ship-by-value caveat: define the
+    wrapper as a closure/local function, or make its module importable
+    on the workers (--py-files) — cloudpickle serializes top-level
+    functions of importable modules by reference. Exercised by
+    tests/test_model_swap.py."""
+    scorer = score_batch or _score_batch
 
     @F.pandas_udf("double")
     def _udf(texts: pd.Series) -> pd.Series:
-        return pd.Series(_score_batch(texts))
+        return pd.Series(scorer(texts))
 
     return _udf
 

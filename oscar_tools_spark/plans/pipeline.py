@@ -40,6 +40,11 @@ class CurationConfig:
     with_sentence_ids: bool = False
     scrub_enabled: bool = True
     keep_dropped: bool = False  # keep all rows, exposing the `keep` flag
+    # model-swap seams (see langid_model_udf / perplexity_udf): batch
+    # scorers captured by value into the UDF closures — how a real
+    # fastText / KenLM model plugs into the pipeline. None = built-ins.
+    langid_score_batch: object = None  # (pd.Series) -> (labels, probs)
+    ppl_score_batch: object = None  # (pd.Series) -> array-like of float
 
     def __post_init__(self):
         validate_tag_sets(self.include, self.exclude)
@@ -48,7 +53,7 @@ class CurationConfig:
 MODEL_VERSIONS = f"langid={langid_mod.MODEL_VERSION};ppl={ppl_mod.MODEL_VERSION}"
 
 
-def fused_model_udf():
+def fused_model_udf(langid_batch=None, ppl_batch=None):
     """langid + perplexity in ONE Arrow round-trip.
 
     Each pandas UDF ships the full text column JVM->Python and results
@@ -56,12 +61,16 @@ def fused_model_udf():
     fused UDF runs both batch scorers on the same arrived batch —
     measured as the dominant scaling cost of the model pipeline at low
     core counts (BENCH/BASELINE.md). Created lazily (pandas_udf needs
-    an active session)."""
+    an active session). ``langid_batch`` / ``ppl_batch`` are the
+    model-swap seams (same contracts as langid_model_udf /
+    perplexity_udf; captured by value, shipped to workers)."""
+    lid = langid_batch or langid_mod._score_batch
+    ppl_fn = ppl_batch or ppl_mod._score_batch
 
     @F.pandas_udf("struct<label:string, prob:float, ppl:double>")
     def _udf(texts: pd.Series) -> pd.DataFrame:
-        labels, probs = langid_mod._score_batch(texts)
-        ppl = ppl_mod._score_batch(texts)
+        labels, probs = lid(texts)
+        ppl = ppl_fn(texts)
         return pd.DataFrame({"label": labels, "prob": probs, "ppl": ppl})
 
     return _udf
@@ -74,7 +83,7 @@ def annotate_stage(df: DataFrame, cfg: CurationConfig, text_col: str = "text") -
         # one Python round-trip for both models; ExtractPythonUDFs
         # evaluates the (canonically equal) UDF call once and the
         # downstream projection just picks struct fields
-        m = fused_model_udf()(text)
+        m = fused_model_udf(cfg.langid_score_batch, cfg.ppl_score_batch)(text)
         out = (
             out.withColumn(
                 "identification",
@@ -86,13 +95,18 @@ def annotate_stage(df: DataFrame, cfg: CurationConfig, text_col: str = "text") -
             .withColumn("perplexity", m.getField("ppl"))
         )
     elif cfg.use_model_langid:
-        out = out.withColumn("identification", langid_mod.langid_model_udf()(text))
+        out = out.withColumn(
+            "identification",
+            langid_mod.langid_model_udf(cfg.langid_score_batch)(text),
+        )
     else:
         # staged two-projection shape: the per-language regex counts run
         # once per row instead of once per conditional reference
         out = langid_mod.identify_staged(out, text_col)
         if cfg.with_perplexity:
-            out = out.withColumn("perplexity", ppl_mod.perplexity_udf()(text))
+            out = out.withColumn(
+                "perplexity", ppl_mod.perplexity_udf(cfg.ppl_score_batch)(text)
+            )
     if cfg.with_sentence_ids:
         out = out.withColumn(
             "sentence_identifications", langid_mod.sentence_identifications_expr(text)

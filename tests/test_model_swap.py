@@ -1,0 +1,129 @@
+"""The model-swap contract (VERDICT r3 #6): a real fastText / KenLM /
+media decoder drops in through the documented seams WITHOUT touching
+operator code.
+
+Each test injects a custom scorer/decoder defined HERE (a stand-in for
+the real model wrapper) and asserts its outputs come back through the
+full Spark execution path — proving the callable survives cloudpickle
+shipping to Python workers, which module monkeypatching would not
+(workers re-import modules fresh).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from oscar_tools_spark.datagen import synth_transcripts
+from oscar_tools_spark.functions.langid import langid_model_udf
+from oscar_tools_spark.functions.perplexity import perplexity_udf
+from oscar_tools_spark.plans.pipeline import CurationConfig, curate
+
+
+def make_fake_fasttext():
+    """Stand-in for a fastText lid.176 wrapper: deterministic per-text
+    label/prob derived from the text bytes (so worker-side execution is
+    provable from the driver).
+
+    Returned as a CLOSURE on purpose: cloudpickle serializes a
+    module-level function of an importable module BY REFERENCE, and the
+    Python workers cannot import this test module — exactly the trap a
+    real model wrapper hits unless it is defined as a closure or its
+    module ships via --py-files (now documented on the seams)."""
+
+    def fake_fasttext_batch(texts: pd.Series):
+        labels = [f"ft_{len(t) % 3}" for t in texts]
+        probs = [round((len(t) % 7) / 10.0, 2) for t in texts]
+        return labels, probs
+
+    return fake_fasttext_batch
+
+
+def make_fake_kenlm():
+    """Stand-in for a KenLM wrapper: perplexity = first md5 byte."""
+
+    def fake_kenlm_batch(texts: pd.Series):
+        return np.array(
+            [float(hashlib.md5(t.encode()).digest()[0]) for t in texts]
+        )
+
+    return fake_kenlm_batch
+
+
+def test_langid_udf_accepts_custom_scorer(spark):
+    df = synth_transcripts(spark, 10)
+    got = df.select(
+        "text",
+        langid_model_udf(make_fake_fasttext())(F.col("text")).alias("ident"),
+    ).collect()
+    assert got
+    for r in got:
+        assert r.ident.label == f"ft_{len(r.text) % 3}"
+        assert r.ident.prob == pytest.approx((len(r.text) % 7) / 10.0, abs=1e-6)
+
+
+def test_perplexity_udf_accepts_custom_scorer(spark):
+    df = synth_transcripts(spark, 10)
+    got = df.select(
+        "text", perplexity_udf(make_fake_kenlm())(F.col("text")).alias("ppl")
+    ).collect()
+    for r in got:
+        assert r.ppl == float(hashlib.md5(r.text.encode()).digest()[0])
+
+
+def test_pipeline_threads_custom_scorers_through_fused_udf(spark):
+    """The end-to-end swap: CurationConfig carries both scorers into
+    the FUSED single-round-trip model UDF and the curated output holds
+    the custom models' values."""
+    t = synth_transcripts(spark, 30)
+    cfg = CurationConfig(
+        exclude=frozenset({"adult"}),
+        keep_dropped=True,
+        langid_score_batch=make_fake_fasttext(),
+        ppl_score_batch=make_fake_kenlm(),
+    )
+    # the custom scorers must be invoked on the ORIGINAL (pre-scrub)
+    # text; compare against the text column curate reports post-scrub
+    # only where scrub didn't rewrite it
+    got = curate(t, cfg).select("text", "identification", "perplexity", "rule_hits").collect()
+    checked = 0
+    for r in got:
+        if list(r.rule_hits):  # scrub rewrote text; skip recompute rows
+            continue
+        assert r.identification.label == f"ft_{len(r.text) % 3}"
+        assert r.perplexity == float(hashlib.md5(r.text.encode()).digest()[0])
+        checked += 1
+    assert checked > 0
+
+
+def test_multimodal_custom_decode_fn_real_bytes(spark):
+    """A REAL decode function (parses actual payload bytes into
+    features) through extract_features' decode_fn seam: features must
+    be a pure function of the payload bytes, computed worker-side."""
+    from oscar_tools_spark.operators.multimodal import (
+        FEATURE_DIM,
+        extract_features,
+        synth_media,
+    )
+
+    def real_decode(payload: bytes, kind: str) -> np.ndarray:
+        # "decode" = normalized byte histogram folded to FEATURE_DIM —
+        # a genuine function of the bytes, unlike the fake digest stub
+        h = np.bincount(
+            np.frombuffer(payload, dtype=np.uint8) % FEATURE_DIM,
+            minlength=FEATURE_DIM,
+        ).astype(np.float32)
+        return h / max(len(payload), 1)
+
+    media = synth_media(spark, 12)
+    rows = extract_features(media, decode_fn=real_decode).collect()
+    payloads = {r.media_id: bytes(r.payload) for r in media.collect()}
+    assert len(rows) == 12
+    for r in rows:
+        want = real_decode(payloads[r.media_id], r.kind)
+        assert np.allclose(np.array(r.features, dtype=np.float32), want)
+        assert r.digest == hashlib.sha256(payloads[r.media_id]).hexdigest()
