@@ -27,8 +27,11 @@ shuffles. Iteration state is materialized per round through
 plans/materialize.py: a RELIABLE checkpoint when the context has a
 checkpoint dir (executor-loss safe — required on preemptible fleets),
 localCheckpoint otherwise (single-host runs). Convergence is detected
-by an (edge-count, xxhash64-sum) checksum — two driver scalars per
-round, never a collect of rows.
+STRUCTURALLY after each round — the output is tested for the star-
+forest fixpoint shape directly (two small aggregations, a handful of
+driver scalars, never a collect of rows) — so the loop stops on the
+producing round instead of paying one extra confirming round the old
+consecutive-checksum comparison required.
 """
 
 from __future__ import annotations
@@ -39,18 +42,24 @@ from pyspark.sql import functions as F
 from ..plans.materialize import materialize
 
 
-def _large_star(e: DataFrame) -> DataFrame:
+def _large_star(e: DataFrame, dedup: bool = True) -> DataFrame:
     """(u,v) edges -> edges connecting each node's larger neighbors to
-    the min of its closed neighborhood."""
+    the min of its closed neighborhood.
+
+    ``dedup=False`` skips the output ``distinct`` — one less shuffle
+    when composing with ``_small_star``, whose min-agg is insensitive
+    to duplicate input edges and whose own final distinct restores set
+    semantics for the round (used by the fused per-round step in
+    ``connected_components``)."""
     sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     mins = sym.groupBy("u").agg(F.least(F.min("v"), F.col("u")).alias("m"))
-    return (
+    out = (
         sym.filter(F.col("v") > F.col("u"))
         .join(mins, "u")
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
         .filter(F.col("u") != F.col("v"))
-        .distinct()
     )
+    return out.distinct() if dedup else out
 
 
 def _small_star(e: DataFrame) -> DataFrame:
@@ -67,14 +76,36 @@ def _small_star(e: DataFrame) -> DataFrame:
     return out.filter(F.col("u") != F.col("v")).distinct()
 
 
-def _checksum(e: DataFrame) -> tuple[int, int]:
-    # bit_xor (not sum): overflow-free under ANSI mode, and a valid set
-    # checksum because the edge list is distinct (no xor-cancellation)
+def _is_fixpoint(e: DataFrame) -> bool:
+    """True iff ``e`` is a star forest rooted at component minima —
+    exactly the fixpoint set of the large-star/small-star alternation
+    (Kiveris et al.): every child has ONE parent (count == distinct u),
+    every edge points down to a smaller node (no v >= u), and no parent
+    is itself a child (u-set ∩ v-set empty). Checking the PRODUCING
+    round's output directly replaces the old consecutive-checksum
+    comparison, which always needed one extra confirming round (a full
+    2-shuffle round) to observe an unchanged edge set."""
     row = e.agg(
         F.count("*").alias("n"),
-        F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)).alias("h"),
+        F.countDistinct("u").alias("du"),
+        F.sum(F.when(F.col("v") >= F.col("u"), 1).otherwise(0)).alias("bad"),
     ).first()
-    return int(row.n), int(row.h)
+    if row.n == 0:
+        return True
+    if row.n != row.du or row.bad:
+        return False
+    # two-level test: any node appearing as both child and parent?
+    marks = e.select(
+        F.col("u").alias("_n"), F.lit(1).alias("_cu"), F.lit(0).alias("_cv")
+    ).union(e.select(F.col("v"), F.lit(0), F.lit(1)))
+    chained = (
+        marks.groupBy("_n")
+        .agg(F.max("_cu").alias("a"), F.max("_cv").alias("b"))
+        .filter((F.col("a") == 1) & (F.col("b") == 1))
+        .limit(1)
+        .count()
+    )
+    return chained == 0
 
 
 def connected_components(
@@ -102,19 +133,16 @@ def connected_components(
         .distinct()
     )
     e = e0.filter(F.col("u") != F.col("v"))
-    prev = _checksum(e)
     rounds = 0
-    converged = prev[0] == 0  # empty edge set is already a fixpoint
-    for _ in range(max_iterations):
-        if converged:
-            break
-        e = materialize(_small_star(_large_star(e)))
+    converged = _is_fixpoint(e)
+    while not converged and rounds < max_iterations:
+        # fused round: large-star feeds small-star WITHOUT its own
+        # distinct (small-star's min-agg tolerates duplicate edges and
+        # its final distinct restores set semantics) — one less shuffle
+        # per round
+        e = materialize(_small_star(_large_star(e, dedup=False)))
         rounds += 1
-        cur = _checksum(e)
-        if cur == prev:
-            converged = True
-            break
-        prev = cur
+        converged = _is_fixpoint(e)
     if stats is not None:
         stats["rounds"] = rounds
         stats["converged"] = converged
@@ -122,7 +150,7 @@ def connected_components(
         import warnings
 
         warnings.warn(
-            f"connected_components: checksum did not stabilize within "
+            f"connected_components: no fixpoint within "
             f"max_iterations={max_iterations} rounds; labels below are "
             f"min-over-remaining-edges and may OVER-segment components "
             f"(raise max_iterations — the doubling algorithm needs only "
