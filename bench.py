@@ -182,6 +182,12 @@ def main() -> None:
         "dedup_substring",
         lambda: run_noop(E.q_dedup_substring(spark, sf_dir)),
     )
+    # round-4: span-excision variant (window-lead grams + island merge
+    # + per-doc reconstruction — heavier than the drop mode by design)
+    timed(
+        "dedup_substring_excise",
+        lambda: run_noop(E.q_dedup_substring_excise(spark, sf_dir)),
+    )
     # per-line langid over the transcripts table — the per-line hot path
     # (staged zip_with shape; the inline-HOF form measured 4x slower)
     timed(

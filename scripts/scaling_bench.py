@@ -460,6 +460,17 @@ def main() -> None:
         "- per-turn scrubbed-text equality: **exact** (same test).",
         f"- Spark vs DuckDB oracle: **{_oracle_counts()}** at sf0.001 and"
         " sf0.01 — scripts/check_oracles.py.",
+        "",
+        "## Measurement-noise note (for cross-round comparisons)",
+        "",
+        "This VM has hour-scale noisy-neighbor windows: identical runs of",
+        "the same query swing 10-25% (occasionally more on sub-second",
+        "queries) — e.g. round 3's driver bench recorded minhash_dedup",
+        "1.77s / topk_cosine 0.46s where the same-code local min-of-two",
+        "snapshot had 1.57s / 0.26s. Treat sub-0.5s per-query deltas",
+        "between rounds as jitter; bench.py reports min-of-2 runs to damp",
+        "this, and a uniform ~1.5x inflation across all queries means the",
+        "window was loud (re-capture).",
     ]
     out_path = REPO / "BENCH" / "BASELINE.md"
     out_path.parent.mkdir(exist_ok=True)
