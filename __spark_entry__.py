@@ -268,6 +268,63 @@ def q_dedup_substring_excise(spark, sf_dir):
     )
 
 
+def q_gopher_quality(spark, sf_dir):
+    """Gopher rule-battery quality filter (Rae et al. §A.1.1): word
+    count / mean word length / symbol ratio / bullet & ellipsis lines /
+    alpha-word fraction / stopword rules, each integer-cross-multiplied,
+    with a per-rule failure-reasons lineage column."""
+    from oscar_tools_spark.functions.gopher import gopher_stats
+
+    return (
+        gopher_stats(_docs(spark, sf_dir))
+        .select(
+            "doc_id",
+            "n_words",
+            "mean_word_len",
+            "alpha_word_frac",
+            "gopher_keep",
+            "gopher_reasons",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q_c4_clean(spark, sf_dir):
+    """C4 line-level cleaning (Raffel et al. §2.2) as one shuffle-free
+    codegen projection: line filter + doc rules + text rewrite. The
+    terminal-punctuation rule is off here (the testdata corpus carries
+    no sentence punctuation); pytest fixtures cover it."""
+    from oscar_tools_spark.operators.c4_clean import c4_clean
+
+    return (
+        c4_clean(
+            _docs(spark, sf_dir),
+            min_words=30,
+            require_terminal_punct=False,
+            min_kept_lines=1,
+        )
+        .select("doc_id", "text", "n_kept_lines")
+        .orderBy("doc_id")
+    )
+
+
+def q_sample_weighted(spark, sf_dir):
+    """Quality-weighted Bernoulli downsampling: keep probability =
+    quality_score/100, as an exact integer comparison on an md5 hash
+    draw — deterministic across runs/partitions/engines, no rand()."""
+    from oscar_tools_spark.functions.textstats import quality_score_expr
+    from oscar_tools_spark.operators.sampling import sample_by_weight
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "w", quality_score_expr(F.col("text")) / 100
+    )
+    return (
+        sample_by_weight(docs, ["doc_id"], "w")
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
 def q_sample_per_group(spark, sf_dir):
     """Stratified budget sampling: an independent byte budget per lang
     (the domain-mixing primitive). Per-group windows are natural window
@@ -587,6 +644,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_per_group": q_sample_per_group,
         "dedup_substring": q_dedup_substring,
         "dedup_substring_excise": q_dedup_substring_excise,
+        "gopher_quality": q_gopher_quality,
+        "c4_clean": q_c4_clean,
+        "sample_weighted": q_sample_weighted,
         "events_hourly": q_events_hourly,
         "sessionize": q_sessionize,
         "topk_per_lang": q_topk_per_lang,
@@ -642,5 +702,8 @@ def oracle_sql() -> dict[str, str]:
         "sample_per_group": O.q_sample_budget_per_group(SAMPLE_BUDGET),
         "dedup_substring": O.q_dedup_substring(),
         "dedup_substring_excise": O.q_dedup_substring_excise(),
+        "gopher_quality": O.q_gopher_quality(),
+        "c4_clean": O.q_c4_clean(),
+        "sample_weighted": O.q_sample_weighted(),
         "curation_pipeline": O.q_curation_pipeline(),
     }

@@ -1,0 +1,149 @@
+"""Gopher-style document quality rules (Rae et al., "Scaling Language
+Models: Methods, Analysis & Insights from Training Gopher", §A.1.1) —
+the standard web-scale heuristic filter battery, as pure column
+expressions (codegen'd, SQL-expressible for the DuckDB oracle).
+
+Rules (each with its threshold as a parameter; a doc is kept iff ALL
+pass; failures are reported in a ``reasons`` array for lineage):
+
+* word count within [min_words, max_words]
+* mean word length within [min_mean_word_len, max_mean_word_len]
+* symbol-to-word ratio (``#`` and ``...``) <= max_symbol_ratio
+* fraction of lines starting with a bullet <= max_bullet_frac
+* fraction of lines ending with an ellipsis <= max_ellipsis_frac
+* fraction of words containing >= 1 alphabetic char >= min_alpha_frac
+* >= min_stopword_hits occurrences of the 8-word Gopher stopword list
+  (the, be, to, of, and, that, have, with) — occurrences, not distinct
+  words (documented choice; the paper says "contain at least two of
+  the following", which public reimplementations read either way)
+
+All comparisons are integer cross-multiplied so Spark and DuckDB agree
+bit-for-bit; reported ratios are per-row rounded doubles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+# \b anchors are safe: the list is pure ASCII letters
+STOPWORD_PATTERN = r"\b(?:" + "|".join(GOPHER_STOPWORDS) + r")\b"
+ALPHA_WORD_PATTERN = r"\S*[A-Za-z]\S*"
+BULLET_LINE_PATTERN = r"(?m)^\s*[-*•]"
+ELLIPSIS_LINE_PATTERN = r"(?m)(?:\.\.\.|…)[ ]*$"
+ELLIPSIS_PATTERN = r"(?:\.\.\.|…)"
+
+# thresholds from the paper
+DEFAULTS = dict(
+    min_words=50,
+    max_words=100_000,
+    min_mean_word_len=3,
+    max_mean_word_len=10,
+    max_symbol_ratio_pct=10,  # 0.1, as integer percent for exact math
+    max_bullet_frac_pct=90,
+    max_ellipsis_frac_pct=30,
+    min_alpha_frac_pct=80,
+    min_stopword_hits=2,
+)
+
+
+def _counts(text: Column) -> dict[str, Column]:
+    words = F.regexp_count(text, F.lit(r"\S+"))
+    return {
+        "n_words": words,
+        # total word characters = non-whitespace characters
+        "n_word_chars": F.length(F.translate(text, " \t\n\r", "")),
+        "n_alpha_words": F.regexp_count(text, F.lit(ALPHA_WORD_PATTERN)),
+        "n_lines": F.lit(1) + F.regexp_count(text, F.lit(r"\n")),
+        "n_bullet_lines": F.regexp_count(text, F.lit(BULLET_LINE_PATTERN)),
+        "n_ellipsis_lines": F.regexp_count(text, F.lit(ELLIPSIS_LINE_PATTERN)),
+        # '#' via translate (char-class regex in a fused stage is the
+        # measured 20x deopt — see textstats.py), '...' via regex count
+        "n_symbols": (
+            F.length(text) - F.length(F.translate(text, "#", ""))
+        ) + F.regexp_count(text, F.lit(ELLIPSIS_PATTERN)),
+        "n_stopword_hits": F.regexp_count(
+            F.lower(text), F.lit(STOPWORD_PATTERN)
+        ),
+    }
+
+
+def gopher_rules(text: Column, **overrides) -> dict[str, Column]:
+    """{rule_name: boolean Column} — True = rule PASSES."""
+    p = {**DEFAULTS, **overrides}
+    c = _counts(text)
+    w = c["n_words"]
+    return {
+        # rule names double as the lineage `reasons` vocabulary
+        "word_count": (w >= p["min_words"]) & (w <= p["max_words"]),
+        "mean_word_len": (
+            (c["n_word_chars"] >= p["min_mean_word_len"] * w)
+            & (c["n_word_chars"] <= p["max_mean_word_len"] * w)
+        ),
+        "symbol_ratio": c["n_symbols"] * 100 <= p["max_symbol_ratio_pct"] * w,
+        "bullet_lines": (
+            c["n_bullet_lines"] * 100 <= p["max_bullet_frac_pct"] * c["n_lines"]
+        ),
+        "ellipsis_lines": (
+            c["n_ellipsis_lines"] * 100
+            <= p["max_ellipsis_frac_pct"] * c["n_lines"]
+        ),
+        "alpha_words": c["n_alpha_words"] * 100 >= p["min_alpha_frac_pct"] * w,
+        "stopwords": c["n_stopword_hits"] >= p["min_stopword_hits"],
+    }
+
+
+def gopher_keep_expr(text: Column, **overrides) -> Column:
+    rules = gopher_rules(text, **overrides)
+    out = F.lit(True)
+    for cond in rules.values():
+        out = out & cond
+    return out
+
+
+def gopher_reasons_expr(text: Column, **overrides) -> Column:
+    """array<string> of FAILED rule names (empty when kept) — the
+    lineage column: a curation job writes it next to the keep flag so
+    dropped volume is attributable per rule."""
+    rules = gopher_rules(text, **overrides)
+    parts = [
+        F.when(~cond, F.lit(name)).otherwise(F.lit(None))
+        for name, cond in rules.items()
+    ]
+    return F.array_compact(F.array(*parts))
+
+
+def gopher_stats(df, text_col: str = "text", **overrides):
+    """Append n_words, mean_word_len, alpha_word_frac, gopher_keep and
+    gopher_reasons columns (ratios per-row rounded for cross-engine
+    hash stability)."""
+    text = F.col(text_col)
+    c = _counts(text)
+    w = c["n_words"]
+    return (
+        df.withColumn("n_words", w)
+        .withColumn(
+            "mean_word_len",
+            F.round(
+                F.when(w > 0, c["n_word_chars"].cast("double") / w).otherwise(
+                    F.lit(0.0)
+                ),
+                4,
+            ),
+        )
+        .withColumn(
+            "alpha_word_frac",
+            F.round(
+                F.when(w > 0, c["n_alpha_words"].cast("double") / w).otherwise(
+                    F.lit(0.0)
+                ),
+                4,
+            ),
+        )
+        .withColumn("gopher_keep", gopher_keep_expr(text, **overrides))
+        .withColumn(
+            "gopher_reasons",
+            F.concat_ws("|", gopher_reasons_expr(text, **overrides)),
+        )
+    )

@@ -240,3 +240,44 @@ def sample_by_budget_per_group(
         .drop("_sk", "_sz", "_cum", "_budget")
         .orderBy(*key_cols)
     )
+
+
+def sample_by_weight(
+    df: DataFrame,
+    key_cols: list[str],
+    weight_col: str,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic weighted Bernoulli sampling: keep each row with
+    probability = its ``weight_col`` value (clamped to [0, 1]) — the
+    quality-/importance-weighted downsampling primitive (keep good
+    documents with high probability, bad ones rarely), reproducible
+    across runs, partitionings, and engines.
+
+    keep iff  hash32(seed, key) * 10^6  <  round(weight * 10^6) * 2^32
+
+    where hash32 is the first 8 md5 hex digits of the seeded key — the
+    repo's standard uniform-[0, 2^32) draw (same construction as
+    ``_with_shuffle_key``), and both sides are exact bigint products
+    (no float division), so the DuckDB oracle replays it bit-for-bit.
+    One narrow codegen'd filter; no shuffle, no RNG state, no
+    ``rand()`` (which re-draws per task attempt and breaks retries).
+    """
+    w = F.least(F.greatest(F.col(weight_col).cast("double"), F.lit(0.0)), F.lit(1.0))
+    wi = F.round(w * 1_000_000).cast("bigint")
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.lit(str(seed)),
+                    *[F.col(c).cast("string") for c in key_cols],
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return df.filter(h * F.lit(1_000_000) < wi * F.lit(4_294_967_296))

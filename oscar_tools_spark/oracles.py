@@ -671,3 +671,99 @@ left join touched on touched.doc_id = d.doc_id
 left join rebuilt on rebuilt.doc_id = d.doc_id
 order by d.doc_id
 """
+
+
+def q_gopher_quality() -> str:
+    """Gopher rule-battery twin of functions/gopher.py — thresholds and
+    patterns imported from the same module so all engines move
+    together; integer cross-multiplied comparisons, per-row rounded
+    ratios, concat_ws reasons (both engines skip NULLs)."""
+    from .functions.gopher import (
+        ALPHA_WORD_PATTERN,
+        BULLET_LINE_PATTERN,
+        DEFAULTS as G,
+        ELLIPSIS_LINE_PATTERN,
+        ELLIPSIS_PATTERN,
+        STOPWORD_PATTERN,
+    )
+
+    return f"""
+with c as (
+  select doc_id,
+    len(regexp_extract_all(text, '\\S+')) as w,
+    length(translate(text, ' ' || chr(9) || chr(10) || chr(13), '')) as wc,
+    len(regexp_extract_all(text, '{ALPHA_WORD_PATTERN}')) as aw,
+    1 + len(regexp_extract_all(text, chr(10))) as nl,
+    len(regexp_extract_all(text, '{BULLET_LINE_PATTERN}')) as bl,
+    len(regexp_extract_all(text, '{ELLIPSIS_LINE_PATTERN}')) as el,
+    (length(text) - length(replace(text, '#', '')))
+      + len(regexp_extract_all(text, '{ELLIPSIS_PATTERN}')) as sym,
+    len(regexp_extract_all(lower(text), '{STOPWORD_PATTERN}')) as sw
+  from documents),
+r as (
+  select doc_id, w, wc, aw,
+    (w >= {G["min_words"]} and w <= {G["max_words"]}) as r_word_count,
+    (wc >= {G["min_mean_word_len"]} * w and wc <= {G["max_mean_word_len"]} * w)
+      as r_mean_word_len,
+    (sym * 100 <= {G["max_symbol_ratio_pct"]} * w) as r_symbol_ratio,
+    (bl * 100 <= {G["max_bullet_frac_pct"]} * nl) as r_bullet_lines,
+    (el * 100 <= {G["max_ellipsis_frac_pct"]} * nl) as r_ellipsis_lines,
+    (aw * 100 >= {G["min_alpha_frac_pct"]} * w) as r_alpha_words,
+    (sw >= {G["min_stopword_hits"]}) as r_stopwords
+  from c)
+select doc_id,
+  w as n_words,
+  round(case when w > 0 then wc / cast(w as double) else 0.0 end, 4)
+    as mean_word_len,
+  round(case when w > 0 then aw / cast(w as double) else 0.0 end, 4)
+    as alpha_word_frac,
+  (r_word_count and r_mean_word_len and r_symbol_ratio and r_bullet_lines
+   and r_ellipsis_lines and r_alpha_words and r_stopwords) as gopher_keep,
+  concat_ws('|',
+    case when not r_word_count then 'word_count' end,
+    case when not r_mean_word_len then 'mean_word_len' end,
+    case when not r_symbol_ratio then 'symbol_ratio' end,
+    case when not r_bullet_lines then 'bullet_lines' end,
+    case when not r_ellipsis_lines then 'ellipsis_lines' end,
+    case when not r_alpha_words then 'alpha_words' end,
+    case when not r_stopwords then 'stopwords' end) as gopher_reasons
+from r order by doc_id
+"""
+
+
+def q_c4_clean(min_words: int = 30, min_kept_lines: int = 1) -> str:
+    """C4 line-cleaning twin of operators/c4_clean.py at the
+    punctuation-free-corpus settings (terminal-punct rule off — the
+    testdata has no sentence punctuation; the rule itself is covered by
+    pytest fixtures)."""
+    return f"""
+with f as (
+  select doc_id, text,
+    list_filter(string_split(text, chr(10)),
+      l -> len(list_filter(string_split(l, ' '), w -> w <> '')) >= {min_words}
+           and not contains(lower(l), 'javascript')) as kept
+  from documents)
+select doc_id,
+       array_to_string(kept, chr(10)) as text,
+       len(kept) as n_kept_lines
+from f
+where len(kept) >= {min_kept_lines}
+  and not contains(lower(text), 'lorem ipsum')
+  and not contains(lower(text), '{{')
+order by doc_id
+"""
+
+
+def q_sample_weighted(seed: int = 42) -> str:
+    """Weighted-Bernoulli sampling twin of sampling.sample_by_weight
+    with weight = quality_score/100: exact bigint cross-products on the
+    md5 hash draw, identical float path for the weight (same rounded
+    quality score, same /100, same *1e6 round)."""
+    return f"""
+with q as (select doc_id, ({quality_expr_sql()}) / 100 as w from documents)
+select doc_id from q
+where ('0x' || substr(md5('{seed}:' || cast(doc_id as varchar)), 1, 8))::bigint
+        * 1000000
+      < cast(round(least(greatest(w, 0), 1) * 1000000) as bigint) * 4294967296
+order by doc_id
+"""

@@ -1,0 +1,135 @@
+"""Gopher rule battery, C4 line cleaning, and weighted sampling —
+fixture tests for the rules the punctuation-free driver testdata can't
+exercise (terminal punctuation, bullets, ellipses, symbol ratio), plus
+determinism properties for the hash-draw sampler."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from oscar_tools_spark.functions.gopher import gopher_stats
+from oscar_tools_spark.operators.c4_clean import c4_clean
+from oscar_tools_spark.operators.sampling import sample_by_weight
+
+PROSE = (
+    "the quick brown fox jumps over the lazy dog and then it ran off "
+    "with a bone that it have found near the old mill by the river "
+    "where children play on summer days while parents watch from the "
+    "shade of tall green trees enjoying some quiet conversation and laughter together"
+)  # 51 words, plenty of stopwords, all-alpha
+
+
+def test_gopher_rules_fixture(spark):
+    rows = [
+        (1, PROSE),  # passes everything
+        (2, "too few words here"),  # word_count
+        (3, " ".join(["aa"] * 60)),  # mean_word_len (2 < 3)
+        (4, PROSE + " " + "#" * 40),  # symbol_ratio (40 hashes / 51 words)
+        (5, "\n".join(f"- {PROSE}" for _ in range(10))),  # bullet_lines
+        (6, "\n".join(f"{PROSE}..." for _ in range(10))),  # ellipsis_lines
+        (7, " ".join(str(i) for i in range(100, 160))),  # alpha_words
+        (8, " ".join(["zebra"] * 60)),  # stopwords (none present)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in gopher_stats(df).collect()}
+    assert got[1].gopher_keep and got[1].gopher_reasons == ""
+    want_reason = {
+        2: "word_count",
+        3: "mean_word_len",
+        4: "symbol_ratio",
+        5: "bullet_lines",
+        6: "ellipsis_lines",
+        7: "alpha_words",
+        8: "stopwords",
+    }
+    for doc_id, reason in want_reason.items():
+        r = got[doc_id]
+        assert not r.gopher_keep, doc_id
+        assert reason in r.gopher_reasons.split("|"), (doc_id, r.gopher_reasons)
+    # metrics sanity
+    assert got[1].n_words == 51
+    assert got[3].mean_word_len == 2.0
+    assert got[7].alpha_word_frac == 0.0
+
+
+def test_gopher_threshold_overrides(spark):
+    df = spark.createDataFrame([(1, "five words are not enough the of")],
+                               "doc_id long, text string")
+    strict = gopher_stats(df).collect()[0]
+    relaxed = gopher_stats(df, min_words=3).collect()[0]
+    assert not strict.gopher_keep and relaxed.gopher_keep
+
+
+def test_c4_clean_fixture(spark):
+    good = "This is a decent sentence with enough words in it."
+    rows = [
+        # 3 good lines + failing lines -> doc kept, text rewritten
+        (1, "\n".join([good, "no terminal punctuation on this line",
+                       good, "Short line.", good,
+                       "Please enable javascript to continue."])),
+        (2, "\n".join([good, good])),  # only 2 kept lines -> dropped
+        (3, f"{good}\n{good}\n{good}\nSome lorem ipsum filler."),  # marker
+        (4, good + "\n" + good + "\nif (x) { return; }\n" + good),  # '{'
+        (5, "\n".join([good] * 4)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in c4_clean(df).collect()}
+    assert set(got) == {1, 5}
+    assert got[1].text == "\n".join([good, good, good])
+    assert got[1].n_kept_lines == 3
+    assert got[5].text == "\n".join([good] * 4)
+    # terminal-punct variants: quote endings count, mid-word not
+    df2 = spark.createDataFrame(
+        [(1, 'He said "this is a fine quoted sentence ending."\n'
+             'Another perfectly good line ends with a question mark?\n'
+             "And this one with an exclamation point right here!")],
+        "doc_id long, text string",
+    )
+    out = c4_clean(df2, min_kept_lines=3).collect()
+    assert len(out) == 1 and out[0].n_kept_lines == 3
+
+
+def test_sample_by_weight_extremes_and_determinism(spark):
+    df = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 3 == 0, F.lit(0.0))
+        .when(F.col("id") % 3 == 1, F.lit(1.0))
+        .otherwise(F.lit(0.3))
+        .alias("w"),
+    )
+    kept = sample_by_weight(df, ["doc_id"], "w").collect()
+    ids = {r.doc_id for r in kept}
+    zeros = [i for i in range(2000) if i % 3 == 0]
+    ones = [i for i in range(2000) if i % 3 == 1]
+    mids = [i for i in range(2000) if i % 3 == 2]
+    assert not ids.intersection(zeros)  # weight 0: never
+    assert ids.issuperset(ones)  # weight 1: always
+    frac = len(ids.intersection(mids)) / len(mids)
+    assert 0.2 < frac < 0.4, frac  # ~0.3 by the uniform hash draw
+    # deterministic under repartitioning
+    ids2 = {
+        r.doc_id
+        for r in sample_by_weight(df.repartition(13), ["doc_id"], "w").collect()
+    }
+    assert ids == ids2
+    # different seed -> different (but similarly sized) mid sample
+    ids3 = {
+        r.doc_id for r in sample_by_weight(df, ["doc_id"], "w", seed=7).collect()
+    }
+    assert ids3 != ids
+    assert not ids3.intersection(zeros) and ids3.issuperset(ones)
+
+
+def test_sample_by_weight_clamps_out_of_range(spark):
+    df = spark.createDataFrame(
+        [(1, -0.5), (2, 2.5)], "doc_id long, w double"
+    )
+    kept = {r.doc_id for r in sample_by_weight(df, ["doc_id"], "w").collect()}
+    assert kept == {2}  # clamped to 0 and 1
+
+
+def test_c4_clean_plan_is_shuffle_free(spark):
+    df = spark.createDataFrame([(1, "a\nb")], "doc_id long, text string")
+    plan = c4_clean(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
