@@ -325,6 +325,38 @@ def q_sample_weighted(spark, sf_dir):
     )
 
 
+def q_pack_sequences(spark, sf_dir):
+    """Greedy training-sequence packing (first-fit in doc_id order,
+    2000-token budget, bucket = lang): sequential within a bucket —
+    applyInPandas per bucket — embarrassingly parallel across buckets.
+    Oracle replays the fill recursion with WITH RECURSIVE."""
+    from oscar_tools_spark.operators.packing import pack_sequences
+
+    return (
+        pack_sequences(
+            _docs(spark, sf_dir).select("doc_id", "n_chars", "lang"),
+            ["doc_id"],
+            "n_chars",
+            2000,
+            bucket_col="lang",
+        )
+        .select("doc_id", "n_chars", "pack_bucket", "seq_id", "seq_offset")
+        .orderBy("pack_bucket", "doc_id")
+    )
+
+
+def q_rebalance_mixture(spark, sf_dir):
+    """Downsample langs to a target pretraining mixture with max data
+    retention (limiting group kept whole, md5-rank quotas elsewhere)."""
+    from oscar_tools_spark.operators.packing import rebalance_to_mixture
+    from oscar_tools_spark.oracles import MIXTURE_TARGETS
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang")
+    return rebalance_to_mixture(
+        docs, "lang", MIXTURE_TARGETS, key_cols=["doc_id"]
+    ).orderBy("doc_id")
+
+
 def q_sample_per_group(spark, sf_dir):
     """Stratified budget sampling: an independent byte budget per lang
     (the domain-mixing primitive). Per-group windows are natural window
@@ -647,6 +679,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": q_gopher_quality,
         "c4_clean": q_c4_clean,
         "sample_weighted": q_sample_weighted,
+        "pack_sequences": q_pack_sequences,
+        "rebalance_mixture": q_rebalance_mixture,
         "events_hourly": q_events_hourly,
         "sessionize": q_sessionize,
         "topk_per_lang": q_topk_per_lang,
@@ -705,5 +739,7 @@ def oracle_sql() -> dict[str, str]:
         "gopher_quality": O.q_gopher_quality(),
         "c4_clean": O.q_c4_clean(),
         "sample_weighted": O.q_sample_weighted(),
+        "pack_sequences": O.q_pack_sequences(),
+        "rebalance_mixture": O.q_rebalance_mixture(),
         "curation_pipeline": O.q_curation_pipeline(),
     }

@@ -1,0 +1,144 @@
+"""Training-sequence packing and mixture rebalancing — the two
+"assemble the training set" primitives downstream of filtering/dedup.
+
+``pack_sequences`` solves the pretraining batching problem: greedy
+first-fit-in-key-order packing of documents into fixed-token-budget
+sequences. Packing is inherently sequential (each decision depends on
+the running fill), so it cannot be a window expression; it IS
+embarrassingly parallel across BUCKETS, which is exactly Spark's
+``applyInPandas`` grouping model: one deterministic pass per bucket,
+O(bucket) memory, no global state. At 100 TB, buckets are the
+parallelism unit (thousands of hash buckets -> thousands of
+independent packing tasks); sequence ids are globally unique as
+(bucket, seq_in_bucket).
+
+``rebalance_to_mixture`` downsamples groups to hit a target mixture
+(e.g. lang weights for a pretraining mix) with maximum data retention:
+the limiting group is kept whole and every other group is hash-rank
+sampled down to its proportional quota. Deterministic (md5 rank, no
+rand()); the per-group counts are one map-side-combinable aggregation
+broadcast back onto the rows.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pack_sequences(
+    df: DataFrame,
+    key_cols: list[str],
+    token_col: str,
+    max_tokens: int,
+    bucket_col: str | None = None,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Assign (pack_bucket, seq_id, seq_offset) to every row: documents
+    are packed greedily in ``key_cols`` order into sequences of at most
+    ``max_tokens`` tokens; a document that does not fit the current
+    sequence starts a new one; an oversized document (> max_tokens)
+    occupies a sequence alone (callers chunk or drop those upstream —
+    they are flagged by seq_offset == 0 and token_col > max_tokens).
+
+    ``bucket_col`` names an existing partition column (e.g. lang);
+    otherwise rows are hashed into ``n_buckets`` by the first key col
+    (``pmod(xxhash64(key), n)``, conversations/docs never straddle).
+    Output schema: key_cols + token_col + pack_bucket, seq_id (within
+    bucket, 0-based), seq_offset (tokens already in the sequence).
+    """
+    if max_tokens < 1:
+        raise ValueError(f"max_tokens must be >= 1, got {max_tokens}")
+    if bucket_col is None:
+        bucketed = df.withColumn(
+            "pack_bucket",
+            F.pmod(F.xxhash64(F.col(key_cols[0])), F.lit(n_buckets)).cast("int"),
+        )
+    else:
+        bucketed = df.withColumn("pack_bucket", F.col(bucket_col).cast("string"))
+    slim = bucketed.select(*key_cols, token_col, "pack_bucket")
+    out_fields = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in slim.schema.fields
+    )
+    schema = f"{out_fields}, seq_id bigint, seq_offset bigint"
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(key_cols, kind="mergesort").reset_index(drop=True)
+        toks = pdf[token_col].to_numpy()
+        seq_ids = [0] * len(toks)
+        offsets = [0] * len(toks)
+        seq, fill = 0, 0
+        for i, t in enumerate(toks):
+            t = int(t)
+            if fill > 0 and fill + t > max_tokens:
+                seq, fill = seq + 1, 0
+            seq_ids[i] = seq
+            offsets[i] = fill
+            fill += t
+        pdf["seq_id"] = seq_ids
+        pdf["seq_offset"] = offsets
+        return pdf
+
+    return slim.groupBy("pack_bucket").applyInPandas(pack, schema)
+
+
+def rebalance_to_mixture(
+    df: DataFrame,
+    group_col: str,
+    targets: dict[str, float],
+    key_cols: list[str] | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Downsample groups so surviving counts follow ``targets`` (a
+    {group: weight} map; only RATIOS matter — quotas are invariant
+    under weight scaling, and skipping explicit normalization keeps the
+    float path bit-identical to the DuckDB oracle) while keeping as
+    much data as possible: with M = min_g(n_g / t_g), each group keeps
+    its floor(t_g * M) lowest-md5-rank rows — the limiting group
+    survives whole. Groups absent from ``targets`` are dropped
+    (target 0).
+
+    Deterministic: rank = row_number over the seeded md5 of the key
+    within each group (``key_cols`` defaults to all non-group columns'
+    — pass explicit keys for stable lineage). One aggregation for the
+    counts (broadcast back — |groups| rows), one per-group window pass
+    for the ranks; no rand().
+    """
+    norm = {g: float(w) for g, w in targets.items() if w > 0}
+    if not norm:
+        raise ValueError("targets must contain positive weights")
+    keys = key_cols or [c for c in df.columns if c != group_col]
+
+    counts = (
+        df.groupBy(group_col).agg(F.count("*").alias("_n")).collect()
+    )  # |groups| rows — driver-bounded by the group cardinality
+    n_by_group = {r[group_col]: r["_n"] for r in counts}
+    scales = [
+        n_by_group[g] / w for g, w in norm.items() if g in n_by_group
+    ]
+    if not scales:
+        return df.limit(0)
+    m = min(scales)
+    quotas = {g: int(w * m) for g, w in norm.items() if g in n_by_group}
+
+    quota_col = F.coalesce(
+        *[
+            F.when(F.col(group_col) == g, F.lit(q))
+            for g, q in sorted(quotas.items())
+        ],
+        F.lit(0),
+    )
+    rank_key = F.md5(
+        F.concat_ws(
+            ":", F.lit(str(seed)), *[F.col(c).cast("string") for c in keys]
+        )
+    )
+    w_rank = Window.partitionBy(group_col).orderBy(rank_key)
+    return (
+        df.withColumn("_rk", F.row_number().over(w_rank))
+        .filter(F.col("_rk") <= quota_col)
+        .drop("_rk")
+    )

@@ -767,3 +767,63 @@ where ('0x' || substr(md5('{seed}:' || cast(doc_id as varchar)), 1, 8))::bigint
       < cast(round(least(greatest(w, 0), 1) * 1000000) as bigint) * 4294967296
 order by doc_id
 """
+
+
+def q_pack_sequences(max_tokens: int = 2000) -> str:
+    """Greedy first-fit sequence-packing twin of packing.pack_sequences
+    (bucket = lang, key = doc_id, tokens = n_chars): the sequential
+    fill recursion is replayed with a WITH RECURSIVE walk over the
+    per-bucket row_number chain — identical state transition, depth =
+    rows per bucket."""
+    b = max_tokens
+    return f"""
+with recursive d as (
+  select lang as pack_bucket, doc_id, n_chars,
+         row_number() over (partition by lang order by doc_id) as rn
+  from documents),
+r as (
+  select pack_bucket, doc_id, n_chars, rn,
+         0::bigint as seq_id, 0::bigint as seq_offset,
+         n_chars::bigint as fill
+  from d where rn = 1
+  union all
+  select d.pack_bucket, d.doc_id, d.n_chars, d.rn,
+         case when r.fill > 0 and r.fill + d.n_chars > {b}
+              then r.seq_id + 1 else r.seq_id end,
+         case when r.fill > 0 and r.fill + d.n_chars > {b}
+              then 0::bigint else r.fill end,
+         case when r.fill > 0 and r.fill + d.n_chars > {b}
+              then d.n_chars::bigint else r.fill + d.n_chars end
+  from r join d on d.pack_bucket = r.pack_bucket and d.rn = r.rn + 1)
+select doc_id, n_chars, pack_bucket, seq_id, seq_offset
+from r order by pack_bucket, doc_id
+"""
+
+
+MIXTURE_TARGETS = {"en": 0.4, "de": 0.2, "es": 0.2, "fr": 0.1, "zh": 0.1}
+
+
+def q_rebalance_mixture(seed: int = 42) -> str:
+    """Mixture-rebalancing twin of packing.rebalance_to_mixture over
+    MIXTURE_TARGETS: limiting group kept whole, every group keeps its
+    floor(t_g * min_g(n_g / t_g)) lowest-md5-rank rows. Float path
+    (double division, min, multiply, floor) is identical in both
+    engines; ranks are md5 of the seeded doc_id."""
+    tw = " ".join(
+        f"when '{g}' then {w}" for g, w in sorted(MIXTURE_TARGETS.items())
+    )
+    return f"""
+with n as (select lang, count(*) as cnt from documents group by lang),
+t as (select lang, cnt, case lang {tw} else 0 end as w from n),
+m as (select min(cnt / w) as scale from t where w > 0),
+q as (select lang, cast(w * (select scale from m) as bigint) as quota
+      from t where w > 0),
+ranked as (
+  select doc_id, lang,
+         row_number() over (
+           partition by lang
+           order by md5('{seed}:' || cast(doc_id as varchar))) as rk
+  from documents)
+select doc_id, lang from ranked join q using (lang)
+where rk <= quota order by doc_id
+"""
