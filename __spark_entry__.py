@@ -357,6 +357,16 @@ def q_rebalance_mixture(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_vocab_stats(spark, sf_dir):
+    """Corpus vocabulary frequency table (top-100 unigrams with term
+    and document frequency) — the tokenizer-training primitive; one
+    regex pass per doc, map-side-combinable counts,
+    TakeOrderedAndProject for the top-N."""
+    from oscar_tools_spark.operators.vocab import vocab_stats
+
+    return vocab_stats(_docs(spark, sf_dir), "doc_id", k=1, top_n=100)
+
+
 def q_sample_per_group(spark, sf_dir):
     """Stratified budget sampling: an independent byte budget per lang
     (the domain-mixing primitive). Per-group windows are natural window
@@ -681,6 +691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_weighted": q_sample_weighted,
         "pack_sequences": q_pack_sequences,
         "rebalance_mixture": q_rebalance_mixture,
+        "vocab_stats": q_vocab_stats,
         "events_hourly": q_events_hourly,
         "sessionize": q_sessionize,
         "topk_per_lang": q_topk_per_lang,
@@ -741,5 +752,6 @@ def oracle_sql() -> dict[str, str]:
         "sample_weighted": O.q_sample_weighted(),
         "pack_sequences": O.q_pack_sequences(),
         "rebalance_mixture": O.q_rebalance_mixture(),
+        "vocab_stats": O.q_vocab_stats(),
         "curation_pipeline": O.q_curation_pipeline(),
     }

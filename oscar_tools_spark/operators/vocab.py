@@ -1,0 +1,67 @@
+"""Corpus vocabulary / n-gram frequency tables.
+
+The tokenizer-training and corpus-profiling primitive: term frequency
+and document frequency for every word n-gram, optionally truncated to
+the top-N grams. Normalization is the repo-wide one (lowercase,
+non-alnum -> space, whitespace collapse) so vocab rows line up with
+the shingle-based dedup families and the DuckDB oracle.
+
+Scale shape: ONE regex-lookahead pass extracts all gram OCCURRENCES
+per document (no per-gram lambda — see word_shingles_expr's measured
+37s-vs-0.6s note), explode -> groupBy(gram) with count(*) (map-side
+combinable: a gram occurring 10^9 times ships one partial per map
+task, so stopword grams do not skew the shuffle) + count(distinct doc)
+for document frequency (Spark expands distinct aggs to a two-phase
+plan automatically). ``top_n`` compiles to TakeOrderedAndProject —
+per-partition top-N then a driver merge, never a global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def word_grams_expr(text: Column, k: int = 1) -> Column:
+    """ALL word k-gram occurrences (with multiplicity, in order) —
+    the non-distinct sibling of dedup.word_shingles_expr, same
+    normalization, no short-text fallback (a doc with < k words simply
+    contributes no k-grams to a frequency table)."""
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(text), r"[^a-z0-9\s]", " "), r"\s+", " "
+        )
+    )
+    pat = r"\b(?=(" + " ".join([r"[a-z0-9]+"] * k) + r"))"
+    return F.regexp_extract_all(norm, F.lit(pat), 1)
+
+
+def vocab_stats(
+    df: DataFrame,
+    key_col: str,
+    text_col: str = "text",
+    k: int = 1,
+    top_n: int | None = None,
+    min_count: int = 1,
+) -> DataFrame:
+    """(gram, tf, df_docs): term frequency (occurrences across the
+    corpus) and document frequency (docs containing the gram) per word
+    k-gram, ordered by (tf desc, gram) — deterministic tie-break.
+    ``top_n`` keeps the most frequent grams; ``min_count`` floors tf
+    (the vocab-truncation knobs a tokenizer build actually uses)."""
+    grams = df.select(
+        F.col(key_col).alias("_k"),
+        F.explode(word_grams_expr(F.col(text_col), k)).alias("gram"),
+    )
+    out = (
+        grams.groupBy("gram")
+        .agg(
+            F.count("*").alias("tf"),
+            F.countDistinct("_k").alias("df_docs"),
+        )
+        .filter(F.col("tf") >= min_count)
+        .orderBy(F.col("tf").desc(), "gram")
+    )
+    if top_n is not None:
+        out = out.limit(top_n)
+    return out

@@ -827,3 +827,24 @@ ranked as (
 select doc_id, lang from ranked join q using (lang)
 where rk <= quota order by doc_id
 """
+
+
+def q_vocab_stats(k: int = 1, top_n: int = 100) -> str:
+    """Vocabulary-frequency twin of vocab.vocab_stats: same
+    normalization, ALL gram occurrences (non-distinct), tf/df per gram,
+    (tf desc, gram) deterministic ordering, top-N truncation."""
+    gram = " || ' ' || ".join(f"__w[i + {j}]" for j in range(k))
+    occurrences = (
+        f"case when len(__w) >= {k} then "
+        f"list_transform(range(1, len(__w) - {k} + 2), i -> {gram}) "
+        "else [] end"
+    )
+    return f"""
+with __wtab as (select doc_id, {WORDS_SQL} as __w from documents),
+g as (select doc_id, unnest({occurrences}) as gram from __wtab)
+select gram, count(*) as tf, count(distinct doc_id) as df_docs
+from g where gram <> ''  -- empty-norm docs: split('') = [''] in DuckDB,
+                         -- while the Spark regex can never emit ''
+group by gram
+order by tf desc, gram limit {top_n}
+"""

@@ -1,0 +1,80 @@
+"""Vocabulary/n-gram frequency table semantics + streaming-compat
+smoke for the stateless quality filters."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from oscar_tools_spark.operators.vocab import vocab_stats
+
+
+def test_vocab_unigram_counts(spark):
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "THE cat, ran."),
+        (3, "dog"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [(r.gram, r.tf, r.df_docs) for r in vocab_stats(df, "doc_id").collect()]
+    # tf desc, gram asc tie-break
+    assert got == [
+        ("the", 3, 2),
+        ("cat", 2, 2),
+        ("dog", 1, 1),
+        ("mat", 1, 1),
+        ("on", 1, 1),
+        ("ran", 1, 1),
+        ("sat", 1, 1),
+    ]
+
+
+def test_vocab_bigrams_and_knobs(spark):
+    rows = [(1, "a b c a b"), (2, "a b x")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [(r.gram, r.tf, r.df_docs) for r in vocab_stats(df, "doc_id", k=2).collect()]
+    assert got == [
+        ("a b", 3, 2),
+        ("b c", 1, 1),
+        ("b x", 1, 1),
+        ("c a", 1, 1),
+    ]
+    top = vocab_stats(df, "doc_id", k=2, top_n=1).collect()
+    assert [(r.gram, r.tf) for r in top] == [("a b", 3)]
+    floored = vocab_stats(df, "doc_id", k=2, min_count=2).collect()
+    assert [(r.gram, r.tf) for r in floored] == [("a b", 3)]
+    # a doc shorter than k contributes nothing
+    tiny = spark.createDataFrame([(1, "solo")], "doc_id long, text string")
+    assert vocab_stats(tiny, "doc_id", k=2).count() == 0
+
+
+def test_quality_filters_work_on_streams(spark, tmp_path):
+    """c4_clean and gopher_stats are stateless projections/filters, so
+    the SAME functions must run unchanged in Structured Streaming —
+    the batch/stream unification contract."""
+    from oscar_tools_spark.functions.gopher import gopher_stats
+    from oscar_tools_spark.operators.c4_clean import c4_clean
+
+    good = "This is a decent sentence with enough words in it."
+    src = tmp_path / "src"
+    src.mkdir()
+    df = spark.createDataFrame(
+        [(1, "\n".join([good] * 3)), (2, "too short")],
+        "doc_id long, text string",
+    )
+    df.write.parquet(str(src / "part1"))
+    stream = spark.readStream.schema("doc_id long, text string").parquet(
+        str(src / "*")
+    )
+    cleaned = gopher_stats(c4_clean(stream))  # gopher default min 50 words
+    q = (
+        cleaned.writeStream.format("memory")
+        .queryName("qf_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = spark.sql("select * from qf_stream").collect()
+    assert {r.doc_id for r in got} == {1}  # doc 2 fails c4 min lines
+    assert got[0].n_kept_lines == 3
+    assert "word_count" in got[0].gopher_reasons  # 30 words < gopher 50
