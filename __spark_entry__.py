@@ -367,6 +367,15 @@ def q_vocab_stats(spark, sf_dir):
     return vocab_stats(_docs(spark, sf_dir), "doc_id", k=1, top_n=100)
 
 
+def q_tfidf_top_terms(spark, sf_dir):
+    """Per-doc salient terms by tf-idf (top-5, deterministic
+    tie-break); corpus doc count joined as a broadcast one-row
+    aggregate, not an eager driver count."""
+    from oscar_tools_spark.operators.vocab import tfidf_top_terms
+
+    return tfidf_top_terms(_docs(spark, sf_dir), "doc_id", top_per_doc=5)
+
+
 def q_sample_per_group(spark, sf_dir):
     """Stratified budget sampling: an independent byte budget per lang
     (the domain-mixing primitive). Per-group windows are natural window
@@ -692,6 +701,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "rebalance_mixture": q_rebalance_mixture,
         "vocab_stats": q_vocab_stats,
+        "tfidf_top_terms": q_tfidf_top_terms,
         "events_hourly": q_events_hourly,
         "sessionize": q_sessionize,
         "topk_per_lang": q_topk_per_lang,
@@ -753,5 +763,6 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": O.q_pack_sequences(),
         "rebalance_mixture": O.q_rebalance_mixture(),
         "vocab_stats": O.q_vocab_stats(),
+        "tfidf_top_terms": O.q_tfidf_top_terms(),
         "curation_pipeline": O.q_curation_pipeline(),
     }

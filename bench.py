@@ -188,6 +188,12 @@ def main() -> None:
         "dedup_substring_excise",
         lambda: run_noop(E.q_dedup_substring_excise(spark, sf_dir)),
     )
+    # round-4 quality/assembly operators: expression battery, HOF line
+    # filter, applyInPandas packing, explode+agg vocab
+    timed("gopher_quality", lambda: run_noop(E.q_gopher_quality(spark, sf_dir)))
+    timed("c4_clean", lambda: run_noop(E.q_c4_clean(spark, sf_dir)))
+    timed("pack_sequences", lambda: run_noop(E.q_pack_sequences(spark, sf_dir)))
+    timed("vocab_stats", lambda: run_noop(E.q_vocab_stats(spark, sf_dir)))
     # per-line langid over the transcripts table — the per-line hot path
     # (staged zip_with shape; the inline-HOF form measured 4x slower)
     timed(

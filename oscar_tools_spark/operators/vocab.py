@@ -65,3 +65,56 @@ def vocab_stats(
     if top_n is not None:
         out = out.limit(top_n)
     return out
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    key_col: str,
+    text_col: str = "text",
+    k: int = 1,
+    top_per_doc: int = 5,
+) -> DataFrame:
+    """Per-document top terms by tf-idf (idf = ln(N / df_docs)) —
+    salient-term extraction for corpus exploration and topic tagging.
+    Returns (key, rank, gram, tf, score) with score rounded to 6 dp
+    (per-row float math only, cross-engine stable) and a deterministic
+    (score desc, gram) tie-break.
+
+    Scale shape: the (doc, gram) tf frame is MATERIALIZED once — its
+    two consumers (the df_docs aggregation and the score join) would
+    otherwise re-run the gram explode per consumer (measured 4 Generate
+    nodes in the unmaterialized plan; exchange reuse breaks under
+    column pruning — the repo-wide lesson). N (the corpus doc count,
+    ``df.count()``) is embedded as a literal: a one-row join on a
+    literal key constant-folds into the BroadcastNestedLoopJoin shape
+    the plan guards forbid. NOTE: both choices make this function
+    EAGER — calling it runs Spark jobs at construction time.
+    """
+    from ..plans.materialize import materialize
+
+    grams = df.select(
+        F.col(key_col).alias("_k"),
+        F.explode(word_grams_expr(F.col(text_col), k)).alias("gram"),
+    )
+    tf = materialize(grams.groupBy("_k", "gram").agg(F.count("*").alias("tf")))
+    dfreq = tf.groupBy("gram").agg(F.count("*").alias("df_docs"))
+    n_docs = df.count()  # metadata-cheap on file sources; keys one row each
+    scored = tf.join(dfreq, "gram").withColumn(
+        "score",
+        F.round(
+            F.col("tf")
+            * F.log(F.lit(float(n_docs)) / F.col("df_docs")),
+            6,
+        ),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("_k").orderBy(F.col("score").desc(), "gram")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_per_doc)
+        .select(
+            F.col("_k").alias(key_col), "rank", "gram", "tf", "score"
+        )
+        .orderBy(key_col, "rank")
+    )

@@ -848,3 +848,35 @@ from g where gram <> ''  -- empty-norm docs: split('') = [''] in DuckDB,
 group by gram
 order by tf desc, gram limit {top_n}
 """
+
+
+def q_tfidf_top_terms(k: int = 1, top_per_doc: int = 5) -> str:
+    """tf-idf twin of vocab.tfidf_top_terms: identical double path
+    (integer tf, ln of double division, multiply, round 6) and the
+    same (score desc, gram) tie-break."""
+    gram = " || ' ' || ".join(f"__w[i + {j}]" for j in range(k))
+    occurrences = (
+        f"case when len(__w) >= {k} then "
+        f"list_transform(range(1, len(__w) - {k} + 2), i -> {gram}) "
+        "else [] end"
+    )
+    return f"""
+with __wtab as (select doc_id, {WORDS_SQL} as __w from documents),
+g as (select doc_id, unnest({occurrences}) as gram from __wtab
+      where len(__w) > 0),
+g2 as (select * from g where gram <> ''),
+tf as (select doc_id, gram, count(*) as tf from g2 group by doc_id, gram),
+dfreq as (select gram, count(*) as df_docs from tf group by gram),
+n as (select count(*) as n_docs from documents),
+scored as (
+  select tf.doc_id, tf.gram, tf.tf,
+         round(tf.tf * ln(cast(n.n_docs as double) / dfreq.df_docs), 6)
+           as score
+  from tf join dfreq using (gram) cross join n),
+ranked as (
+  select *, row_number() over (
+      partition by doc_id order by score desc, gram) as rank
+  from scored)
+select doc_id, rank, gram, tf, score from ranked
+where rank <= {top_per_doc} order by doc_id, rank
+"""

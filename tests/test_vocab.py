@@ -78,3 +78,32 @@ def test_quality_filters_work_on_streams(spark, tmp_path):
     assert {r.doc_id for r in got} == {1}  # doc 2 fails c4 min lines
     assert got[0].n_kept_lines == 3
     assert "word_count" in got[0].gopher_reasons  # 30 words < gopher 50
+
+
+def test_tfidf_top_terms_fixture(spark):
+    import math
+
+    from oscar_tools_spark.operators.vocab import tfidf_top_terms
+
+    rows = [
+        (1, "apple apple banana"),
+        (2, "banana cherry"),
+        (3, "cherry cherry cherry durian"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [
+        (r.doc_id, r.rank, r.gram, r.tf, r.score)
+        for r in tfidf_top_terms(df, "doc_id", top_per_doc=2).collect()
+    ]
+    idf = lambda d: math.log(3 / d)  # noqa: E731
+    # doc1: apple tf2 idf ln(3/1); banana tf1 idf ln(3/2)
+    assert got[0] == (1, 1, "apple", 2, round(2 * idf(1), 6))
+    assert got[1] == (1, 2, "banana", 1, round(idf(2), 6))
+    # doc2: banana and cherry both tf1 idf ln(3/2) — gram tie-break
+    assert got[2] == (2, 1, "banana", 1, round(idf(2), 6))
+    assert got[3] == (2, 2, "cherry", 1, round(idf(2), 6))
+    # doc3: cherry tf3 beats durian tf1 despite durian's higher idf?
+    # cherry: 3*ln(1.5)=1.216; durian: 1*ln(3)=1.099 -> cherry first
+    assert got[4] == (3, 1, "cherry", 3, round(3 * idf(2), 6))
+    assert got[5] == (3, 2, "durian", 1, round(idf(1), 6))
+    assert len(got) == 6
