@@ -433,6 +433,26 @@ def q_decontaminate(spark, sf_dir):
     )
 
 
+def q_decontaminate_bloom(spark, sf_dir):
+    """Bloom-filter decontamination (compact-broadcast scale path):
+    same eval-suite split as q_decontaminate, but membership goes
+    through a ~16-bits/item bloom filter instead of the raw shingle
+    set. Rows-only by design (approximate: drops a superset — the
+    exact drops plus ~0.2% hash-collision over-drops; the no-false-
+    negative and FPR-bound invariants are pytest-gated in
+    tests/test_dedup.py::test_decontaminate_bloom_superset_and_fpr)."""
+    from oscar_tools_spark.operators.decontaminate import decontaminate_bloom
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    corp = docs.filter(F.col("doc_id") % 50 != 0)
+    return (
+        decontaminate_bloom(corp, bench, "doc_id", shingle_k=8)
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
 def q_topk_cosine_ivf(spark, sf_dir):
     """ANN top-k via IVF coarse quantization (rows-only check: cell
     assignment depends on float k-means centroids, not SQL-portable;
@@ -702,6 +722,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rebalance_mixture": q_rebalance_mixture,
         "vocab_stats": q_vocab_stats,
         "tfidf_top_terms": q_tfidf_top_terms,
+        "decontaminate_bloom": q_decontaminate_bloom,
         "events_hourly": q_events_hourly,
         "sessionize": q_sessionize,
         "topk_per_lang": q_topk_per_lang,

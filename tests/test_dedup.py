@@ -302,3 +302,58 @@ def test_excise_merges_adjacent_spans(spark):
     assert got[3] == "gap tail one two"
     assert got[4] == "solo extra pad"
     assert got[1] == "aa bb cc" and got[2] == "dd ee ff"
+
+
+def test_decontaminate_bloom_superset_and_fpr(spark):
+    """Bloom decontamination must drop EVERY doc the exact variant
+    drops (no false negatives), with a small, bounded false-positive
+    over-drop on clean docs."""
+    import numpy as np
+
+    from oscar_tools_spark.operators.decontaminate import (
+        build_bloom,
+        bloom_contains_udf,
+        decontaminate,
+        decontaminate_bloom,
+    )
+
+    bench_span = " ".join(f"eval{i}" for i in range(8))
+    rows = [(0, f"leading text {bench_span} trailing text")]  # contaminated
+    rows += [
+        (i, " ".join(f"tok{i}_{j}" for j in range(12))) for i in range(1, 401)
+    ]  # clean
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = spark.createDataFrame([(bench_span,)], "text string")
+
+    exact_kept = {r.doc_id for r in decontaminate(df, bench, "doc_id").collect()}
+    bloom_kept = {
+        r.doc_id for r in decontaminate_bloom(df, bench, "doc_id").collect()
+    }
+    assert 0 not in exact_kept and 0 not in bloom_kept
+    # bloom drops a superset: kept(bloom) subset of kept(exact)
+    assert bloom_kept <= exact_kept
+    # over-drop (FPR casualties) stays tiny at 16 bits/item
+    assert len(exact_kept) - len(bloom_kept) <= 4
+
+    # direct FPR measurement on the filter itself: 20k random probes
+    member = np.arange(1, 5001, dtype=np.uint64) * np.uint64(2654435761)
+    bits = build_bloom(member, 16 * len(member))
+    probes = (np.arange(20_000, dtype=np.uint64) + np.uint64(7)) * np.uint64(
+        0x9E3779B1
+    )
+    probe_df = spark.createDataFrame(
+        [(int(np.int64(p)),) for p in probes], "h long"
+    )
+    from pyspark.sql import functions as F2
+
+    got = probe_df.select(
+        "h", bloom_contains_udf(bits, 16 * len(member))(F2.col("h")).alias("m")
+    ).collect()
+    member_set = {int(np.int64(m)) for m in member}
+    fp = sum(1 for r in got if r.m and r.h not in member_set)
+    n_clean = sum(1 for r in got if r.h not in member_set)
+    assert fp / n_clean < 0.01, (fp, n_clean)  # ~0.24% expected at k=4
+    # and every true member answers yes
+    mem_df = spark.createDataFrame([(int(np.int64(m)),) for m in member], "h long")
+    hits = mem_df.select(bloom_contains_udf(bits, 16 * len(member))(F2.col("h")).alias("m")).collect()
+    assert all(r.m for r in hits)
