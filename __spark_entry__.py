@@ -376,6 +376,15 @@ def q_tfidf_top_terms(spark, sf_dir):
     return tfidf_top_terms(_docs(spark, sf_dir), "doc_id", top_per_doc=5)
 
 
+def q_length_profile(spark, sf_dir):
+    """Per-lang size profile with exact index-based quantiles
+    (floor(q*(n-1)) selection — integer-exact across engines, where
+    interpolated percentiles would hash-mismatch)."""
+    from oscar_tools_spark.operators.stats import length_profile
+
+    return length_profile(_docs(spark, sf_dir), "lang", "n_chars", "doc_id")
+
+
 def q_sample_per_group(spark, sf_dir):
     """Stratified budget sampling: an independent byte budget per lang
     (the domain-mixing primitive). Per-group windows are natural window
@@ -723,6 +732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_stats": q_vocab_stats,
         "tfidf_top_terms": q_tfidf_top_terms,
         "decontaminate_bloom": q_decontaminate_bloom,
+        "length_profile": q_length_profile,
         "events_hourly": q_events_hourly,
         "sessionize": q_sessionize,
         "topk_per_lang": q_topk_per_lang,
@@ -785,5 +795,6 @@ def oracle_sql() -> dict[str, str]:
         "rebalance_mixture": O.q_rebalance_mixture(),
         "vocab_stats": O.q_vocab_stats(),
         "tfidf_top_terms": O.q_tfidf_top_terms(),
+        "length_profile": O.q_length_profile(),
         "curation_pipeline": O.q_curation_pipeline(),
     }

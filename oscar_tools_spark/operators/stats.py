@@ -57,3 +57,55 @@ def tag_histogram(df: DataFrame, text_col: str = "text") -> DataFrame:
         .agg(F.count("*").alias("n"))
         .orderBy("tag")
     )
+
+
+def length_profile(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    key_col: str,
+    quantiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Per-group size profile with EXACT index-based quantiles: the
+    q-quantile is the element at sorted index floor(q * (n - 1)) with
+    the deterministic (value, key) tie order — pure integer selection,
+    so Spark and the DuckDB oracle agree bit-for-bit where interpolated
+    percentile definitions (and their float paths) would not.
+
+    Output: (group, n, total, mean, p<q>...) — mean rounded per-row.
+    Shape: ONE window pass per group (row_number + count over the
+    group) then a tiny filter+pivot aggregation; no driver-side data,
+    no approx sketches (swap in approx_percentile at 100 TB if an
+    exact global sort per group is too hot — the column contract stays
+    identical)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(F.col(value_col), F.col(key_col))
+    wn = Window.partitionBy(group_col)
+    ranked = df.select(
+        group_col,
+        value_col,
+        key_col,
+    ).withColumn("_rn", F.row_number().over(w)).withColumn(
+        "_n", F.count("*").over(wn)
+    )
+    q_hits = [
+        F.max(
+            F.when(
+                F.col("_rn") - 1
+                == F.floor(F.lit(q) * (F.col("_n") - 1)),
+                F.col(value_col),
+            )
+        ).alias(f"p{str(q)[2:]}")
+        for q in quantiles
+    ]
+    return (
+        ranked.groupBy(group_col)
+        .agg(
+            F.max("_n").alias("n"),
+            F.sum(value_col).alias("total"),
+            F.round(F.sum(value_col) / F.max("_n"), 4).alias("mean"),
+            *q_hits,
+        )
+        .orderBy(group_col)
+    )

@@ -880,3 +880,24 @@ ranked as (
 select doc_id, rank, gram, tf, score from ranked
 where rank <= {top_per_doc} order by doc_id, rank
 """
+
+
+def q_length_profile(quantiles=(0.5, 0.9, 0.99)) -> str:
+    """Index-based-quantile twin of stats.length_profile over
+    (lang, n_chars): element at floor(q*(n-1)) in (value, doc_id)
+    order — integer selection, no interpolation."""
+    cols = ", ".join(
+        f"max(case when rn - 1 = floor({q} * (n - 1)) then n_chars end)"
+        f" as p{str(q)[2:]}"
+        for q in quantiles
+    )
+    return f"""
+with ranked as (
+  select lang, n_chars, doc_id,
+         row_number() over (partition by lang order by n_chars, doc_id) as rn,
+         count(*) over (partition by lang) as n
+  from documents)
+select lang, max(n) as n, sum(n_chars)::bigint as total,
+       round(sum(n_chars) / cast(max(n) as double), 4) as mean, {cols}
+from ranked group by lang order by lang
+"""

@@ -133,3 +133,18 @@ def test_c4_clean_plan_is_shuffle_free(spark):
     df = spark.createDataFrame([(1, "a\nb")], "doc_id long, text string")
     plan = c4_clean(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_length_profile_exact_quantiles(spark):
+    from oscar_tools_spark.operators.stats import length_profile
+
+    # lang a: values 10..19 (n=10): p50 idx floor(.5*9)=4 -> 14;
+    # p90 idx floor(8.1)=8 -> 18; p99 idx floor(8.91)=8 -> 18
+    rows = [("a", i, 10 + i) for i in range(10)] + [("b", 0, 7)]
+    df = spark.createDataFrame(rows, "lang string, doc_id long, n_chars long")
+    got = {r.lang: r for r in
+           length_profile(df, "lang", "n_chars", "doc_id").collect()}
+    a = got["a"]
+    assert (a.n, a.total, a.mean, a.p5, a.p9, a.p99) == (10, 145, 14.5, 14, 18, 18)
+    b = got["b"]
+    assert (b.n, b.total, b.p5, b.p9, b.p99) == (1, 7, 7, 7, 7)
