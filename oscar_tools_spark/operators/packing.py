@@ -91,6 +91,7 @@ def rebalance_to_mixture(
     targets: dict[str, float],
     key_cols: list[str] | None = None,
     seed: int = 42,
+    exact: bool = True,
 ) -> DataFrame:
     """Downsample groups so surviving counts follow ``targets`` (a
     {group: weight} map; only RATIOS matter — quotas are invariant
@@ -106,6 +107,17 @@ def rebalance_to_mixture(
     — pass explicit keys for stable lineage). One aggregation for the
     counts (broadcast back — |groups| rows), one per-group window pass
     for the ranks; no rand().
+
+    SKEW NOTE (``exact``): the exact rank window sorts each group in
+    ONE partition — correct at any group size, but a group holding a
+    large fraction of a 100 TB corpus strands an executor on that
+    sort. ``exact=False`` is the skew-free scale path: keep each row
+    iff its md5 draw falls below quota_g / n_g (same integer-exact
+    comparison as ``sampling.sample_by_weight``) — a narrow,
+    shuffle-free filter whose surviving count is Binomial around the
+    quota (±~sqrt(quota)) instead of exactly the quota. At web scale
+    that relative error is ~10^-4; for exact counts on modest data,
+    keep the default.
     """
     norm = {g: float(w) for g, w in targets.items() if w > 0}
     if not norm:
@@ -131,6 +143,35 @@ def rebalance_to_mixture(
         ],
         F.lit(0),
     )
+    if not exact:
+        # skew-free Bernoulli path: p_g = quota_g / n_g via the integer
+        # hash-threshold comparison (see sample_by_weight)
+        n_col = F.coalesce(
+            *[
+                F.when(F.col(group_col) == g, F.lit(n_by_group[g]))
+                for g in sorted(quotas)
+            ],
+            F.lit(0),
+        )
+        h = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.lit(str(seed)),
+                        *[F.col(c).cast("string") for c in keys],
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        return df.filter(
+            (n_col > 0)
+            & (h * n_col < quota_col * F.lit(4_294_967_296))
+        )
     rank_key = F.md5(
         F.concat_ws(
             ":", F.lit(str(seed)), *[F.col(c).cast("string") for c in keys]

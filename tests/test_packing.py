@@ -102,3 +102,29 @@ def test_rebalance_rejects_empty_targets(spark):
     df = spark.createDataFrame([("en", 1)], "lang string, doc_id long")
     with pytest.raises(ValueError):
         rebalance_to_mixture(df, "lang", {"en": 0.0})
+
+
+def test_rebalance_approximate_mode(spark):
+    """exact=False: skew-free hash-threshold path — no Window in the
+    plan, surviving counts Binomial around the quotas, zero rows from
+    untargeted groups, deterministic."""
+    rows = (
+        [("en", i) for i in range(2000)]
+        + [("de", i) for i in range(600)]
+        + [("xx", i) for i in range(50)]
+    )
+    df = spark.createDataFrame(rows, "lang string, doc_id long")
+    targets = {"en": 2, "de": 1}  # scales: en 1000, de 600 -> M=600
+    out = rebalance_to_mixture(df, "lang", targets, key_cols=["doc_id"],
+                               exact=False)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan and "Exchange" not in plan
+    counts = {r.lang: r.n for r in
+              out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    # quotas: en 1200, de 600; Binomial noise ~ 3*sqrt(q)
+    assert abs(counts["en"] - 1200) < 110, counts
+    assert abs(counts.get("de", 0) - 600) < 75, counts
+    assert "xx" not in counts
+    out2 = rebalance_to_mixture(df.repartition(7), "lang", targets,
+                                key_cols=["doc_id"], exact=False)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, out2.collect()))
