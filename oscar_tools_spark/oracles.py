@@ -816,7 +816,7 @@ def q_rebalance_mixture(seed: int = 42) -> str:
 with n as (select lang, count(*) as cnt from documents group by lang),
 t as (select lang, cnt, case lang {tw} else 0 end as w from n),
 m as (select min(cnt / w) as scale from t where w > 0),
-q as (select lang, cast(w * (select scale from m) as bigint) as quota
+q as (select lang, cast(floor(w * (select scale from m)) as bigint) as quota
       from t where w > 0),
 ranked as (
   select doc_id, lang,
