@@ -376,6 +376,24 @@ def q_tfidf_top_terms(spark, sf_dir):
     return tfidf_top_terms(_docs(spark, sf_dir), "doc_id", top_per_doc=5)
 
 
+def q_dedup_within_docs(spark, sf_dir):
+    """Within-document exact repetition removal (word mode — the
+    testdata docs are single-line): first occurrence of each token
+    survives, later repeats are stripped, with removed-count lineage.
+    One narrow shuffle-free projection."""
+    from oscar_tools_spark.operators.dedup import dedup_within_docs
+
+    return (
+        dedup_within_docs(
+            _docs(spark, sf_dir).select("doc_id", "text"),
+            "doc_id",
+            sep_regex=" ",
+            joiner=" ",
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_length_profile(spark, sf_dir):
     """Per-lang size profile with exact index-based quantiles
     (floor(q*(n-1)) selection — integer-exact across engines, where
@@ -733,6 +751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": q_tfidf_top_terms,
         "decontaminate_bloom": q_decontaminate_bloom,
         "length_profile": q_length_profile,
+        "dedup_within_docs": q_dedup_within_docs,
         "events_hourly": q_events_hourly,
         "sessionize": q_sessionize,
         "topk_per_lang": q_topk_per_lang,
@@ -796,5 +815,6 @@ def oracle_sql() -> dict[str, str]:
         "vocab_stats": O.q_vocab_stats(),
         "tfidf_top_terms": O.q_tfidf_top_terms(),
         "length_profile": O.q_length_profile(),
+        "dedup_within_docs": O.q_dedup_within_docs(),
         "curation_pipeline": O.q_curation_pipeline(),
     }

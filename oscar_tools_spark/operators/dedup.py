@@ -481,6 +481,43 @@ def excise_exact_substring(
     ).drop("_exc", "_new_text")
 
 
+def dedup_within_docs(
+    df: DataFrame,
+    key_col: str,
+    text_col: str = "text",
+    sep_regex: str = r"\n",
+    joiner: str = "\n",
+) -> DataFrame:
+    """WITHIN-document repetition removal: split ``text_col`` on
+    ``sep_regex``, keep only the FIRST occurrence of each segment
+    inside its own document (later repeats removed), re-join with
+    ``joiner``. The repetition FIXER complementing the Gopher
+    repetition signals — with the default line separator it strips
+    repeated lines (boilerplate, chat-loop echoes); with ``sep_regex=
+    " "`` it strips exact repeated tokens.
+
+    First-occurrence-wins matches the reference's global line-dedup
+    policy (dedup.rs:27-47) scoped to one document, including its
+    empty-segment behavior: consecutive separators yield empty
+    segments, which dedup like any other key (SURVEY.md §2.2).
+
+    Plan shape: a single narrow projection — the keep test is a
+    ``filter`` HOF with index (a segment survives iff it does not
+    appear among the segments before it), O(L²) interpreted work per
+    doc on the SEGMENT array (no regex inside the lambda; segments per
+    doc are bounded), no explode, no shuffle, streaming-compatible.
+    Adds ``n_dup_segments_removed`` lineage.
+    """
+    segs = F.split(F.col(text_col), sep_regex)
+    kept = F.filter(
+        segs,
+        lambda x, i: F.array_position(F.slice(segs, 1, i), x) == 0,
+    )
+    return df.withColumn(
+        "n_dup_segments_removed", F.size(segs) - F.size(kept)
+    ).withColumn(text_col, F.array_join(kept, joiner))
+
+
 # ------------------------------------------------------------ n-gram Jaccard
 
 

@@ -901,3 +901,22 @@ select lang, max(n) as n, sum(n_chars)::bigint as total,
        round(sum(n_chars) / cast(max(n) as double), 4) as mean, {cols}
 from ranked group by lang order by lang
 """
+
+
+def q_dedup_within_docs(sep: str = " ") -> str:
+    """Within-doc repetition-removal twin of dedup.dedup_within_docs
+    (word mode for the testdata: documents are single-line): keep the
+    first occurrence of each segment inside its own document. Both
+    engines' absent-position sentinel is 0 (Spark array_position,
+    DuckDB list_position); DuckDB's lambda index is 1-based where
+    Spark's is 0-based — the slice bounds account for it."""
+    return f"""
+with s as (select doc_id, string_split_regex(text, '{sep}') as l
+           from documents),
+d as (select doc_id, len(l) as n0,
+        list_filter(l, (x, i) -> list_position(l[1:i-1], x) = 0) as kept
+      from s)
+select doc_id, array_to_string(kept, '{sep}') as text,
+       (n0 - len(kept))::bigint as n_dup_segments_removed
+from d order by doc_id
+"""

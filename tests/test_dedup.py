@@ -357,3 +357,26 @@ def test_decontaminate_bloom_superset_and_fpr(spark):
     mem_df = spark.createDataFrame([(int(np.int64(m)),) for m in member], "h long")
     hits = mem_df.select(bloom_contains_udf(bits, 16 * len(member))(F2.col("h")).alias("m")).collect()
     assert all(r.m for r in hits)
+
+
+def test_dedup_within_docs_lines_and_words(spark):
+    from oscar_tools_spark.operators.dedup import dedup_within_docs
+
+    rows = [
+        (1, "alpha\nbeta\nalpha\ngamma\nbeta"),
+        (2, "one\n\ntwo\n\nthree"),  # blank segments dedup like keys
+        (3, "solo"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.text, r.n_dup_segments_removed)
+           for r in dedup_within_docs(df, "doc_id").collect()}
+    assert got[1] == ("alpha\nbeta\ngamma", 2)
+    assert got[2] == ("one\n\ntwo\nthree", 1)  # second blank removed
+    assert got[3] == ("solo", 0)
+    # word mode
+    wdf = spark.createDataFrame([(1, "a b a c b a")], "doc_id long, text string")
+    w = dedup_within_docs(wdf, "doc_id", sep_regex=" ", joiner=" ").collect()[0]
+    assert (w.text, w.n_dup_segments_removed) == ("a b c", 3)
+    # shuffle-free plan
+    plan = dedup_within_docs(df, "doc_id")._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
