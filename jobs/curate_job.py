@@ -32,6 +32,10 @@ def main() -> None:
     ap.add_argument("--partitions", type=int, default=0,
                     help="conversation-intact repartition width (0 = skip)")
     ap.add_argument("--no-model", action="store_true")
+    ap.add_argument("--c4-clean", action="store_true",
+                    help="C4 line cleaning before annotation")
+    ap.add_argument("--gopher", action="store_true",
+                    help="Gopher quality-rule battery as a keep condition")
     ap.add_argument("--no-resume", action="store_true",
                     help="single write, no bucket manifest")
     ap.add_argument("--checkpoint-dir", default=None,
@@ -73,6 +77,8 @@ def main() -> None:
         clean=args.clean,
         use_model_langid=not args.no_model,
         with_perplexity=not args.no_model,
+        c4_line_clean=args.c4_clean,
+        gopher_filter=args.gopher,
     )
     io = TableIO(spark)
     df = io.read(args.input)

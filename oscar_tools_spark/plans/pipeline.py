@@ -45,6 +45,19 @@ class CurationConfig:
     # fastText / KenLM model plugs into the pipeline. None = built-ins.
     langid_score_batch: object = None  # (pd.Series) -> (labels, probs)
     ppl_score_batch: object = None  # (pd.Series) -> array-like of float
+    # optional pre-filter stages (both narrow projections/filters, so
+    # the one-plan/no-shuffle property is preserved; off by default to
+    # keep the reference F1 contract untouched):
+    # C4 line cleaning BEFORE annotation (rewrites text), with
+    # per-turn-appropriate defaults (min_kept_lines=1: turns are short)
+    c4_line_clean: bool = False
+    c4_min_words: int = 5
+    c4_require_terminal_punct: bool = False
+    # Gopher rule battery as an additional keep condition (thresholds
+    # overridable via gopher_overrides, e.g. {"min_words": 10} for
+    # turn-length text)
+    gopher_filter: bool = False
+    gopher_overrides: dict | None = None
 
     def __post_init__(self):
         validate_tag_sets(self.include, self.exclude)
@@ -144,9 +157,29 @@ def lineage_stage(df: DataFrame) -> DataFrame:
 
 
 def curate(df: DataFrame, cfg: CurationConfig | None = None, text_col: str = "text") -> DataFrame:
-    """The full pipeline as one narrow plan."""
+    """The full pipeline as one narrow plan. Optional stages
+    (cfg.c4_line_clean, cfg.gopher_filter) slot in ahead of annotation
+    without adding a shuffle — every stage stays a projection/filter,
+    so the whole pipeline still compiles to a single codegen pass."""
     cfg = cfg or CurationConfig()
-    out = annotate_stage(df, cfg, text_col)
+    out = df
+    if cfg.c4_line_clean:
+        from ..operators.c4_clean import c4_clean
+
+        out = c4_clean(
+            out,
+            text_col=text_col,
+            min_words=cfg.c4_min_words,
+            require_terminal_punct=cfg.c4_require_terminal_punct,
+            min_kept_lines=1,
+        )
+    if cfg.gopher_filter:
+        from ..functions.gopher import gopher_keep_expr
+
+        out = out.filter(
+            gopher_keep_expr(F.col(text_col), **(cfg.gopher_overrides or {}))
+        )
+    out = annotate_stage(out, cfg, text_col)
     out = filter_stage(out, cfg)
     out = scrub_stage(out, cfg, text_col)
     return lineage_stage(out)

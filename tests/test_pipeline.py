@@ -239,3 +239,35 @@ def test_repartition_bounds_mega_conversation_skew(spark):
     # (max ~= 120k = 32x the mean); with salting every partition stays
     # within a small factor of the mean
     assert max_rows <= 2.5 * mean, (max_rows, mean)
+
+
+def test_curate_optional_quality_stages_stay_one_plan(spark):
+    """c4_line_clean + gopher_filter slot into curate without adding a
+    shuffle, and actually filter."""
+    t = synth_transcripts(spark, 120)
+    base_cfg = CurationConfig(
+        exclude=frozenset({"adult", "noisy"}),
+        use_model_langid=False,
+        with_perplexity=False,
+    )
+    qcfg = CurationConfig(
+        exclude=frozenset({"adult", "noisy"}),
+        use_model_langid=False,
+        with_perplexity=False,
+        c4_line_clean=True,
+        c4_min_words=2,
+        gopher_filter=True,
+        gopher_overrides={"min_words": 5, "min_stopword_hits": 0},
+    )
+    out = curate(t, qcfg)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # still a single narrow pass
+    n_base = curate(t, base_cfg).count()
+    n_q = out.count()
+    assert 0 < n_q < n_base  # the stages actually dropped rows
+    # c4 rewrote text: no surviving line has < 2 words
+    import re
+
+    for r in out.select("text").limit(50).collect():
+        for line in r.text.split("\n"):
+            assert len([w for w in line.split(" ") if w]) >= 2, line
