@@ -5,7 +5,10 @@ Limits of Transfer Learning with a Unified Text-to-Text Transformer",
 Per-LINE rules (a line survives iff all enabled rules pass):
 * at least ``min_words`` whitespace words (paper: 5)
 * ends in terminal punctuation ``. ! ? "`` or a closing quote
-  (paper rule; off by default in queries over punctuation-free corpora)
+  (paper rule; off by default in queries over punctuation-free corpora).
+  Trailing SPACES are ignored before the check (SQL ``rtrim``
+  semantics — spaces only, not tabs/newlines; pinned by
+  ``tests/test_random_equivalence.py``)
 * does not mention "javascript" (case-insensitive)
 
 Per-DOCUMENT rules (a doc survives iff all pass, applied AFTER line

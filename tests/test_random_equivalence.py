@@ -1,0 +1,96 @@
+"""Randomized Spark-vs-pure-Python equivalence for the round-4 text
+operators: 300 adversarial random texts (unicode, runs of whitespace,
+punctuation-only tokens, empty strings) through ONE Spark job each,
+compared row-for-row against an independent Python reimplementation.
+Complements the golden fixtures (hand-picked cases) and the DuckDB
+oracles (real-corpus text) with the weird-input tail."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from oscar_tools_spark.operators.c4_clean import c4_clean
+from oscar_tools_spark.operators.dedup import dedup_within_docs
+
+ALPHABET = list("ab c\ndef.!?\"'-*{}#…\t") + ["é", "中", " "]
+
+
+def random_texts(n: int, seed: int = 11) -> list[str]:
+    rng = np.random.default_rng(seed)
+    out = []
+    for _ in range(n):
+        length = int(rng.integers(0, 120))
+        out.append("".join(rng.choice(ALPHABET, size=length)))
+    return out
+
+
+def ref_dedup_within(text: str, sep: str, joiner: str) -> tuple[str, int]:
+    import re
+
+    segs = re.split(sep, text)
+    seen, kept = set(), []
+    for s in segs:
+        if s not in seen:
+            seen.add(s)
+            kept.append(s)
+    return joiner.join(kept), len(segs) - len(kept)
+
+
+def ref_c4_line_keep(line: str, min_words: int, punct: bool) -> bool:
+    words = [w for w in line.split(" ") if w != ""]
+    if len(words) < min_words:
+        return False
+    if punct:
+        # the operator pins SQL rtrim semantics: trailing SPACES only
+        # (not \t/\n) are ignored before the terminal-punct check
+        r = line.rstrip(" ")
+        if not r or r[-1] not in ('.', '!', '?', '"', "'"):
+            return False
+    return "javascript" not in line.lower()
+
+
+def ref_c4(text: str, min_words: int, punct: bool, min_lines: int):
+    kept = [l for l in text.split("\n") if ref_c4_line_keep(l, min_words, punct)]
+    low = text.lower()
+    if len(kept) < min_lines or "lorem ipsum" in low or "{" in low:
+        return None
+    return "\n".join(kept), len(kept)
+
+
+def test_dedup_within_docs_matches_python_reference(spark):
+    texts = random_texts(300)
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {
+        r.doc_id: (r.text, r.n_dup_segments_removed)
+        for r in dedup_within_docs(df, "doc_id").collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == ref_dedup_within(t, r"\n", "\n"), (i, repr(t))
+    # word mode too
+    got_w = {
+        r.doc_id: (r.text, r.n_dup_segments_removed)
+        for r in dedup_within_docs(df, "doc_id", sep_regex=" ", joiner=" ").collect()
+    }
+    for i, t in enumerate(texts):
+        assert got_w[i] == ref_dedup_within(t, r" ", " "), (i, repr(t))
+
+
+def test_c4_clean_matches_python_reference(spark):
+    texts = random_texts(300, seed=13)
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    for min_words, punct, min_lines in [(1, False, 1), (2, True, 1)]:
+        got = {
+            r.doc_id: (r.text, r.n_kept_lines)
+            for r in c4_clean(
+                df,
+                min_words=min_words,
+                require_terminal_punct=punct,
+                min_kept_lines=min_lines,
+            ).collect()
+        }
+        for i, t in enumerate(texts):
+            want = ref_c4(t, min_words, punct, min_lines)
+            if want is None:
+                assert i not in got, (i, repr(t), got.get(i))
+            else:
+                assert got.get(i) == want, (i, repr(t))
