@@ -138,6 +138,40 @@ def q_dedup_docs_exact(spark, sf_dir):
     )
 
 
+def q_dedup_incremental(spark, sf_dir):
+    """Exact incremental dedup: docs with doc_id % 5 == 0 play the
+    existing corpus — participating ONLY through its digest table, as
+    a 100 TB history would — and the rest are the new batch."""
+    from oscar_tools_spark.operators.dedup import corpus_digests, dedup_incremental
+
+    docs = _docs(spark, sf_dir)
+    seen = corpus_digests(docs.filter(F.col("doc_id") % 5 == 0))
+    batch = docs.filter(F.col("doc_id") % 5 != 0)
+    return (
+        dedup_incremental(batch, seen, ["doc_id"]).select("doc_id").orderBy("doc_id")
+    )
+
+
+def q_dedup_incremental_minhash(spark, sf_dir):
+    """Near-dup incremental dedup: history participates through its
+    (band_idx, band_key) LSH band table only."""
+    from oscar_tools_spark.operators.dedup import (
+        dedup_incremental_minhash,
+        minhash_bands,
+    )
+
+    docs = _docs(spark, sf_dir)
+    seen = minhash_bands(docs.filter(F.col("doc_id") % 5 == 0), ["doc_id"]).select(
+        "band_idx", "band_key"
+    )
+    batch = docs.filter(F.col("doc_id") % 5 != 0)
+    return (
+        dedup_incremental_minhash(batch, seen, "doc_id")
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
 def q_sample_budget(spark, sf_dir):
     return (
         sample_by_budget(
@@ -725,6 +759,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_text": q_extract_text,
         "dedup_lines": q_dedup_lines,
         "dedup_docs_exact": q_dedup_docs_exact,
+        "dedup_incremental": q_dedup_incremental,
+        "dedup_incremental_minhash": q_dedup_incremental_minhash,
         "sample_budget": q_sample_budget,
         "langid": q_langid,
         "token_stats": q_token_stats,
@@ -780,6 +816,8 @@ def oracle_sql() -> dict[str, str]:
         "extract_text": O.q_extract_text(),
         "dedup_lines": O.q_dedup_lines(),
         "dedup_docs_exact": O.q_dedup_docs_exact(),
+        "dedup_incremental": O.q_dedup_incremental(),
+        "dedup_incremental_minhash": O.q_dedup_incremental_minhash(),
         "sample_budget": O.q_sample_budget(SAMPLE_BUDGET),
         "langid": O.q_langid(),
         "token_stats": O.q_token_stats(),

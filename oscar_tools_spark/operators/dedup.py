@@ -224,6 +224,110 @@ def dedup_minhash_lsh(
     return df.join(dup_keys, key_col, "left_anti")
 
 
+# ------------------------------------------------------- incremental dedup
+
+
+def corpus_digests(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Fingerprint table of a corpus for incremental exact dedup: one
+    row per distinct ``md5(text_col)`` digest. 100 TB of text compresses
+    to ~32 bytes per distinct doc — the only state the next batch needs."""
+    return df.select(F.md5(F.col(text_col)).alias("digest")).distinct()
+
+
+def dedup_incremental(
+    new_df: DataFrame,
+    seen_digests: DataFrame,
+    key_cols: list[str],
+    text_col: str = "text",
+    digest_col: str = "digest",
+) -> DataFrame:
+    """Exact incremental dedup of a NEW batch against an EXISTING corpus.
+
+    Drops every new row whose text digest already appears in
+    ``seen_digests`` (built once with :func:`corpus_digests` and
+    appended to after each batch), then applies the within-batch
+    first-occurrence policy of :func:`dedup_docs_exact` (smallest
+    ``key_cols`` struct wins). Returns surviving rows with the input
+    schema.
+
+    Scale: at 100 TB you never re-dedup the whole corpus — the history
+    participates ONLY through its digest table, so deduping a 1 TB
+    batch against a 100 TB corpus reads ~tens of GB of digests and one
+    scan of the batch. The anti-join shuffles on the digest (md5 →
+    uniform, skew-free); AQE broadcasts the digest side automatically
+    when it is small.
+    """
+    keyed = new_df.withColumn("_digest", F.md5(F.col(text_col)))
+    seen = seen_digests.select(F.col(digest_col).alias("_digest")).distinct()
+    fresh = keyed.join(seen, "_digest", "left_anti")
+    winner = (
+        fresh.groupBy("_digest")
+        .agg(F.min(F.struct(*key_cols)).alias("_w"))
+        .select("_digest", *[F.col(f"_w.{c}").alias(c) for c in key_cols])
+    )
+    return fresh.join(winner, ["_digest", *key_cols], "left_semi").drop("_digest")
+
+
+def dedup_incremental_minhash(
+    new_df: DataFrame,
+    seen_bands: DataFrame,
+    key_col: str,
+    text_col: str = "text",
+    num_hashes: int = 16,
+    band_size: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Near-dup incremental dedup: drop new docs sharing any MinHash-LSH
+    band with the historical band table ``seen_bands`` (``(band_idx,
+    band_key)`` rows produced by :func:`minhash_bands` over previous
+    batches), then greedy lowest-key-wins LSH dedup within the
+    remaining batch (the :func:`dedup_minhash_lsh` policy).
+    Compositional: append the survivors' bands to ``seen_bands`` and
+    the next batch sees this one as history.
+
+    NOTE: like ``jaccard_pairs``, calling this EAGERLY RUNS a Spark job
+    — the batch band frame feeds three shuffling consumers (history
+    semi-join + both self-join sides) and column pruning breaks
+    exchange-reuse canonicalization, so it is materialized once via
+    ``plans.materialize``.
+
+    Scale: history state is ~(num_hashes/band_size) rows × ~50 bytes
+    per doc; both joins are banded equi-joins (no all-pairs), with the
+    same band-collision skew bound as ``dedup_minhash_lsh``.
+    """
+    from ..plans.materialize import materialize
+
+    bands = materialize(
+        minhash_bands(new_df, [key_col], text_col, num_hashes, band_size, shingle_k)
+    )
+    hist_keys = (
+        bands.join(
+            seen_bands.select("band_idx", "band_key"),
+            ["band_idx", "band_key"],
+            "left_semi",
+        )
+        .select(key_col)
+        .distinct()
+    )
+    surv_bands = bands.join(hist_keys, key_col, "left_anti")
+    a, b = surv_bands.alias("a"), surv_bands.alias("b")
+    batch_keys = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{key_col}") > F.col(f"b.{key_col}")),
+        )
+        .select(F.col(f"a.{key_col}").alias(key_col))
+        .distinct()
+    )
+    # two sequential anti-joins instead of union+distinct: saves the
+    # union's extra shuffle, and both right sides are key-only frames
+    return new_df.join(hist_keys, key_col, "left_anti").join(
+        batch_keys, key_col, "left_anti"
+    )
+
+
 # ---------------------------------------------------------------- SimHash
 
 

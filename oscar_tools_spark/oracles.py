@@ -143,6 +143,21 @@ select doc_id from w order by doc_id
 """
 
 
+def q_dedup_incremental(seen_mod: int = 5) -> str:
+    """Twin of dedup.dedup_incremental over a deterministic history
+    split: docs with doc_id % seen_mod == 0 are the existing corpus
+    (digest table), the rest are the new batch."""
+    return f"""
+with seen as (select distinct md5(text) as digest from documents
+              where doc_id % {seen_mod} = 0),
+newb as (select doc_id, md5(text) as digest from documents
+         where doc_id % {seen_mod} <> 0),
+fresh as (select * from newb where digest not in (select digest from seen)),
+w as (select digest, min(doc_id) as doc_id from fresh group by digest)
+select doc_id from w order by doc_id
+"""
+
+
 def q_sample_budget(budget: int, seed: int = 42) -> str:
     return f"""
 with keyed as (
@@ -283,6 +298,22 @@ def q_minhash_dedup(num_hashes: int = 16, band_size: int = 4, k: int = 3) -> str
     """Mirrors dedup.minhash_signatures: one 32-bit md5 base hash per
     shingle, multiply-mod mixing per hash function (constants from
     functions/hashing.py — exact integer arithmetic in both engines)."""
+    return f"""
+{_minhash_bands_cte(num_hashes, band_size, k)},
+dups as (
+  select distinct a.doc_id
+  from bands a join bands b
+    on a.band_idx = b.band_idx and a.band_key = b.band_key and a.doc_id > b.doc_id
+)
+select doc_id from documents
+where doc_id not in (select doc_id from dups)
+order by doc_id
+"""
+
+
+def _minhash_bands_cte(num_hashes: int = 16, band_size: int = 4, k: int = 3) -> str:
+    """Shared CTE chain ending in ``bands(doc_id, band_idx, band_key)``
+    — the SQL twin of dedup.minhash_bands."""
     from .functions.hashing import MINHASH_PRIME, mix_params
 
     mins = ", ".join(
@@ -307,14 +338,35 @@ hv as (select doc_id,
        list_transform(shingles, s -> ('0x' || substr(md5(s), 1, 8))::bigint) as __hv
        from __sh),
 sig as (select doc_id, {mins} from hv),
-bands as ({band_selects}),
+bands as ({band_selects})"""
+
+
+def q_dedup_incremental_minhash(
+    seen_mod: int = 5, num_hashes: int = 16, band_size: int = 4, k: int = 3
+) -> str:
+    """Twin of dedup.dedup_incremental_minhash over the deterministic
+    history split (doc_id % seen_mod == 0 = existing corpus band table,
+    rest = new batch): a new doc is dropped if any of its bands matches
+    history, else if it shares a band with a lower-keyed surviving
+    batch doc."""
+    return f"""
+{_minhash_bands_cte(num_hashes, band_size, k)},
+seen_b as (select band_idx, band_key from bands where doc_id % {seen_mod} = 0),
+new_b as (select * from bands where doc_id % {seen_mod} <> 0),
+hist as (
+  select distinct n.doc_id from new_b n
+  join seen_b s on n.band_idx = s.band_idx and n.band_key = s.band_key
+),
+surv as (select * from new_b where doc_id not in (select doc_id from hist)),
 dups as (
   select distinct a.doc_id
-  from bands a join bands b
+  from surv a join surv b
     on a.band_idx = b.band_idx and a.band_key = b.band_key and a.doc_id > b.doc_id
 )
 select doc_id from documents
-where doc_id not in (select doc_id from dups)
+where doc_id % {seen_mod} <> 0
+  and doc_id not in (select doc_id from hist)
+  and doc_id not in (select doc_id from dups)
 order by doc_id
 """
 

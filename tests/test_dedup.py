@@ -88,6 +88,64 @@ def test_minhash_lsh_drops_near_dup(spark):
     assert {1, 3, 4} <= set(kept)
 
 
+def test_dedup_incremental_exact(spark):
+    """New batch deduped against a history digest table: exact matches
+    of history are dropped, within-batch dups keep the smallest key,
+    genuinely new docs survive."""
+    from oscar_tools_spark.operators.dedup import corpus_digests, dedup_incremental
+
+    history = spark.createDataFrame(
+        [(100, "seen before"), (101, "also seen")], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [
+            (1, "seen before"),  # exact dup of history -> dropped
+            (2, "brand new doc"),  # survives
+            (3, "brand new doc"),  # within-batch dup of 2 -> dropped
+            (4, "another new doc"),  # survives
+        ],
+        "doc_id long, text string",
+    )
+    seen = corpus_digests(history)
+    kept = sorted(
+        r.doc_id for r in dedup_incremental(batch, seen, ["doc_id"]).collect()
+    )
+    assert kept == [2, 4]
+    # compositional: appending the survivors' digests makes a re-run of
+    # the SAME batch against the grown history drop everything
+    grown = seen.union(
+        corpus_digests(batch.filter(F.col("doc_id").isin(2, 4)))
+    )
+    assert dedup_incremental(batch, grown, ["doc_id"]).count() == 0
+
+
+def test_dedup_incremental_minhash(spark):
+    """Near-dups of HISTORY are dropped even when they are the lowest
+    key in the batch; near-dup pairs within the batch keep the lower
+    key; unrelated docs survive."""
+    from oscar_tools_spark.operators.dedup import (
+        dedup_incremental_minhash,
+        minhash_bands,
+    )
+
+    history = spark.createDataFrame(
+        [(100, NEAR_DUP_ROWS[0][1])], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(NEAR_DUP_ROWS, "doc_id long, text string")
+    seen = minhash_bands(history, ["doc_id"]).select("band_idx", "band_key")
+    kept = sorted(
+        r.doc_id for r in dedup_incremental_minhash(batch, seen, "doc_id").collect()
+    )
+    # 1 and 2 are near-dups of the history doc; 3 and 4 are unrelated
+    assert kept == [3, 4]
+    # empty history degrades to plain within-batch LSH dedup
+    empty = seen.limit(0)
+    kept2 = sorted(
+        r.doc_id for r in dedup_incremental_minhash(batch, empty, "doc_id").collect()
+    )
+    assert kept2 == [1, 3, 4]
+
+
 def test_jaccard_pairs_and_dedup(spark):
     df = spark.createDataFrame(NEAR_DUP_ROWS, "doc_id long, text string")
     pairs = jaccard_pairs(df, "doc_id", threshold=0.5).collect()
