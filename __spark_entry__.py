@@ -172,6 +172,31 @@ def q_dedup_incremental_minhash(spark, sf_dir):
     )
 
 
+def q_dedup_convs_incremental(spark, sf_dir):
+    """Conversation-granularity incremental dedup: documents grouped
+    into pseudo-conversations of 10 turns; convs with conv_id % 4 == 0
+    play the existing corpus via their digest table. Conversations stay
+    intact — surviving convs keep every turn row."""
+    from oscar_tools_spark.operators.dedup import (
+        conversation_digests,
+        dedup_conversations_incremental,
+    )
+
+    t = _docs(spark, sf_dir).select(
+        F.floor(F.col("doc_id") / 10).cast("long").alias("conv_id"),
+        (F.col("doc_id") % 10).alias("turn_idx"),
+        "doc_id",
+        "text",
+    )
+    seen = conversation_digests(t.filter(F.col("conv_id") % 4 == 0))
+    batch = t.filter(F.col("conv_id") % 4 != 0)
+    return (
+        dedup_conversations_incremental(batch, seen)
+        .select("conv_id", "doc_id")
+        .orderBy("conv_id", "doc_id")
+    )
+
+
 def q_sample_budget(spark, sf_dir):
     return (
         sample_by_budget(
@@ -761,6 +786,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_docs_exact": q_dedup_docs_exact,
         "dedup_incremental": q_dedup_incremental,
         "dedup_incremental_minhash": q_dedup_incremental_minhash,
+        "dedup_convs_incremental": q_dedup_convs_incremental,
         "sample_budget": q_sample_budget,
         "langid": q_langid,
         "token_stats": q_token_stats,
@@ -818,6 +844,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_docs_exact": O.q_dedup_docs_exact(),
         "dedup_incremental": O.q_dedup_incremental(),
         "dedup_incremental_minhash": O.q_dedup_incremental_minhash(),
+        "dedup_convs_incremental": O.q_dedup_convs_incremental(),
         "sample_budget": O.q_sample_budget(SAMPLE_BUDGET),
         "langid": O.q_langid(),
         "token_stats": O.q_token_stats(),

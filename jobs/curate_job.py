@@ -38,6 +38,14 @@ def main() -> None:
                     help="Gopher quality-rule battery as a keep condition")
     ap.add_argument("--no-resume", action="store_true",
                     help="single write, no bucket manifest")
+    ap.add_argument("--seen-digests", default=None,
+                    help="parquet/table of conversation digests from previous "
+                    "batches; whole conversations already present are dropped "
+                    "BEFORE curation (incremental crawl dedup — the history "
+                    "corpus participates only through this ~32-byte/conv table)")
+    ap.add_argument("--emit-digests", default=None,
+                    help="write this batch's conversation digests here, to be "
+                    "appended to --seen-digests state for the next batch")
     ap.add_argument("--checkpoint-dir", default=None,
                     help="reliable-checkpoint directory (HDFS/S3). When set, "
                     "iterative operators (connected components, embedding "
@@ -82,6 +90,22 @@ def main() -> None:
     )
     io = TableIO(spark)
     df = io.read(args.input)
+
+    if args.seen_digests:
+        from pyspark.sql import functions as F
+
+        from oscar_tools_spark.operators.dedup import dedup_conversations_incremental
+
+        # the digest anti-join makes the plan multi-source, where
+        # input_file_name() is illegal — capture lineage at read time
+        df = df.withColumn(
+            "source_part", F.coalesce(F.input_file_name(), F.lit(""))
+        )
+        df = dedup_conversations_incremental(df, io.read(args.seen_digests))
+    if args.emit_digests:
+        from oscar_tools_spark.operators.dedup import conversation_digests
+
+        io.write(conversation_digests(df), args.emit_digests)
 
     def transform(part):
         out = curate(part, cfg)

@@ -268,6 +268,62 @@ def dedup_incremental(
     return fresh.join(winner, ["_digest", *key_cols], "left_semi").drop("_digest")
 
 
+def conversation_digests(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    order_cols: tuple[str, ...] = ("turn_idx",),
+    text_col: str = "text",
+) -> DataFrame:
+    """(conv_col, digest): md5 of the conversation's turn texts in
+    stable ``order_cols`` order, newline-joined — the per-conversation
+    fingerprint for :func:`dedup_conversations_incremental`. One
+    groupBy; the sort/join lambda runs over the small per-conversation
+    array AFTER the shuffle, not per input row."""
+    ordered = F.transform(
+        F.array_sort(
+            F.collect_list(
+                F.struct(*[F.col(c) for c in order_cols], F.col(text_col).alias("_t"))
+            )
+        ),
+        lambda x: x["_t"],
+    )
+    return df.groupBy(conv_col).agg(
+        F.md5(F.array_join(ordered, "\n")).alias("digest")
+    )
+
+
+def dedup_conversations_incremental(
+    df: DataFrame,
+    seen_digests: DataFrame,
+    conv_col: str = "conv_id",
+    order_cols: tuple[str, ...] = ("turn_idx",),
+    text_col: str = "text",
+    digest_col: str = "digest",
+) -> DataFrame:
+    """Incremental exact dedup at CONVERSATION granularity: drop whole
+    conversations whose full-text digest already appears in
+    ``seen_digests`` (from :func:`conversation_digests` over previous
+    batches), keeping the smallest ``conv_col`` per digest within the
+    batch. Turn rows are never dropped individually — conversations
+    stay intact, the north-rule invariant.
+
+    Scale: state is one ~32-byte digest per historical conversation;
+    the digest agg shuffles one row per turn (unavoidable — the digest
+    must see every turn), everything after operates on one row per
+    conversation.
+    """
+    digs = conversation_digests(df, conv_col, order_cols, text_col)
+    fresh = digs.join(
+        seen_digests.select(F.col(digest_col).alias("digest")).distinct(),
+        "digest",
+        "left_anti",
+    )
+    winner = fresh.groupBy("digest").agg(F.min(conv_col).alias(conv_col)).select(
+        conv_col
+    )
+    return df.join(winner, conv_col, "left_semi")
+
+
 def dedup_incremental_minhash(
     new_df: DataFrame,
     seen_bands: DataFrame,

@@ -158,6 +158,29 @@ select doc_id from w order by doc_id
 """
 
 
+def q_dedup_convs_incremental(turns_per_conv: int = 10, seen_mod: int = 4) -> str:
+    """Twin of dedup.dedup_conversations_incremental over documents
+    grouped into pseudo-conversations (conv_id = doc_id // 10, turn_idx
+    = doc_id % 10); convs with conv_id % seen_mod == 0 are history.
+    Returns the surviving NEW batch turn rows — conversations intact."""
+    return f"""
+with t as (select cast(floor(doc_id / {turns_per_conv}) as bigint) as conv_id,
+                  doc_id % {turns_per_conv} as turn_idx, doc_id, text
+           from documents),
+digs as (select conv_id,
+                md5(string_agg(text, chr(10) order by turn_idx)) as digest
+         from t group by conv_id),
+seen as (select distinct digest from digs where conv_id % {seen_mod} = 0),
+newd as (select * from digs where conv_id % {seen_mod} <> 0),
+fresh as (select * from newd where digest not in (select digest from seen)),
+winner as (select digest, min(conv_id) as conv_id from fresh group by digest)
+select conv_id, doc_id from t
+where conv_id % {seen_mod} <> 0
+  and conv_id in (select conv_id from winner)
+order by conv_id, doc_id
+"""
+
+
 def q_sample_budget(budget: int, seed: int = 42) -> str:
     return f"""
 with keyed as (

@@ -151,9 +151,16 @@ def scrub_stage(df: DataFrame, cfg: CurationConfig, text_col: str = "text") -> D
 
 
 def lineage_stage(df: DataFrame) -> DataFrame:
-    return df.withColumn("model_versions", F.lit(MODEL_VERSIONS)).withColumn(
-        "source_part", F.coalesce(F.input_file_name(), F.lit(""))
-    )
+    """Adds model_versions + source_part lineage. ``input_file_name()``
+    is legal only in a SINGLE-source plan — callers that join the input
+    with side state (e.g. the incremental digest table) must capture
+    ``source_part`` at read time; a pre-existing column is kept as-is."""
+    out = df.withColumn("model_versions", F.lit(MODEL_VERSIONS))
+    if "source_part" not in df.columns:
+        out = out.withColumn(
+            "source_part", F.coalesce(F.input_file_name(), F.lit(""))
+        )
+    return out
 
 
 def curate(df: DataFrame, cfg: CurationConfig | None = None, text_col: str = "text") -> DataFrame:

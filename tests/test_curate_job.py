@@ -54,6 +54,23 @@ def test_job_no_resume_writes_curated_output(spark, transcripts_path, tmp_path, 
     ).count() == 0
 
 
+def test_job_incremental_digest_flags(spark, transcripts_path, tmp_path, capsys):
+    """Batch 1 emits its conversation digest state; batch 2 (same
+    input) deduped against that state produces ZERO rows — the
+    incremental-crawl contract."""
+    out1, out2 = str(tmp_path / "o1"), str(tmp_path / "o2")
+    digests = str(tmp_path / "digests")
+    base = ["--no-model", "--no-resume"]
+    _run_job(capsys, ["--input", transcripts_path, "--output", out1,
+                      "--emit-digests", digests, *base])
+    dig = spark.read.parquet(digests)
+    assert dig.columns == ["conv_id", "digest"] and dig.count() > 0
+    rec = _run_job(capsys, ["--input", transcripts_path, "--output", out2,
+                            "--seen-digests", digests, *base])
+    assert rec["resume"] is False
+    assert spark.read.parquet(out2).count() == 0
+
+
 def test_job_resume_skips_completed_buckets(spark, transcripts_path, tmp_path, capsys):
     out_path = str(tmp_path / "out")
     argv = ["--input", transcripts_path, "--output", out_path,

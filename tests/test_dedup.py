@@ -119,6 +119,39 @@ def test_dedup_incremental_exact(spark):
     assert dedup_incremental(batch, grown, ["doc_id"]).count() == 0
 
 
+def test_dedup_conversations_incremental(spark):
+    """Whole-conversation incremental dedup: a conv whose ordered full
+    text matches history is dropped in its entirety; surviving convs
+    keep EVERY turn (intact); turn order — not row order — defines the
+    digest; within-batch dup convs keep the smallest conv_id."""
+    from oscar_tools_spark.operators.dedup import (
+        conversation_digests,
+        dedup_conversations_incremental,
+    )
+
+    history = spark.createDataFrame(
+        [("h1", 0, "hello"), ("h1", 1, "world")],
+        "conv_id string, turn_idx int, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            # dup of history, turns listed OUT of order -> still dropped
+            ("a", 1, "world"),
+            ("a", 0, "hello"),
+            # new conversation -> survives with both turns
+            ("b", 0, "hello"),
+            ("b", 1, "there"),
+            # within-batch dup of b -> dropped ("b" < "c")
+            ("c", 0, "hello"),
+            ("c", 1, "there"),
+        ],
+        "conv_id string, turn_idx int, text string",
+    )
+    seen = conversation_digests(history)
+    out = dedup_conversations_incremental(batch, seen).collect()
+    assert sorted((r.conv_id, r.turn_idx) for r in out) == [("b", 0), ("b", 1)]
+
+
 def test_dedup_incremental_minhash(spark):
     """Near-dups of HISTORY are dropped even when they are the lowest
     key in the batch; near-dup pairs within the batch keep the lower
