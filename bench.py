@@ -194,6 +194,12 @@ def main() -> None:
     timed("c4_clean", lambda: run_noop(E.q_c4_clean(spark, sf_dir)))
     timed("pack_sequences", lambda: run_noop(E.q_pack_sequences(spark, sf_dir)))
     timed("vocab_stats", lambda: run_noop(E.q_vocab_stats(spark, sf_dir)))
+    # round-4: incremental (batch-vs-history) near-dup — history
+    # participates through its band table only; two banded anti-joins
+    timed(
+        "dedup_incremental_minhash",
+        lambda: run_noop(E.q_dedup_incremental_minhash(spark, sf_dir)),
+    )
     # per-line langid over the transcripts table — the per-line hot path
     # (staged zip_with shape; the inline-HOF form measured 4x slower)
     timed(

@@ -356,7 +356,12 @@ def dedup_incremental_minhash(
     bands = materialize(
         minhash_bands(new_df, [key_col], text_col, num_hashes, band_size, shingle_k)
     )
-    hist_keys = (
+    # hist_keys feeds TWO consumers (the surv_bands anti-join and the
+    # final anti-join); without materializing it, each consumer
+    # re-evaluates the whole seen_bands side — measured 3 evaluations
+    # of the history band pipeline in the un-materialized plan (6
+    # Generate nodes). It is a tiny key list, so pinning it is free.
+    hist_keys = materialize(
         bands.join(
             seen_bands.select("band_idx", "band_key"),
             ["band_idx", "band_key"],

@@ -151,6 +151,28 @@ def test_substring_dedup_computes_grams_once(spark):
     assert plan.count("Generate explode") == 0, plan[:2000]
 
 
+def test_incremental_minhash_derives_history_once(spark):
+    """hist_keys feeds two anti-join consumers; un-materialized, each
+    re-evaluated the whole seen_bands side — the history band pipeline
+    ran 3x (6 Generate nodes, 4 parquet scans, 12 exchanges in the
+    final plan). Both the batch band frame AND the hist key list are
+    pinned, so the downstream plan must contain NO Generate and exactly
+    one parquet scan (the final anti-join's new_df side)."""
+    from oscar_tools_spark.operators.dedup import (
+        dedup_incremental_minhash,
+        minhash_bands,
+    )
+
+    docs = _docs(spark)
+    seen = minhash_bands(docs.filter(F.col("doc_id") % 5 == 0), ["doc_id"]).select(
+        "band_idx", "band_key"
+    )
+    batch = docs.filter(F.col("doc_id") % 5 != 0)
+    plan = _plan(dedup_incremental_minhash(batch, seen, "doc_id"))
+    assert plan.count("Generate explode") == 0, plan[:2000]
+    assert plan.count("Scan parquet") == 1, plan[:2000]
+
+
 def test_no_cartesian_in_any_driver_query(spark):
     """Every contract query must plan without CartesianProduct /
     BroadcastNestedLoopJoin — the all-pairs shapes that cannot survive
