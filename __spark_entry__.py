@@ -197,6 +197,34 @@ def q_dedup_convs_incremental(spark, sf_dir):
     )
 
 
+def q_url_blocklist(spark, sf_dir):
+    """UT1-style domain blocklist annotation over deterministic
+    synthetic URLs (the testdata has no URL column; the operator is
+    exercised on real warc-style URLs in tests/test_quality_filters)."""
+    from oscar_tools_spark.operators.urlblock import annotate_url_blocklist
+
+    docs = _docs(spark, sf_dir)
+    u = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://w"),
+            (F.col("doc_id") % 3).cast("string"),
+            F.lit("."),
+            F.col("source"),
+            F.lit(".example."),
+            F.when(F.col("doc_id") % 2 == 0, F.lit("com")).otherwise(F.lit("org")),
+            F.lit("/p/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    bl = spark.createDataFrame([(d,) for d in O.URL_BLOCKLIST], "domain string")
+    return (
+        annotate_url_blocklist(u, bl, ["doc_id"])
+        .select("doc_id", "url_blocked")
+        .orderBy("doc_id")
+    )
+
+
 def q_sample_budget(spark, sf_dir):
     return (
         sample_by_budget(
@@ -787,6 +815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": q_dedup_incremental,
         "dedup_incremental_minhash": q_dedup_incremental_minhash,
         "dedup_convs_incremental": q_dedup_convs_incremental,
+        "url_blocklist": q_url_blocklist,
         "sample_budget": q_sample_budget,
         "langid": q_langid,
         "token_stats": q_token_stats,
@@ -845,6 +874,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_incremental": O.q_dedup_incremental(),
         "dedup_incremental_minhash": O.q_dedup_incremental_minhash(),
         "dedup_convs_incremental": O.q_dedup_convs_incremental(),
+        "url_blocklist": O.q_url_blocklist(),
         "sample_budget": O.q_sample_budget(SAMPLE_BUDGET),
         "langid": O.q_langid(),
         "token_stats": O.q_token_stats(),

@@ -1,0 +1,105 @@
+"""UT1-style URL/domain blocklist filtering.
+
+OSCAR's real ``adult`` annotation comes from the Université
+Toulouse 1 blocklists, which are DOMAIN lists applied to each
+document's source URL (the term-match tag in
+``functions/lexicons.py`` is the content-side analog). A UT1
+category holds up to ~4M domains, and a blocked domain must match
+any SUBDOMAIN of itself — ``ads.example.com`` is blocked by
+``example.com`` — which is a suffix match, not an equi-join.
+
+Scale shape: suffix matching is made an EQUI-join by exploding each
+host into its dot-suffixes (``a.b.example.com`` -> ``a.b.example.com,
+b.example.com, example.com`` — bounded by label count, ~3-6 rows per
+doc over a tiny column) and joining suffix == blocked domain. Spark
+broadcasts the blocklist when it fits (a 4M-domain list is ~100 MB —
+borderline; AQE decides), otherwise it is a shuffled equi-join on the
+suffix, still no all-pairs anywhere. The per-doc fan-out happens on a
+(key, host) projection, never on the text column.
+
+Host extraction uses one regex shared verbatim with the DuckDB oracle
+(Java ∩ RE2; ``parse_url`` exists in Spark but has no DuckDB twin).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+HOST_REGEX = "^[a-z][a-z0-9+.-]*://([^/:?#]+)"
+
+
+def host_of_url_expr(url: Column) -> Column:
+    """Lowercased hostname of a URL ('' when the URL has no scheme —
+    never null, so downstream joins stay total)."""
+    return F.regexp_extract(F.lower(url), HOST_REGEX, 1)
+
+
+def domain_suffixes_expr(host: Column) -> Column:
+    """All dot-suffixes of ``host`` with >= 2 labels, longest first:
+    ``a.b.example.com -> [a.b.example.com, b.example.com, example.com]``.
+    A bare label (or '') yields an empty array. The lambda runs over a
+    <=6-element label array of an already-tiny host string — not a
+    per-row hot loop."""
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    return F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.array_join(F.slice(labels, i, n), "."),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def url_blocked_keys(
+    df: DataFrame,
+    blocklist: DataFrame,
+    key_cols: list[str],
+    url_col: str = "url",
+    domain_col: str = "domain",
+) -> DataFrame:
+    """Distinct ``key_cols`` rows of ``df`` whose URL host is a blocked
+    domain or a subdomain of one. The explode runs on a (keys, host)
+    projection only."""
+    suffixes = df.select(
+        *key_cols,
+        F.explode(domain_suffixes_expr(host_of_url_expr(F.col(url_col)))).alias(
+            "_suffix"
+        ),
+    )
+    blocked = blocklist.select(F.lower(F.col(domain_col)).alias("_suffix")).distinct()
+    return suffixes.join(blocked, "_suffix", "left_semi").select(*key_cols).distinct()
+
+
+def filter_url_blocklist(
+    df: DataFrame,
+    blocklist: DataFrame,
+    key_cols: list[str],
+    url_col: str = "url",
+    domain_col: str = "domain",
+) -> DataFrame:
+    """Drop rows whose URL host matches the blocklist (UT1 semantics:
+    subdomains of a blocked domain are blocked). Returns survivors
+    with the input schema."""
+    bad = url_blocked_keys(df, blocklist, key_cols, url_col, domain_col)
+    return df.join(bad, key_cols, "left_anti")
+
+
+def annotate_url_blocklist(
+    df: DataFrame,
+    blocklist: DataFrame,
+    key_cols: list[str],
+    url_col: str = "url",
+    domain_col: str = "domain",
+    flag_col: str = "url_blocked",
+) -> DataFrame:
+    """Non-destructive variant: adds boolean ``flag_col`` instead of
+    dropping, so the tag can flow into the annotation pipeline (the
+    OSCAR ``adult`` tag's URL-side source)."""
+    bad = url_blocked_keys(df, blocklist, key_cols, url_col, domain_col).withColumn(
+        "_b", F.lit(True)
+    )
+    return df.join(bad, key_cols, "left").withColumn(
+        flag_col, F.coalesce(F.col("_b"), F.lit(False))
+    ).drop("_b")

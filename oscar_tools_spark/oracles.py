@@ -181,6 +181,42 @@ order by conv_id, doc_id
 """
 
 
+URL_SYNTH_SQL = (
+    "'https://w' || cast(doc_id % 3 as varchar) || '.' || source || "
+    "'.example.' || case when doc_id % 2 = 0 then 'com' else 'org' end || "
+    "'/p/' || cast(doc_id as varchar)"
+)
+URL_BLOCKLIST = (
+    "src3.example.com",
+    "src7.example.org",
+    "w1.src5.example.com",
+    "SRC9.EXAMPLE.COM",
+)
+
+
+def q_url_blocklist() -> str:
+    """Twin of urlblock.annotate_url_blocklist over synthetic
+    deterministic URLs (documents has no URL column): host extracted
+    with the shared HOST_REGEX, exploded into dot-suffixes, equi-joined
+    against the blocked domains (UT1 subdomain semantics)."""
+    values = ", ".join(f"('{d}')" for d in URL_BLOCKLIST)
+    return f"""
+with u as (select doc_id, {URL_SYNTH_SQL} as url from documents),
+h as (select doc_id,
+             lower(regexp_extract(lower(url), '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1)) as host
+      from u),
+l as (select doc_id, string_split(host, '.') as labels from h),
+s as (select doc_id,
+             unnest(list_transform(generate_series(1, len(labels) - 1),
+                    i -> array_to_string(list_slice(labels, i, len(labels)), '.'))) as sfx
+      from l),
+b(domain) as (values {values}),
+blocked as (select distinct s.doc_id from s join b on s.sfx = lower(b.domain))
+select doc_id, doc_id in (select doc_id from blocked) as url_blocked
+from documents order by doc_id
+"""
+
+
 def q_sample_budget(budget: int, seed: int = 42) -> str:
     return f"""
 with keyed as (

@@ -148,3 +148,37 @@ def test_length_profile_exact_quantiles(spark):
     assert (a.n, a.total, a.mean, a.p5, a.p9, a.p99) == (10, 145, 14.5, 14, 18, 18)
     b = got["b"]
     assert (b.n, b.total, b.p5, b.p9, b.p99) == (1, 7, 7, 7, 7)
+
+
+def test_url_blocklist_subdomain_semantics(spark):
+    """UT1 semantics: a blocked domain blocks itself and every
+    subdomain; a SUPERSTRING domain (notexample.com) must NOT match;
+    matching is case-insensitive; ports and paths are ignored; a
+    schemeless string has no host and never matches."""
+    from oscar_tools_spark.operators.urlblock import (
+        annotate_url_blocklist,
+        filter_url_blocklist,
+    )
+
+    rows = [
+        (1, "https://example.com/index.html"),         # exact -> blocked
+        (2, "https://ads.tracker.example.com/x?q=1"),  # subdomain -> blocked
+        (3, "http://EXAMPLE.COM:8080/"),               # case+port -> blocked
+        (4, "https://notexample.com/"),                # superstring -> kept
+        (5, "https://example.com.evil.org/"),          # prefix trick -> kept
+        (6, "https://good.org/a"),                     # unrelated -> kept
+        (7, "no-scheme-at-all"),                       # no host -> kept
+        (8, "ftp://files.blocked.net/f"),              # other scheme -> blocked
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    bl = spark.createDataFrame(
+        [("example.com",), ("Blocked.NET",)], "domain string"
+    )
+    kept = sorted(r.doc_id for r in filter_url_blocklist(df, bl, ["doc_id"]).collect())
+    assert kept == [4, 5, 6, 7]
+    flags = {
+        r.doc_id: r.url_blocked
+        for r in annotate_url_blocklist(df, bl, ["doc_id"]).collect()
+    }
+    assert flags == {1: True, 2: True, 3: True, 4: False,
+                     5: False, 6: False, 7: False, 8: True}
