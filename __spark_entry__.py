@@ -225,6 +225,32 @@ def q_url_blocklist(spark, sf_dir):
     )
 
 
+def q_quality_prob(spark, sf_dir):
+    """CCNet/GPT-3-style hashed-logit quality scores. Trained on a
+    deterministic split (pos = doc_id%7==0, neg = %7==1) — rows-only
+    like the other trained-model scorers (float sigmoid outputs);
+    separation/determinism/swap-seam invariants are pytest-gated in
+    tests/test_quality_filters.py."""
+    from oscar_tools_spark.functions.quality_classifier import (
+        score_quality,
+        train_quality_classifier,
+    )
+
+    docs = _docs(spark, sf_dir)
+    model = train_quality_classifier(
+        docs.filter(F.col("doc_id") % 7 == 0),
+        docs.filter(F.col("doc_id") % 7 == 1),
+        dim=2**14,
+        sample_cap=2000,
+        epochs=50,
+    )
+    return (
+        score_quality(docs, model)
+        .select("doc_id", F.round("quality_prob", 6).alias("quality_prob"))
+        .orderBy("doc_id")
+    )
+
+
 def q_sample_budget(spark, sf_dir):
     return (
         sample_by_budget(
@@ -816,6 +842,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental_minhash": q_dedup_incremental_minhash,
         "dedup_convs_incremental": q_dedup_convs_incremental,
         "url_blocklist": q_url_blocklist,
+        "quality_prob": q_quality_prob,
         "sample_budget": q_sample_budget,
         "langid": q_langid,
         "token_stats": q_token_stats,

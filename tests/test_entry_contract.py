@@ -53,6 +53,9 @@ def test_every_query_has_callable_and_oracle_alignment():
         "perplexity",
         "topk_cosine_lsh",
         "topk_cosine_ivf",
+        # trained-model sigmoid floats; separation + determinism +
+        # swap seam pytest-gated (test_quality_filters.py)
+        "quality_prob",
         # approximate by design; superset-drop + FPR bound are
         # pytest-gated (test_dedup.py bloom invariants)
         "decontaminate_bloom",

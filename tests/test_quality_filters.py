@@ -182,3 +182,105 @@ def test_url_blocklist_subdomain_semantics(spark):
     }
     assert flags == {1: True, 2: True, 3: True, 4: False,
                      5: False, 6: False, 7: False, 8: True}
+
+
+def _quality_corpora(n=80):
+    """Deterministic separable corpora: 'good' docs draw varied words,
+    'spam' docs are keyword-stuffed repetition."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    vocab = [f"word{i}" for i in range(300)]
+    good = [
+        " ".join(rng.choice(vocab, size=30, replace=False)) for _ in range(n)
+    ]
+    spam_terms = ["buy", "cheap", "pills", "casino", "win"]
+    spam = [
+        " ".join(rng.choice(spam_terms, size=30)) for _ in range(n)
+    ]
+    return good, spam
+
+
+def test_quality_classifier_separates_and_is_deterministic(spark):
+    from oscar_tools_spark.functions.quality_classifier import (
+        score_quality,
+        train_quality_classifier,
+    )
+
+    good, spam = _quality_corpora()
+    pos = spark.createDataFrame([(t,) for t in good[:60]], "text string")
+    neg = spark.createDataFrame([(t,) for t in spam[:60]], "text string")
+    kw = dict(dim=2**12, sample_cap=60, epochs=120)
+    m1 = train_quality_classifier(pos, neg, **kw)
+    m2 = train_quality_classifier(pos, neg, **kw)
+    import numpy as np
+
+    assert np.array_equal(m1["w"], m2["w"]) and m1["b"] == m2["b"]
+
+    # held-out docs (never seen in training) separate perfectly
+    held = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(good[60:] + spam[60:])],
+        "doc_id long, text string",
+    )
+    scores = {r.doc_id: r.quality_prob for r in score_quality(held, m1).collect()}
+    n_held = len(good) - 60
+    good_scores = [scores[i] for i in range(n_held)]
+    spam_scores = [scores[i] for i in range(n_held, 2 * n_held)]
+    assert min(good_scores) > max(spam_scores)
+
+
+def test_quality_pareto_sampling_is_deterministic_and_biased(spark):
+    from oscar_tools_spark.functions.quality_classifier import (
+        sample_quality_pareto,
+        train_quality_classifier,
+    )
+
+    good, spam = _quality_corpora()
+    pos = spark.createDataFrame([(t,) for t in good[:60]], "text string")
+    neg = spark.createDataFrame([(t,) for t in spam[:60]], "text string")
+    # train to sharp scores (~0.995 / ~0.005): the Pareto keep rule is
+    # P(keep) = (1 + (1 - score))^-alpha, so at score 0.88 even a good
+    # doc is kept only ~35% of the time — the rule presumes a
+    # well-separated classifier, which the epochs/lr knobs control
+    m = train_quality_classifier(
+        pos, neg, dim=2**12, sample_cap=60, epochs=800, lr=20.0
+    )
+    mixed = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(good + spam)], "doc_id long, text string"
+    )
+    kept = sorted(
+        r.doc_id for r in sample_quality_pareto(mixed, m, ["doc_id"]).collect()
+    )
+    n = len(good)
+    kept_good = sum(1 for k in kept if k < n)
+    kept_spam = len(kept) - kept_good
+    # high-quality docs survive (almost) always, spam only rarely
+    assert kept_good >= 0.85 * n
+    assert kept_spam <= 0.1 * n
+    # stable under repartitioning (hash-derived draw, no rand())
+    kept2 = sorted(
+        r.doc_id
+        for r in sample_quality_pareto(mixed.repartition(13), m, ["doc_id"]).collect()
+    )
+    assert kept == kept2
+
+
+def test_quality_classifier_swap_seam(spark):
+    """A custom score_batch closure (the fastText-supervised /
+    sklearn drop-in) must flow through untouched."""
+    import pandas as pd
+
+    from oscar_tools_spark.functions.quality_classifier import quality_prob_udf
+
+    model = {"w": None, "b": 0.0, "dim": 4, "version": "stub"}
+
+    def halves(texts: pd.Series):
+        return [0.5] * len(texts)
+
+    df = spark.createDataFrame([("a",), ("b",)], "text string")
+    from pyspark.sql import functions as F
+
+    got = df.select(
+        quality_prob_udf(model, score_batch=halves)(F.col("text")).alias("p")
+    ).collect()
+    assert [r.p for r in got] == [0.5, 0.5]
