@@ -117,7 +117,21 @@ def main() -> None:
         io.write(transform(df), args.output)
         print(json.dumps({"output": args.output, "resume": False}))
     else:
-        manifest = run_resumable(df, transform, args.output, n_buckets=args.buckets)
+        from pyspark.sql import functions as F
+
+        # collected as side-observers of the write job itself (zero
+        # extra scans) and recorded per manifest line — the north-rule
+        # per-partition metrics next to the lineage columns
+        metrics = {
+            "kept_turns": F.count(F.lit(1)),
+            "scrubbed_turns": F.sum(
+                (F.size(F.col("rule_hits")) > 0).cast("bigint")
+            ),
+        }
+        manifest = run_resumable(
+            df, transform, args.output, n_buckets=args.buckets,
+            observe_metrics=metrics,
+        )
         total = sum(rec["rows"] for rec in manifest.values())
         print(json.dumps({"output": args.output, "buckets": len(manifest), "rows": total}))
 

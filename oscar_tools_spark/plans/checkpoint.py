@@ -32,7 +32,7 @@ import os
 import time
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from .pipeline import MODEL_VERSIONS
@@ -96,6 +96,7 @@ def run_resumable(
     manifest_path: str | None = None,
     buckets_per_pass: int | None = None,
     per_bucket: bool = False,
+    observe_metrics: dict[str, Column] | None = None,
 ) -> dict[int, dict]:
     """Run ``transform`` over the not-yet-done conversation buckets,
     committing output partitions and manifest lines atomically-enough
@@ -116,6 +117,15 @@ def run_resumable(
     ``per_bucket=True`` forces the one-bucket-per-job retry path (full
     input scan per bucket — use it to isolate a failing bucket, not
     for fresh runs).
+
+    ``observe_metrics`` ({name: aggregate Column}) rides Spark's
+    Observation API on the transform OUTPUT: the aggregates are
+    collected as a side-observer of the SAME write job — zero extra
+    scans or actions — and land in each manifest record under
+    ``metrics`` (pass-granular, alongside the always-on ``rows_in``
+    input count). This is the north-rule "per-partition metrics"
+    surface: dropped-volume and rule-hit totals are attributable per
+    committed unit without a second pass over 100 TB.
 
     Returns the completed manifest {bucket: record}.
     """
@@ -138,6 +148,8 @@ def run_resumable(
         part = df
         if len(group) < n_buckets:
             part = part.filter(bucket_expr(conv_col, n_buckets).isin(group))
+        obs_in = Observation(f"resumable_in_{i}_{t0}")
+        part = part.observe(obs_in, F.count(F.lit(1)).alias("rows_in"))
         out = transform(part)
         if conv_col not in out.columns:
             # cannot derive the partition column from the output —
@@ -151,6 +163,12 @@ def run_resumable(
                 f"transform output already has a '{BUCKET_COL}' column; "
                 "rename it — run_resumable uses it as the partition dir"
             )
+        obs_out = None
+        if observe_metrics:
+            obs_out = Observation(f"resumable_out_{i}_{t0}")
+            out = out.observe(
+                obs_out, *[c.alias(name) for name, c in observe_metrics.items()]
+            )
         (
             out.withColumn(BUCKET_COL, bucket_expr(conv_col, n_buckets))
             .write.mode("overwrite")
@@ -159,16 +177,21 @@ def run_resumable(
             .parquet(out_path)
         )
         secs = round(time.time() - t0, 3)
+        rows_in = int(obs_in.get["rows_in"])
+        pass_metrics = dict(obs_out.get) if obs_out is not None else None
         counts = _bucket_counts(df.sparkSession, out_path, group)
         for b in group:
             rec = {
                 "bucket": b,
                 "rows": counts[b],
+                "rows_in_pass": rows_in,
                 "seconds": secs,
                 "pass_buckets": len(group),
                 "model_versions": MODEL_VERSIONS,
                 "path": os.path.join(out_path, f"{BUCKET_COL}={b}"),
             }
+            if pass_metrics is not None:
+                rec["metrics"] = pass_metrics
             _append_manifest(manifest_path, rec)
             done[b] = rec
     return done

@@ -79,6 +79,17 @@ def test_job_resume_skips_completed_buckets(spark, transcripts_path, tmp_path, c
     assert first["buckets"] == 4 and first["rows"] > 0
     n_rows = spark.read.parquet(out_path).count()
     assert n_rows == first["rows"]
+    # observed metrics landed in the manifest: collected in the same
+    # write job, pass-granular, consistent with the committed rows
+    import json as _json
+
+    with open(out_path + "/_manifest.jsonl") as f:
+        recs = [_json.loads(l) for l in f if l.strip()]
+    assert all("metrics" in r and "rows_in_pass" in r for r in recs)
+    m = recs[0]["metrics"]
+    assert m["kept_turns"] == first["rows"]
+    assert 0 <= m["scrubbed_turns"] <= m["kept_turns"]
+    assert recs[0]["rows_in_pass"] >= first["rows"]
     # second run: manifest says everything is done -> identical output
     second = _run_job(capsys, argv)
     assert second["rows"] == first["rows"]

@@ -94,3 +94,97 @@ def test_c4_clean_matches_python_reference(spark):
                 assert i not in got, (i, repr(t), got.get(i))
             else:
                 assert got.get(i) == want, (i, repr(t))
+
+
+# ---------------------------------------------------------------- gopher
+
+import re
+from decimal import ROUND_HALF_UP, Decimal
+
+# re.ASCII pins \S / \s / \b to their Java defaults (ASCII classes) —
+# Python's default unicode \s would diverge on exotic whitespace
+_WORD_RE = re.compile(r"\S+", re.ASCII)
+_ALPHA_WORD_RE = re.compile(r"\S*[A-Za-z]\S*", re.ASCII)
+_BULLET_RE = re.compile(r"^\s*[-*•]", re.M | re.ASCII)
+_ELL_LINE_RE = re.compile(r"(?:\.\.\.|…)[ ]*$", re.M)
+_ELL_RE = re.compile(r"(?:\.\.\.|…)")
+# NO re.ASCII here: Java's \b is Unicode-aware even while its \w / \s
+# stay ASCII (so 'é' is a word char for BOUNDARY purposes — "be" does
+# NOT match inside "ébe" in Spark). Python's default unicode \b models
+# that; re.ASCII would find a phantom boundary after the é. Caught by
+# this fuzz on NBSP/é inputs.
+_STOP_RE = re.compile(r"\b(?:the|be|to|of|and|that|have|with)\b")
+
+
+def _round4(x: float) -> float:
+    # Spark's round() is HALF_UP on the decimal repr; Python's builtin
+    # round is banker's — 3.03125 would diverge (3.0313 vs 3.0312)
+    return float(Decimal(str(x)).quantize(Decimal("0.0001"), ROUND_HALF_UP))
+
+
+def ref_gopher_stats(text: str, p: dict):
+    n_words = len(_WORD_RE.findall(text))
+    n_word_chars = len(text) - sum(text.count(c) for c in " \t\n\r")
+    n_alpha = len(_ALPHA_WORD_RE.findall(text))
+    n_lines = 1 + text.count("\n")
+    rules = {
+        "word_count": p["min_words"] <= n_words <= p["max_words"],
+        "mean_word_len": (
+            p["min_mean_word_len"] * n_words
+            <= n_word_chars
+            <= p["max_mean_word_len"] * n_words
+        ),
+        "symbol_ratio": (
+            (text.count("#") + len(_ELL_RE.findall(text))) * 100
+            <= p["max_symbol_ratio_pct"] * n_words
+        ),
+        "bullet_lines": (
+            len(_BULLET_RE.findall(text)) * 100
+            <= p["max_bullet_frac_pct"] * n_lines
+        ),
+        "ellipsis_lines": (
+            len(_ELL_LINE_RE.findall(text)) * 100
+            <= p["max_ellipsis_frac_pct"] * n_lines
+        ),
+        "alpha_words": n_alpha * 100 >= p["min_alpha_frac_pct"] * n_words,
+        "stopwords": len(_STOP_RE.findall(text.lower())) >= p["min_stopword_hits"],
+    }
+    return (
+        n_words,
+        _round4(n_word_chars / n_words) if n_words else 0.0,
+        _round4(n_alpha / n_words) if n_words else 0.0,
+        all(rules.values()),
+        "|".join(k for k, v in rules.items() if not v),
+    )
+
+
+def test_gopher_stats_match_python_reference(spark):
+    from oscar_tools_spark.functions.gopher import DEFAULTS, gopher_stats
+
+    texts = random_texts(300, seed=17)
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    # permissive thresholds so every rule flips on random input
+    p = dict(
+        DEFAULTS,
+        min_words=2,
+        min_mean_word_len=1,
+        max_mean_word_len=6,
+        max_symbol_ratio_pct=5,
+        max_bullet_frac_pct=20,
+        max_ellipsis_frac_pct=20,
+        min_alpha_frac_pct=50,
+        min_stopword_hits=1,
+    )
+    overrides = {k: v for k, v in p.items() if v != DEFAULTS[k]}
+    got = {
+        r.doc_id: (
+            r.n_words,
+            r.mean_word_len,
+            r.alpha_word_frac,
+            r.gopher_keep,
+            r.gopher_reasons,
+        )
+        for r in gopher_stats(df, **overrides).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == ref_gopher_stats(t, p), (i, repr(t))
