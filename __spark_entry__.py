@@ -251,6 +251,30 @@ def q_quality_prob(spark, sf_dir):
     )
 
 
+def q_conversation_profile(spark, sf_dir):
+    """Structural conversation profiles over the events table mapped
+    onto the transcripts shape (user_id -> conversation, event_type ->
+    role, (ts, event_id) -> stable turn order). One window + one
+    reused-partitioning aggregation."""
+    from oscar_tools_spark.operators.transcripts import conversation_profile
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        conversation_profile(
+            ev,
+            conv_col="user_id",
+            order_cols=("ts", "event_id"),
+            role_col="event_type",
+            roles=("click", "view", "purchase", "signup", "error"),
+            ts_col="ts",
+            text_col=None,
+            tool_col=None,
+        )
+        .withColumnRenamed("user_id", "conv_id")
+        .orderBy("conv_id")
+    )
+
+
 def q_sample_budget(spark, sf_dir):
     return (
         sample_by_budget(
@@ -843,6 +867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_convs_incremental": q_dedup_convs_incremental,
         "url_blocklist": q_url_blocklist,
         "quality_prob": q_quality_prob,
+        "conversation_profile": q_conversation_profile,
         "sample_budget": q_sample_budget,
         "langid": q_langid,
         "token_stats": q_token_stats,
@@ -902,6 +927,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_incremental_minhash": O.q_dedup_incremental_minhash(),
         "dedup_convs_incremental": O.q_dedup_convs_incremental(),
         "url_blocklist": O.q_url_blocklist(),
+        "conversation_profile": O.q_conversation_profile(),
         "sample_budget": O.q_sample_budget(SAMPLE_BUDGET),
         "langid": O.q_langid(),
         "token_stats": O.q_token_stats(),

@@ -1,0 +1,100 @@
+"""Transcripts-native conversation profiling and structural filtering.
+
+The input-hint schema is multi-turn agent transcripts — (conv_id,
+turn_idx, role, text, tool, ts) — but until now no operator consumed
+``role``/``tool``. For agent-transcript curation the STRUCTURE of a
+conversation is a quality signal of its own: a transcript whose roles
+never alternate, that has no user turn, or that is one giant tool dump
+is malformed regardless of per-turn text quality.
+
+``conversation_profile`` computes one structural row per conversation;
+``filter_conversations`` keeps/drops WHOLE conversations by structural
+predicates (conversations stay intact — the same invariant as the
+conversation-level dedup).
+
+Plan shape: one lag() window and one groupBy, both keyed on the
+conversation — Spark reuses the window's hash partitioning for the
+aggregation, so the whole profile costs a single shuffle of the
+(conv, role, lengths) projection. All aggregates are map-side
+combinable after the window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def conversation_profile(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    order_cols: tuple[str, ...] = ("turn_idx",),
+    role_col: str = "role",
+    roles: tuple[str, ...] = ("user", "assistant", "tool"),
+    ts_col: str | None = "ts",
+    text_col: str | None = "text",
+    tool_col: str | None = "tool",
+) -> DataFrame:
+    """One row per conversation: ``n_turns``, per-role ``n_<role>``
+    counts, ``n_role_repeats`` (consecutive same-role turns in stable
+    ``order_cols`` order — alternation violations), and, when the
+    columns are present, ``n_tools`` (distinct non-null), ``total_chars``
+    / ``mean_turn_chars`` (rounded 4), ``duration_seconds``."""
+    w = Window.partitionBy(conv_col).orderBy(*order_cols)
+    base = df.withColumn(
+        "_repeat", (F.col(role_col) == F.lag(role_col).over(w)).cast("bigint")
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("n_turns"),
+        *[
+            F.sum((F.col(role_col) == r).cast("bigint")).alias(f"n_{r}")
+            for r in roles
+        ],
+        F.coalesce(F.sum("_repeat"), F.lit(0)).alias("n_role_repeats"),
+    ]
+    if tool_col is not None:
+        aggs.append(F.count_distinct(F.col(tool_col)).alias("n_tools"))
+    if text_col is not None:
+        aggs += [
+            F.sum(F.length(text_col)).alias("total_chars"),
+            F.round(F.avg(F.length(text_col)), 4).alias("mean_turn_chars"),
+        ]
+    if ts_col is not None:
+        aggs.append(
+            (
+                F.unix_timestamp(F.max(ts_col)) - F.unix_timestamp(F.min(ts_col))
+            ).alias("duration_seconds")
+        )
+    return base.groupBy(conv_col).agg(*aggs)
+
+
+def filter_conversations(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    order_cols: tuple[str, ...] = ("turn_idx",),
+    role_col: str = "role",
+    min_turns: int = 2,
+    max_role_repeats: int | None = None,
+    require_roles: tuple[str, ...] = ("user", "assistant"),
+    **profile_kwargs,
+) -> DataFrame:
+    """Keep only conversations passing structural checks: at least
+    ``min_turns`` turns, at most ``max_role_repeats`` alternation
+    violations (None = unlimited), and at least one turn of every role
+    in ``require_roles``. Returns the surviving TURN rows (input
+    schema, conversations intact) via a key semi-join."""
+    prof = conversation_profile(
+        df,
+        conv_col,
+        order_cols,
+        role_col,
+        roles=tuple(require_roles),
+        **profile_kwargs,
+    )
+    cond = F.col("n_turns") >= F.lit(min_turns)
+    if max_role_repeats is not None:
+        cond = cond & (F.col("n_role_repeats") <= F.lit(max_role_repeats))
+    for r in require_roles:
+        cond = cond & (F.col(f"n_{r}") >= F.lit(1))
+    keep = prof.filter(cond).select(conv_col)
+    return df.join(keep, conv_col, "left_semi")

@@ -217,6 +217,33 @@ from documents order by doc_id
 """
 
 
+def q_conversation_profile() -> str:
+    """Twin of transcripts.conversation_profile over events-as-
+    transcripts (user_id = conversation, event_type = role)."""
+    roles = ("click", "view", "purchase", "signup", "error")
+    role_counts = ", ".join(
+        f"cast(sum(case when event_type = '{r}' then 1 else 0 end) as bigint) as n_{r}"
+        for r in roles
+    )
+    return f"""
+with t as (
+  select user_id, ts, event_type,
+         lag(event_type) over (partition by user_id order by ts, event_id) as prev
+  from events
+)
+select user_id as conv_id,
+       cast(count(*) as bigint) as n_turns,
+       {role_counts},
+       cast(sum(case when event_type = prev then 1 else 0 end) as bigint)
+         as n_role_repeats,
+       -- floor each side: Spark unix_timestamp truncates per
+       -- timestamp, and a bare cast would ROUND the difference
+       cast(floor(epoch(max(ts))) - floor(epoch(min(ts))) as bigint)
+         as duration_seconds
+from t group by user_id order by conv_id
+"""
+
+
 def q_sample_budget(budget: int, seed: int = 42) -> str:
     return f"""
 with keyed as (

@@ -284,3 +284,56 @@ def test_quality_classifier_swap_seam(spark):
         quality_prob_udf(model, score_batch=halves)(F.col("text")).alias("p")
     ).collect()
     assert [r.p for r in got] == [0.5, 0.5]
+
+
+def test_conversation_profile_and_structural_filter(spark):
+    """Role repeats counted in stable turn order; per-role counts,
+    distinct tools, durations; filter keeps whole conversations that
+    alternate and have both user+assistant."""
+    from datetime import datetime
+
+    from oscar_tools_spark.operators.transcripts import (
+        conversation_profile,
+        filter_conversations,
+    )
+
+    t0 = datetime(2026, 1, 1, 12, 0, 0)
+
+    def ts(s):
+        return datetime(2026, 1, 1, 12, 0, s)
+
+    rows = [
+        # conv a: clean alternation, one tool turn
+        ("a", 0, "user", "hi", None, t0),
+        ("a", 1, "assistant", "hello", None, ts(10)),
+        ("a", 2, "tool", "{}", "search", ts(20)),
+        ("a", 3, "assistant", "done", None, ts(30)),
+        # conv b: assistant-only monologue with a repeat
+        ("b", 0, "assistant", "x", None, t0),
+        ("b", 1, "assistant", "y", None, ts(5)),
+        # conv c: single turn
+        ("c", 0, "user", "alone", None, t0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    prof = {r.conv_id: r for r in conversation_profile(df).collect()}
+    a = prof["a"]
+    assert (a.n_turns, a.n_user, a.n_assistant, a.n_tool) == (4, 1, 2, 1)
+    assert a.n_role_repeats == 0  # u,a,t,a never repeats adjacently
+    assert a.n_tools == 1 and a.duration_seconds == 30
+    assert a.total_chars == len("hi") + len("hello") + len("{}") + len("done")
+    b = prof["b"]
+    assert (b.n_turns, b.n_role_repeats, b.n_tools) == (2, 1, 0)
+    c = prof["c"]
+    assert (c.n_turns, c.n_role_repeats) == (1, 0)
+
+    kept = filter_conversations(
+        df, min_turns=2, max_role_repeats=0,
+        require_roles=("user", "assistant"),
+    )
+    assert sorted({r.conv_id for r in kept.collect()}) == ["a"]
+    # conversations stay intact: every turn of a survives
+    assert kept.count() == 4
