@@ -46,6 +46,12 @@ def main() -> None:
     ap.add_argument("--emit-digests", default=None,
                     help="write this batch's conversation digests here, to be "
                     "appended to --seen-digests state for the next batch")
+    ap.add_argument("--structural-filter", action="store_true",
+                    help="drop whole malformed conversations before curation "
+                    "(< --min-turns turns, missing user/assistant roles); "
+                    "adds one conversation-keyed shuffle ahead of the "
+                    "narrow pipeline")
+    ap.add_argument("--min-turns", type=int, default=2)
     ap.add_argument("--checkpoint-dir", default=None,
                     help="reliable-checkpoint directory (HDFS/S3). When set, "
                     "iterative operators (connected components, embedding "
@@ -91,17 +97,26 @@ def main() -> None:
     io = TableIO(spark)
     df = io.read(args.input)
 
-    if args.seen_digests:
+    if args.seen_digests or args.structural_filter:
         from pyspark.sql import functions as F
 
-        from oscar_tools_spark.operators.dedup import dedup_conversations_incremental
-
-        # the digest anti-join makes the plan multi-source, where
-        # input_file_name() is illegal — capture lineage at read time
+        # both pre-stages join the input with derived/side frames,
+        # making the plan multi-source — where input_file_name() is
+        # illegal — so capture lineage at read time (lineage_stage
+        # keeps a pre-existing source_part column)
         df = df.withColumn(
             "source_part", F.coalesce(F.input_file_name(), F.lit(""))
         )
+    if args.seen_digests:
+        from oscar_tools_spark.operators.dedup import dedup_conversations_incremental
+
         df = dedup_conversations_incremental(df, io.read(args.seen_digests))
+    if args.structural_filter:
+        from oscar_tools_spark.operators.transcripts import filter_conversations
+
+        df = filter_conversations(
+            df, min_turns=args.min_turns, require_roles=("user", "assistant")
+        )
     if args.emit_digests:
         from oscar_tools_spark.operators.dedup import conversation_digests
 

@@ -71,6 +71,38 @@ def test_job_incremental_digest_flags(spark, transcripts_path, tmp_path, capsys)
     assert spark.read.parquet(out2).count() == 0
 
 
+def test_job_structural_filter_flag(spark, transcripts_path, tmp_path, capsys):
+    """--structural-filter drops whole malformed conversations before
+    curation; surviving conversations keep user+assistant turns and
+    meet the min-turn bar."""
+    out_path = str(tmp_path / "out")
+    _run_job(
+        capsys,
+        ["--input", transcripts_path, "--output", out_path,
+         "--no-model", "--no-resume", "--structural-filter",
+         "--min-turns", "3"],
+    )
+    from pyspark.sql import functions as F
+
+    out = spark.read.parquet(out_path)
+    # NOTE: curation itself may drop turns after the structural gate,
+    # so assert on the INPUT conversations the gate admitted
+    admitted = {r.conv_id for r in out.select("conv_id").distinct().collect()}
+    src = spark.read.parquet(transcripts_path)
+    prof = (
+        src.groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("role") == "user").cast("int")).alias("u"),
+            F.sum((F.col("role") == "assistant").cast("int")).alias("a"),
+        )
+        .collect()
+    )
+    ok = {r.conv_id for r in prof if r.n >= 3 and r.u >= 1 and r.a >= 1}
+    assert admitted <= ok
+    assert len(admitted) > 0
+
+
 def test_job_resume_skips_completed_buckets(spark, transcripts_path, tmp_path, capsys):
     out_path = str(tmp_path / "out")
     argv = ["--input", transcripts_path, "--output", out_path,
