@@ -107,3 +107,42 @@ def test_tfidf_top_terms_fixture(spark):
     assert got[4] == (3, 1, "cherry", 3, round(3 * idf(2), 6))
     assert got[5] == (3, 2, "durian", 1, round(idf(1), 6))
     assert len(got) == 6
+
+
+def test_quality_classifier_scores_streams(spark, tmp_path):
+    """The trained scorer is a stateless pandas UDF, so score_quality
+    must run unchanged under Structured Streaming — classifier-filtered
+    ingestion without a batch detour."""
+    from oscar_tools_spark.functions.quality_classifier import (
+        score_quality,
+        train_quality_classifier,
+    )
+
+    pos = spark.createDataFrame(
+        [("informative varied prose with many distinct words",)], "text string"
+    )
+    neg = spark.createDataFrame([("buy buy buy buy buy",)], "text string")
+    model = train_quality_classifier(
+        pos, neg, dim=2**10, sample_cap=10, epochs=50
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    spark.createDataFrame(
+        [(1, "informative varied prose"), (2, "buy buy buy")],
+        "doc_id long, text string",
+    ).write.parquet(str(src / "p1"))
+    stream = spark.readStream.schema("doc_id long, text string").parquet(
+        str(src / "*")
+    )
+    q = (
+        score_quality(stream, model)
+        .writeStream.format("memory")
+        .queryName("qc_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = {r.doc_id: r.quality_prob for r in spark.sql("select * from qc_stream").collect()}
+    assert set(got) == {1, 2}
+    assert got[1] > got[2]
