@@ -126,3 +126,28 @@ def test_job_resume_skips_completed_buckets(spark, transcripts_path, tmp_path, c
     second = _run_job(capsys, argv)
     assert second["rows"] == first["rows"]
     assert spark.read.parquet(out_path).count() == n_rows
+
+
+def test_job_all_flags_compose(spark, transcripts_path, tmp_path, capsys):
+    """Everything at once: structural filter + incremental digests +
+    C4 + Gopher + resumable buckets + checkpoint dir. The flags are
+    independent stages; this pins that their composition still plans
+    and runs end-to-end, emits digest state, and a second identical
+    batch dedupes to zero."""
+    out1, out2 = str(tmp_path / "o1"), str(tmp_path / "o2")
+    digs = str(tmp_path / "digs")
+    ckpt = str(tmp_path / "ckpt")
+    base = ["--no-model", "--buckets", "2", "--checkpoint-dir", ckpt,
+            "--structural-filter", "--min-turns", "2",
+            "--c4-clean", "--gopher"]
+    first = _run_job(capsys, ["--input", transcripts_path, "--output", out1,
+                              "--emit-digests", digs, *base])
+    assert first["buckets"] == 2
+    out = spark.read.parquet(out1)
+    assert {"conv_id", "turn_idx", "text", "rule_hits", "source_part"} <= set(
+        out.columns
+    )
+    assert out.count() == first["rows"]
+    second = _run_job(capsys, ["--input", transcripts_path, "--output", out2,
+                               "--seen-digests", digs, *base])
+    assert second["rows"] == 0
