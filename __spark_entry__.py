@@ -275,6 +275,18 @@ def q_conversation_profile(spark, sf_dir):
     )
 
 
+def q_assign_split(spark, sf_dir):
+    """Deterministic 98/1/1 train/val/test assignment — hash-stable
+    under corpus growth (new docs never move old docs across splits)."""
+    from oscar_tools_spark.operators.sampling import assign_split
+
+    return (
+        assign_split(_docs(spark, sf_dir), ["doc_id"])
+        .select("doc_id", "split")
+        .orderBy("doc_id")
+    )
+
+
 def q_sample_budget(spark, sf_dir):
     return (
         sample_by_budget(
@@ -868,6 +880,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_blocklist": q_url_blocklist,
         "quality_prob": q_quality_prob,
         "conversation_profile": q_conversation_profile,
+        "assign_split": q_assign_split,
         "sample_budget": q_sample_budget,
         "langid": q_langid,
         "token_stats": q_token_stats,
@@ -928,6 +941,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_convs_incremental": O.q_dedup_convs_incremental(),
         "url_blocklist": O.q_url_blocklist(),
         "conversation_profile": O.q_conversation_profile(),
+        "assign_split": O.q_assign_split(),
         "sample_budget": O.q_sample_budget(SAMPLE_BUDGET),
         "langid": O.q_langid(),
         "token_stats": O.q_token_stats(),

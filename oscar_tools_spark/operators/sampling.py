@@ -281,3 +281,58 @@ def sample_by_weight(
         10,
     ).cast("bigint")
     return df.filter(h * F.lit(1_000_000) < wi * F.lit(4_294_967_296))
+
+
+def assign_split(
+    df: DataFrame,
+    key_cols: list[str],
+    splits: tuple[tuple[str, int], ...] = (("train", 98), ("val", 1), ("test", 1)),
+    seed: int = 42,
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic corpus splitting: adds ``split_col`` naming the
+    split each row belongs to, with probability proportional to the
+    integer weights in ``splits``.
+
+    Membership is a pure function of (seed, key): stable under
+    repartitioning, reruns, engines, AND corpus growth — new rows
+    never move existing rows between splits, the property that
+    row_number()/ntile()-based splitting lacks and that keeps a
+    held-out set honest while the corpus is re-crawled.
+
+    assign split i (first match) iff
+        hash32(seed, key) * total  <  2^32 * cumsum_i
+
+    with the repo's md5 uniform-[0, 2^32) draw and exact bigint
+    products on both sides, so the DuckDB oracle replays it
+    bit-for-bit. One narrow codegen'd projection; no shuffle, no RNG.
+    """
+    if len(splits) < 2:
+        raise ValueError("need at least two splits")
+    if any(w <= 0 for _, w in splits):
+        raise ValueError("split weights must be positive integers")
+    total = sum(w for _, w in splits)
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.lit(str(seed)),
+                    *[F.col(c).cast("string") for c in key_cols],
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    lhs = h * F.lit(total)
+    expr = None
+    cum = 0
+    for name, w in splits[:-1]:
+        cum += w
+        cond = lhs < F.lit(4_294_967_296 * cum)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    expr = expr.otherwise(F.lit(splits[-1][0]))
+    return df.withColumn(split_col, expr)

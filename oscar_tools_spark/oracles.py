@@ -244,6 +244,20 @@ from t group by user_id order by conv_id
 """
 
 
+def q_assign_split(seed: int = 42) -> str:
+    """Twin of sampling.assign_split at 98/1/1 train/val/test."""
+    return f"""
+with h as (select doc_id,
+  ('0x' || substr(md5('{seed}:' || cast(doc_id as varchar)), 1, 8))::bigint as hv
+  from documents)
+select doc_id,
+  case when hv * 100 < 4294967296 * 98 then 'train'
+       when hv * 100 < 4294967296 * 99 then 'val'
+       else 'test' end as split
+from h order by doc_id
+"""
+
+
 def q_sample_budget(budget: int, seed: int = 42) -> str:
     return f"""
 with keyed as (

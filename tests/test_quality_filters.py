@@ -337,3 +337,39 @@ def test_conversation_profile_and_structural_filter(spark):
     assert sorted({r.conv_id for r in kept.collect()}) == ["a"]
     # conversations stay intact: every turn of a survives
     assert kept.count() == 4
+
+
+def test_assign_split_stable_under_growth_and_repartition(spark):
+    """Every row gets exactly one split; proportions track the 98/1/1
+    weights; assignments are identical under repartitioning; and —
+    the property ntile/row_number splitting lacks — assignments of
+    existing keys DO NOT change when the corpus grows."""
+    from pyspark.sql import functions as F
+
+    from oscar_tools_spark.operators.sampling import assign_split
+
+    df = spark.range(5000).select(F.col("id").alias("doc_id"))
+    got = {r.doc_id: r.split for r in assign_split(df, ["doc_id"]).collect()}
+    assert set(got.values()) == {"train", "val", "test"}
+    n = len(got)
+    n_train = sum(1 for s in got.values() if s == "train")
+    n_val = sum(1 for s in got.values() if s == "val")
+    assert 0.96 * n <= n_train <= 0.995 * n
+    assert n_val < 0.03 * n
+    # repartition-stable
+    got2 = {
+        r.doc_id: r.split
+        for r in assign_split(df.repartition(17), ["doc_id"]).collect()
+    }
+    assert got == got2
+    # growth-stable: the first 1000 keys keep their splits exactly
+    small = spark.range(1000).select(F.col("id").alias("doc_id"))
+    got_small = {r.doc_id: r.split for r in assign_split(small, ["doc_id"]).collect()}
+    assert got_small == {k: v for k, v in got.items() if k < 1000}
+    # validation: bad weights / too few splits rejected
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        assign_split(df, ["doc_id"], splits=(("all", 1),))
+    with _pytest.raises(ValueError):
+        assign_split(df, ["doc_id"], splits=(("a", 1), ("b", 0)))
