@@ -335,6 +335,24 @@ def q_quality_score(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_quantile_buckets(spark, sf_dir):
+    """CCNet-style per-language quality terciles (exact ntile mode —
+    the approx percentile-sketch mode is the 100 TB path, equivalence
+    pytest-gated in tests/test_components_stats.py)."""
+    from oscar_tools_spark.operators.stats import quantile_buckets
+
+    scored = _docs(spark, sf_dir).select(
+        "doc_id", "lang", quality_score_expr(F.col("text")).alias("quality")
+    )
+    return (
+        quantile_buckets(
+            scored, "lang", "quality", mode="exact", order_cols=("doc_id",)
+        )
+        .select("doc_id", "lang", "quality", "bucket")
+        .orderBy("doc_id")
+    )
+
+
 def q_fingerprint(spark, sf_dir):
     df = _docs(spark, sf_dir)
     return df.select("doc_id", fingerprint_expr(F.col("text")).alias("fp")).orderBy(
@@ -881,6 +899,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_prob": q_quality_prob,
         "conversation_profile": q_conversation_profile,
         "assign_split": q_assign_split,
+        "quantile_buckets": q_quantile_buckets,
         "sample_budget": q_sample_budget,
         "langid": q_langid,
         "token_stats": q_token_stats,
@@ -942,6 +961,7 @@ def oracle_sql() -> dict[str, str]:
         "url_blocklist": O.q_url_blocklist(),
         "conversation_profile": O.q_conversation_profile(),
         "assign_split": O.q_assign_split(),
+        "quantile_buckets": O.q_quantile_buckets(),
         "sample_budget": O.q_sample_budget(SAMPLE_BUDGET),
         "langid": O.q_langid(),
         "token_stats": O.q_token_stats(),

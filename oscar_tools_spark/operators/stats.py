@@ -109,3 +109,50 @@ def length_profile(
         )
         .orderBy(group_col)
     )
+
+
+def quantile_buckets(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    n_buckets: int = 3,
+    order_cols: tuple[str, ...] = (),
+    mode: str = "approx",
+    accuracy: int = 10_000,
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """CCNet-style per-group quantile bucketing: adds integer
+    ``bucket_col`` in [1, n_buckets] splitting each group's
+    ``value_col`` distribution into equal-count bands (CCNet's
+    head/middle/tail = terciles of per-language LM perplexity; pass
+    ``functions.perplexity.score`` output as the value column).
+
+    ``mode="exact"``: ANSI ``ntile`` over a per-group window ordered by
+    ``(value_col, *order_cols)`` — deterministic given a tie-breaking
+    ``order_cols``, bit-replayable in the DuckDB oracle, but costs a
+    full per-group SORT: the small-data / verification mode.
+
+    ``mode="approx"`` (default): the 100 TB shape — per-group inner
+    thresholds via ``percentile_approx`` (a map-side-combinable sketch:
+    one aggregation, no sort), broadcast back, bucket = 1 + #thresholds
+    strictly below the value. Group sizes may deviate by the sketch
+    error (~1/accuracy); ranking is still exact w.r.t. the thresholds.
+    """
+    if n_buckets < 2:
+        raise ValueError("n_buckets must be >= 2")
+    if mode == "exact":
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(group_col).orderBy(value_col, *order_cols)
+        return df.withColumn(bucket_col, F.ntile(n_buckets).over(w))
+    if mode != "approx":
+        raise ValueError(f"unknown mode: {mode!r}")
+    fracs = [i / n_buckets for i in range(1, n_buckets)]
+    thr = df.groupBy(group_col).agg(
+        F.percentile_approx(value_col, fracs, accuracy).alias("_thr")
+    )
+    out = df.join(F.broadcast(thr), group_col)
+    bucket = F.lit(1) + F.size(
+        F.filter(F.col("_thr"), lambda t: F.col(value_col) > t)
+    )
+    return out.withColumn(bucket_col, bucket).drop("_thr")

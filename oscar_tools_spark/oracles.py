@@ -346,6 +346,18 @@ def q_quality_score() -> str:
     )
 
 
+def q_quantile_buckets(n_buckets: int = 3) -> str:
+    """Twin of stats.quantile_buckets(mode='exact'): per-language
+    ntile terciles of the quality score, doc_id tie-break."""
+    return f"""
+with qs as (select doc_id, lang, {quality_expr_sql()} as quality from documents)
+select doc_id, lang, quality,
+       ntile({n_buckets}) over (partition by lang order by quality, doc_id)
+         as bucket
+from qs order by doc_id
+"""
+
+
 def q_curation_pipeline(exclude=("adult", "noisy")) -> str:
     """Flagship oracle: annotate -> filter -> scrub -> quality score."""
     n = len(lx.SCRUB_RULES)

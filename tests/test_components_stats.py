@@ -104,3 +104,45 @@ def test_sample_per_group_budgets_are_independent(spark):
         df, ["doc_id"], "grp", {"a": 105}, size_col="sz"
     ).collect()
     assert {r.grp for r in only_a} == {"a"} and len(only_a) == 10
+
+
+def test_quantile_buckets_exact_and_approx(spark):
+    """Exact mode: equal-count ntile bands per group with deterministic
+    tie-break. Approx mode (the no-sort 100 TB path): same buckets on
+    data where the sketch is exact, near-equal band sizes otherwise."""
+    from pyspark.sql import functions as F
+
+    from oscar_tools_spark.operators.stats import quantile_buckets
+
+    rows = [("a", i, float(i)) for i in range(12)] + [
+        ("b", 100 + i, float(i % 4)) for i in range(8)
+    ]
+    df = spark.createDataFrame(rows, "lang string, doc_id long, v double")
+    exact = {
+        r.doc_id: r.bucket
+        for r in quantile_buckets(
+            df, "lang", "v", mode="exact", order_cols=("doc_id",)
+        ).collect()
+    }
+    # group a: 12 values 0..11 -> terciles of 4
+    assert [exact[i] for i in range(12)] == [1] * 4 + [2] * 4 + [3] * 4
+    # group b: heavy ties broken by doc_id, still 3/3/2 split sizes
+    from collections import Counter
+
+    cb = Counter(exact[100 + i] for i in range(8))
+    assert cb == {1: 3, 2: 3, 3: 2}
+
+    approx = {
+        r.doc_id: r.bucket
+        for r in quantile_buckets(df, "lang", "v", mode="approx").collect()
+    }
+    # group a has distinct values: the sketch is exact -> same buckets
+    assert [approx[i] for i in range(12)] == [exact[i] for i in range(12)]
+    # every row bucketed in range
+    assert set(approx.values()) <= {1, 2, 3}
+    import pytest
+
+    with pytest.raises(ValueError):
+        quantile_buckets(df, "lang", "v", n_buckets=1)
+    with pytest.raises(ValueError):
+        quantile_buckets(df, "lang", "v", mode="nope")
