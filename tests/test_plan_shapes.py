@@ -173,6 +173,26 @@ def test_incremental_minhash_derives_history_once(spark):
     assert plan.count("Scan parquet") == 1, plan[:2000]
 
 
+def test_conversation_profile_single_shuffle(spark):
+    """The lag window and the aggregation share the conversation key,
+    so Spark reuses the window's hash partitioning — the whole profile
+    costs exactly ONE hash exchange."""
+    from oscar_tools_spark.operators.transcripts import conversation_profile
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    prof = conversation_profile(
+        ev,
+        conv_col="user_id",
+        order_cols=("ts", "event_id"),
+        role_col="event_type",
+        roles=("click", "view"),
+        text_col=None,
+        tool_col=None,
+    )
+    plan = _plan(prof)
+    assert plan.count("hashpartitioning") == 1, plan[:2000]
+
+
 def test_no_cartesian_in_any_driver_query(spark):
     """Every contract query must plan without CartesianProduct /
     BroadcastNestedLoopJoin — the all-pairs shapes that cannot survive
