@@ -817,6 +817,25 @@ def q_dedup_components(spark, sf_dir):
     return dedup_components(docs, pairs, "doc_id").select("doc_id").orderBy("doc_id")
 
 
+def q_dedup_components_best(spark, sf_dir):
+    """Cluster collapse keeping the BEST-quality doc per near-dup
+    component (tie: min key) instead of the lexically first — the
+    representative-selection policy that preserves the most valuable
+    tokens."""
+    from oscar_tools_spark.operators.components import dedup_components
+    from oscar_tools_spark.operators.dedup import jaccard_pairs
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "quality", quality_score_expr(F.col("text"))
+    )
+    pairs = jaccard_pairs(docs, "doc_id", threshold=0.5)
+    return (
+        dedup_components(docs, pairs, "doc_id", prefer_col="quality")
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
 def q_sentence_ids(spark, sf_dir):
     """Per-line language identification (reference
     metadata.sentence_identifications, oscar_doc.rs:365-380): flattened
@@ -938,6 +957,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_with_replacement": q_sample_with_replacement,
         "corpus_stats": q_corpus_stats,
         "dedup_components": q_dedup_components,
+        "dedup_components_best": q_dedup_components_best,
         "sentence_ids": q_sentence_ids,
         "perplexity": q_perplexity,
         "curation_pipeline": q_curation_pipeline,
@@ -980,6 +1000,7 @@ def oracle_sql() -> dict[str, str]:
         # (float cosines, binary payloads, and the trigram model are
         # not SQL-oracle-able) — deliberately no oracle entries.
         "dedup_components": O.q_dedup_components(),
+        "dedup_components_best": O.q_dedup_components_best(),
         "sentence_ids": O.q_sentence_ids(),
         "simhash_hamming_dedup": O.q_simhash_hamming_dedup(),
         "sample_with_replacement": O.q_sample_with_replacement(SAMPLE_BUDGET),

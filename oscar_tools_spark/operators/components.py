@@ -175,12 +175,42 @@ def connected_components(
 
 
 def dedup_components(
-    df: DataFrame, pairs: DataFrame, key_col: str, pair_a: str = "key_a", pair_b: str = "key_b"
+    df: DataFrame,
+    pairs: DataFrame,
+    key_col: str,
+    pair_a: str = "key_a",
+    pair_b: str = "key_b",
+    prefer_col: str | None = None,
 ) -> DataFrame:
-    """Keep one representative (min key) per duplicate component; rows
-    not in any pair pass through untouched."""
+    """Keep one representative per duplicate component; rows not in
+    any pair pass through untouched.
+
+    Default policy: min key (cheap — the component label IS the
+    representative, no extra pass). With ``prefer_col``, the row with
+    the HIGHEST value of that column in each component survives
+    (ties broken by min key) — e.g. pass a quality score so cluster
+    collapse keeps the best document instead of the lexically first:
+    at 100 TB the representative choice is tokens worth money. Costs
+    one extra component-keyed aggregation + semi-join over the
+    clustered keys only (never the full corpus)."""
     comp = connected_components(pairs, pair_a, pair_b)
-    losers = comp.filter(F.col("node") != F.col("component")).select(
-        F.col("node").alias(key_col)
+    if prefer_col is None:
+        losers = comp.filter(F.col("node") != F.col("component")).select(
+            F.col("node").alias(key_col)
+        )
+        return df.join(losers, key_col, "left_anti")
+    scored = comp.join(
+        df.select(F.col(key_col).alias("node"), F.col(prefer_col).alias("_p")),
+        "node",
     )
-    return df.join(losers, key_col, "left_anti")
+    # max score wins; min key breaks ties — encode as one min(struct)
+    # over (-score, key), so the agg stays map-side combinable
+    winner = (
+        scored.groupBy("component")
+        .agg(F.min(F.struct(-F.col("_p"), F.col("node"))).alias("_w"))
+        .select(F.col("_w.node").alias(key_col))
+    )
+    clustered = comp.select(F.col("node").alias(key_col))
+    return df.join(clustered, key_col, "left_anti").unionByName(
+        df.join(winner, key_col, "left_semi")
+    )

@@ -560,6 +560,37 @@ order by doc_id
 """
 
 
+def q_dedup_components_best(threshold: float = 0.5, k: int = 3) -> str:
+    """Twin of dedup_components(prefer_col='quality'): per component
+    the max-quality (tie: min key) doc survives."""
+    pairs = q_jaccard_pairs(threshold, k)
+    return f"""
+with recursive pairs as ({pairs}),
+edges as (
+  select key_a as u, key_b as v from pairs
+  union
+  select key_b as u, key_a as v from pairs
+),
+reach (u, label) as (
+  select u, u from edges
+  union
+  select e.u, r.label from edges e join reach r on e.v = r.u
+),
+comp as (select u as node, min(label) as component from reach group by u),
+q as (select doc_id, {quality_expr_sql()} as quality from documents),
+ranked as (
+  select c.component, c.node,
+         row_number() over (partition by c.component
+                            order by q.quality desc, c.node) as rn
+  from comp c join q on q.doc_id = c.node
+)
+select doc_id from documents
+where doc_id not in (select node from comp)
+   or doc_id in (select node from ranked where rn = 1)
+order by doc_id
+"""
+
+
 def q_update_lang_codes() -> str:
     whens = " ".join(
         f"when lang = '{old}' then '{new}'" for old, new in

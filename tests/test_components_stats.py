@@ -146,3 +146,27 @@ def test_quantile_buckets_exact_and_approx(spark):
         quantile_buckets(df, "lang", "v", n_buckets=1)
     with pytest.raises(ValueError):
         quantile_buckets(df, "lang", "v", mode="nope")
+
+
+def test_dedup_components_prefer_col_keeps_best(spark):
+    """With prefer_col, the HIGHEST-scoring row of each component
+    survives (tie: min key); unpaired rows always pass through."""
+    rows = [
+        (1, 0.2), (2, 0.9), (3, 0.9),   # component {1,2,3}: 2 wins (tie 2<3)
+        (10, 0.5), (11, 0.1),           # component {10,11}: 10 wins
+        (99, 0.0),                      # unpaired: survives
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, q double")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "key_a long, key_b long"
+    )
+    kept = sorted(
+        r.doc_id
+        for r in dedup_components(df, pairs, "doc_id", prefer_col="q").collect()
+    )
+    assert kept == [2, 10, 99]
+    # default (no prefer_col): min key per component
+    kept_min = sorted(
+        r.doc_id for r in dedup_components(df, pairs, "doc_id").collect()
+    )
+    assert kept_min == [1, 10, 99]
