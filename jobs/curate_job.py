@@ -46,6 +46,11 @@ def main() -> None:
     ap.add_argument("--emit-digests", default=None,
                     help="write this batch's conversation digests here, to be "
                     "appended to --seen-digests state for the next batch")
+    ap.add_argument("--quality-model", default=None,
+                    help=".npz artifact from quality_classifier.save_model; "
+                    "when set, turns are scored post-scrub and those below "
+                    "--quality-min are dropped (quality_prob kept as lineage)")
+    ap.add_argument("--quality-min", type=float, default=0.5)
     ap.add_argument("--structural-filter", action="store_true",
                     help="drop whole malformed conversations before curation "
                     "(< --min-turns turns, missing user/assistant roles); "
@@ -122,8 +127,22 @@ def main() -> None:
 
         io.write(conversation_digests(df), args.emit_digests)
 
+    qmodel = None
+    if args.quality_model:
+        from oscar_tools_spark.functions.quality_classifier import load_model
+
+        qmodel = load_model(args.quality_model)
+
     def transform(part):
         out = curate(part, cfg)
+        if qmodel is not None:
+            from pyspark.sql import functions as F
+
+            from oscar_tools_spark.functions.quality_classifier import score_quality
+
+            out = score_quality(out, qmodel).filter(
+                F.col("quality_prob") >= args.quality_min
+            )
         if args.partitions:
             out = repartition_conversations(out, args.partitions)
         return out

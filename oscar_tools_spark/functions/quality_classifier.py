@@ -123,6 +123,28 @@ def train_quality_classifier(
     }
 
 
+def save_model(model: dict, path: str) -> None:
+    """Persist a trained model as .npz — train once on the reference
+    corpus, then reuse the artifact across every ingest batch."""
+    np.savez(
+        path if path.endswith(".npz") else path + ".npz",
+        w=model["w"],
+        b=np.float64(model["b"]),
+        dim=np.int64(model["dim"]),
+        version=np.bytes_(model["version"].encode()),
+    )
+
+
+def load_model(path: str) -> dict:
+    z = np.load(path if path.endswith(".npz") else path + ".npz")
+    return {
+        "w": z["w"],
+        "b": float(z["b"]),
+        "dim": int(z["dim"]),
+        "version": bytes(z["version"]).decode(),
+    }
+
+
 def _score_batch(texts: pd.Series, w: np.ndarray, b: float, dim: int) -> np.ndarray:
     out = np.empty(len(texts), dtype=np.float64)
     for i, t in enumerate(texts):

@@ -151,3 +151,32 @@ def test_job_all_flags_compose(spark, transcripts_path, tmp_path, capsys):
     second = _run_job(capsys, ["--input", transcripts_path, "--output", out2,
                                "--seen-digests", digs, *base])
     assert second["rows"] == 0
+
+
+def test_job_quality_model_artifact(spark, transcripts_path, tmp_path, capsys):
+    """Train -> save .npz artifact -> the job loads it and filters
+    turns below --quality-min, keeping quality_prob as lineage."""
+    from oscar_tools_spark.functions.quality_classifier import (
+        save_model,
+        train_quality_classifier,
+    )
+
+    src = spark.read.parquet(transcripts_path)
+    model = train_quality_classifier(
+        src.limit(30), src.limit(60).subtract(src.limit(30)),
+        dim=2**10, sample_cap=30, epochs=10,
+    )
+    mpath = str(tmp_path / "qmodel.npz")
+    save_model(model, mpath)
+    out_path = str(tmp_path / "out")
+    _run_job(
+        capsys,
+        ["--input", transcripts_path, "--output", out_path,
+         "--no-model", "--no-resume",
+         "--quality-model", mpath, "--quality-min", "0.0"],
+    )
+    out = spark.read.parquet(out_path)
+    assert "quality_prob" in out.columns
+    assert out.count() > 0
+    probs = [r.quality_prob for r in out.select("quality_prob").collect()]
+    assert all(0.0 <= p <= 1.0 for p in probs)
