@@ -287,6 +287,31 @@ def q_assign_split(spark, sf_dir):
     )
 
 
+def q_canonical_url(spark, sf_dir):
+    """URL canonicalization: five cosmetic variants per page (www.,
+    #fragment, :443, trailing ?, bare) all normalize to one dedup key."""
+    from oscar_tools_spark.operators.urlblock import canonical_url_expr
+
+    docs = _docs(spark, sf_dir)
+    host = F.concat(
+        F.lit("example"), (F.col("doc_id") % 20).cast("string"), F.lit(".com")
+    )
+    path = F.concat(F.lit("/p/"), F.col("doc_id").cast("string"))
+    m = F.col("doc_id") % 5
+    url = (
+        F.when(m == 0, F.concat(F.lit("https://www."), host, path, F.lit("/")))
+        .when(m == 1, F.concat(F.lit("https://"), host, path, F.lit("#frag")))
+        .when(m == 2, F.concat(F.lit("https://"), host, F.lit(":443"), path))
+        .when(m == 3, F.concat(F.lit("https://"), host, path, F.lit("?")))
+        .otherwise(F.concat(F.lit("https://"), host, path))
+    )
+    return (
+        docs.select("doc_id", url.alias("url"))
+        .select("doc_id", canonical_url_expr(F.col("url")).alias("url_canonical"))
+        .orderBy("doc_id")
+    )
+
+
 def q_sample_budget(spark, sf_dir):
     return (
         sample_by_budget(
@@ -915,6 +940,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental_minhash": q_dedup_incremental_minhash,
         "dedup_convs_incremental": q_dedup_convs_incremental,
         "url_blocklist": q_url_blocklist,
+        "canonical_url": q_canonical_url,
         "quality_prob": q_quality_prob,
         "conversation_profile": q_conversation_profile,
         "assign_split": q_assign_split,
@@ -979,6 +1005,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_incremental_minhash": O.q_dedup_incremental_minhash(),
         "dedup_convs_incremental": O.q_dedup_convs_incremental(),
         "url_blocklist": O.q_url_blocklist(),
+        "canonical_url": O.q_canonical_url(),
         "conversation_profile": O.q_conversation_profile(),
         "assign_split": O.q_assign_split(),
         "quantile_buckets": O.q_quantile_buckets(),

@@ -52,6 +52,34 @@ def domain_suffixes_expr(host: Column) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+# URL canonicalization rules, applied in order: (pattern, replacement
+# with $N backreferences). Lookaround-free ON PURPOSE — DuckDB's RE2
+# has no (?=)/(?<=) — and consumed by BOTH canonical_url_expr and the
+# oracle generator (which only respells $N as \N), so the two engines
+# replay the identical chain.
+CANON_RULES: tuple[tuple[str, str], ...] = (
+    (r"#.*$", ""),                                       # fragment
+    (r"^([a-z][a-z0-9+.-]*://)www\.", "$1"),             # www. prefix
+    (r"^(https://[^/:?#]+):443((?:[/?#].*)?)$", "$1$2"),  # default port
+    (r"^(http://[^/:?#]+):80((?:[/?#].*)?)$", "$1$2"),
+    (r"([^/:])/+\?", "$1?"),                             # slash(es) pre-query
+    (r"([^/:])/+$", "$1"),                               # trailing slash(es)
+    (r"\?$", ""),                                        # bare trailing ?
+)
+
+
+def canonical_url_expr(url: Column) -> Column:
+    """Canonical form of a URL for URL-keyed dedup / grouping:
+    lowercased, fragment / default ports (:80, :443) / ``www.`` host
+    prefix / trailing slash / bare ``?`` dropped — two crawls of the
+    same page under cosmetically different URLs dedup to one key.
+    Pure chained regexp_replace: codegen'd, no UDF."""
+    u = F.lower(F.trim(url))
+    for pat, repl in CANON_RULES:
+        u = F.regexp_replace(u, pat, repl)
+    return u
+
+
 def url_blocked_keys(
     df: DataFrame,
     blocklist: DataFrame,

@@ -258,6 +258,37 @@ from h order by doc_id
 """
 
 
+def q_canonical_url() -> str:
+    """Twin of urlblock.canonical_url_expr over deterministic messy
+    URLs: five cosmetic variants per host/path (www., #fragment, :443,
+    trailing ?, bare) that must all canonicalize to the same key. The
+    regexp_replace chain is generated from urlblock.CANON_RULES with
+    $N respelled as RE2's \\N."""
+    from .operators.urlblock import CANON_RULES
+
+    expr = "lower(trim(url))"
+    for pat, repl in CANON_RULES:
+        sql_pat = pat.replace("'", "''")
+        # DuckDB single-quoted literals do no backslash processing, so
+        # one literal backslash per backreference: $1 -> \1
+        sql_repl = repl.replace("$", "\\")
+        expr = f"regexp_replace({expr}, '{sql_pat}', '{sql_repl}', 'g')"
+    return f"""
+with p as (select doc_id,
+  'example' || cast(doc_id % 20 as varchar) || '.com' as host,
+  '/p/' || cast(doc_id as varchar) as path from documents),
+u as (select doc_id,
+  case doc_id % 5
+    when 0 then 'https://www.' || host || path || '/'
+    when 1 then 'https://' || host || path || '#frag'
+    when 2 then 'https://' || host || ':443' || path
+    when 3 then 'https://' || host || path || '?'
+    else 'https://' || host || path end as url
+  from p)
+select doc_id, {expr} as url_canonical from u order by doc_id
+"""
+
+
 def q_sample_budget(budget: int, seed: int = 42) -> str:
     return f"""
 with keyed as (

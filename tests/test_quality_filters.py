@@ -373,3 +373,28 @@ def test_assign_split_stable_under_growth_and_repartition(spark):
         assign_split(df, ["doc_id"], splits=(("all", 1),))
     with _pytest.raises(ValueError):
         assign_split(df, ["doc_id"], splits=(("a", 1), ("b", 0)))
+
+
+def test_canonical_url_expr(spark):
+    from oscar_tools_spark.operators.urlblock import canonical_url_expr
+    from pyspark.sql import functions as F
+
+    cases = [
+        ("https://www.Example.com/a/", "https://example.com/a"),
+        ("https://example.com:443/a#sec", "https://example.com/a"),
+        ("http://example.com:80/a?", "http://example.com/a"),
+        ("https://example.com/a///", "https://example.com/a"),
+        ("https://example.com/a/?q=1", "https://example.com/a?q=1"),
+        # NOT default ports / schemes: untouched
+        ("https://example.com:8443/a", "https://example.com:8443/a"),
+        ("http://example.com:443/a", "http://example.com:443/a"),
+        # root URL: the :// guard keeps the scheme's slashes
+        ("https://example.com", "https://example.com"),
+        ("https://www.example.com/", "https://example.com"),
+    ]
+    df = spark.createDataFrame([(i, u) for i, (u, _) in enumerate(cases)],
+                               "i long, url string")
+    got = {r.i: r.c for r in
+           df.select("i", canonical_url_expr(F.col("url")).alias("c")).collect()}
+    for i, (u, want) in enumerate(cases):
+        assert got[i] == want, (u, got[i], want)
