@@ -636,6 +636,22 @@ def q_repetition_stats(spark, sf_dir):
     return fr.join(lr, "doc_id").orderBy("doc_id")
 
 
+def q_contamination_report(spark, sf_dir):
+    """Per-benchmark-item leak audit: which eval items are compromised
+    and how badly (doc count + leaked-shingle count per item)."""
+    from oscar_tools_spark.operators.decontaminate import contamination_report
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    corp = docs.filter(F.col("doc_id") % 50 != 0)
+    return (
+        contamination_report(corp, bench, "bench_id", "doc_id", shingle_k=8)
+        .orderBy("bench_id")
+    )
+
+
 def q_decontaminate(spark, sf_dir):
     """Benchmark decontamination: docs with doc_id % 50 == 0 play the
     eval suite; corpus docs sharing >= 1 distinct word 8-gram with any
@@ -959,6 +975,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_cosine_ivf": q_topk_cosine_ivf,
         "repetition_stats": q_repetition_stats,
         "decontaminate": q_decontaminate,
+        "contamination_report": q_contamination_report,
         "sample_per_group": q_sample_per_group,
         "dedup_substring": q_dedup_substring,
         "dedup_substring_excise": q_dedup_substring_excise,
@@ -1034,6 +1051,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_stats": O.q_corpus_stats(),
         "repetition_stats": O.q_repetition_stats(),
         "decontaminate": O.q_decontaminate(),
+        "contamination_report": O.q_contamination_report(),
         "sample_per_group": O.q_sample_budget_per_group(SAMPLE_BUDGET),
         "dedup_substring": O.q_dedup_substring(),
         "dedup_substring_excise": O.q_dedup_substring_excise(),

@@ -59,6 +59,43 @@ def contamination_counts(
     )
 
 
+def contamination_report(
+    df: DataFrame,
+    benchmark: DataFrame,
+    bench_key_col: str,
+    corpus_key_col: str,
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    shingle_k: int = 8,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """The audit TRANSPOSE of :func:`decontaminate`: per benchmark
+    item, ``(bench_key, n_docs, n_shingles_leaked)`` — how many corpus
+    documents share at least one of its word k-grams, and how many of
+    its distinct shingles leaked. ``decontaminate`` answers "which
+    training docs must go"; this answers "which eval items are
+    compromised and how badly" — the report an eval owner needs before
+    trusting a benchmark number. Items with zero leakage are absent.
+
+    Same scale shape as the forward direction: benchmark (keyed)
+    shingles broadcast, corpus streams through one explode + hash
+    join; the aggregation output is at most |benchmark| rows."""
+    bench = benchmark.select(
+        F.col(bench_key_col),
+        F.explode(word_shingles_expr(F.col(bench_text_col), shingle_k)).alias("_s"),
+    )
+    if broadcast_benchmark:
+        bench = F.broadcast(bench)
+    doc_sh = _ensure_parallelism(df).select(
+        F.col(corpus_key_col),
+        F.explode(word_shingles_expr(F.col(text_col), shingle_k)).alias("_s"),
+    )
+    return doc_sh.join(bench, "_s").groupBy(bench_key_col).agg(
+        F.count_distinct(F.col(corpus_key_col)).alias("n_docs"),
+        F.count_distinct(F.col("_s")).alias("n_shingles_leaked"),
+    )
+
+
 def decontaminate(
     df: DataFrame,
     benchmark: DataFrame,

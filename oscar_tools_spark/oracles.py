@@ -811,6 +811,26 @@ order by doc_id
 """
 
 
+def q_contamination_report(shingle_k: int = 8, modulus: int = 50) -> str:
+    """Per-benchmark-item leak audit twin of
+    decontaminate.contamination_report."""
+    return f"""
+with bench_w as (select doc_id, {WORDS_SQL} as __w
+                 from documents where doc_id % {modulus} = 0),
+bench_sh as (select doc_id as bench_id, unnest({shingles_sql(shingle_k)}) as s
+             from bench_w),
+corp_w as (select doc_id, {WORDS_SQL} as __w
+           from documents where doc_id % {modulus} <> 0),
+corp_sh as (select doc_id, unnest({shingles_sql(shingle_k)}) as s from corp_w),
+hits as (select b.bench_id, c.doc_id, c.s
+         from corp_sh c join bench_sh b on c.s = b.s)
+select bench_id,
+       cast(count(distinct doc_id) as bigint) as n_docs,
+       cast(count(distinct s) as bigint) as n_shingles_leaked
+from hits group by bench_id order by bench_id
+"""
+
+
 def q_sample_budget_per_group(budget: int, seed: int = 42) -> str:
     """Stratified (per-lang) budget sampling twin of
     sampling.sample_by_budget_per_group: independent md5-shuffle prefix

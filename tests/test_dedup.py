@@ -471,3 +471,35 @@ def test_dedup_within_docs_lines_and_words(spark):
     # shuffle-free plan
     plan = dedup_within_docs(df, "doc_id")._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_contamination_report_transpose(spark):
+    """Per-item audit: counts distinct leaking docs and distinct leaked
+    shingles per benchmark row; clean items are absent."""
+    from oscar_tools_spark.operators.decontaminate import contamination_report
+
+    bench = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely unique benchmark question nothing shares this"),
+        ],
+        "bench_id long, text string",
+    )
+    corp = spark.createDataFrame(
+        [
+            (10, "intro text then the quick brown fox jumps over the lazy dog end"),
+            (11, "the quick brown fox jumps over the lazy dog verbatim copy"),
+            (12, "unrelated corpus document about completely different things"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.bench_id: (r.n_docs, r.n_shingles_leaked)
+        for r in contamination_report(
+            corp, bench, "bench_id", "doc_id", shingle_k=3
+        ).collect()
+    }
+    assert set(got) == {1}  # item 2 is clean -> absent
+    n_docs, n_leaked = got[1]
+    assert n_docs == 2
+    assert n_leaked >= 5  # the shared 9-word span yields many 3-grams
