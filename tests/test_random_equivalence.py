@@ -188,3 +188,65 @@ def test_gopher_stats_match_python_reference(spark):
     }
     for i, t in enumerate(texts):
         assert got[i] == ref_gopher_stats(t, p), (i, repr(t))
+
+
+# ------------------------------------------------- annotations + scrub
+
+FRAGMENTS = [
+    "subject:",           # header tag (line 0)
+    "copyright 2021",     # footer tag (last line)
+    "powered by xé",      # footer \w+ — Java ASCII \w vs Python unicode
+    "a.b@c.de",           # email scrub
+    "aé@b.com",           # email local part stops at é in both engines
+    "192.168.0.1",        # ip scrub
+    "123-45-6789",        # ssn scrub
+    "+12 345-678 901",    # phone scrub
+    "the fox and dog",    # stopwords / langid material
+]
+
+
+def planted_texts(n: int, seed: int) -> list[str]:
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    base = random_texts(n, seed=seed + 1)
+    out = []
+    for t in base:
+        k = int(rng.integers(0, 3))
+        for _ in range(k):
+            frag = FRAGMENTS[int(rng.integers(0, len(FRAGMENTS)))]
+            pos = int(rng.integers(0, len(t) + 1))
+            t = t[:pos] + frag + t[pos:]
+        out.append(t)
+    return out
+
+
+def test_annotations_and_scrub_match_reference_model(spark):
+    """The north-rule core (annotations_expr + scrubbed_expr +
+    rule_hits_expr) against the pure-Python reference model on 300
+    adversarial texts with planted header/footer/PII fragments —
+    the cross-engine fuzz for the \\b/\\w/\\d unicode-vs-ASCII edges."""
+    from pyspark.sql import functions as F
+
+    from oscar_tools_spark.functions.annotations import annotations_expr
+    from oscar_tools_spark.operators.scrub import rule_hits_expr, scrubbed_expr
+    from tests.reference_model import ref_annotations, ref_scrub
+
+    texts = planted_texts(300, seed=23)
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {
+        r.doc_id: (r.ann, r.scrubbed, r.hits)
+        for r in df.select(
+            "doc_id",
+            annotations_expr(F.col("text")).alias("ann"),
+            scrubbed_expr(F.col("text")).alias("scrubbed"),
+            rule_hits_expr(F.col("text")).alias("hits"),
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        ann, scrubbed, hits = got[i]
+        want_ann = ref_annotations(t)
+        want_scrubbed, want_hits = ref_scrub(t)
+        assert (ann or None) == want_ann, (i, repr(t), ann, want_ann)
+        assert scrubbed == want_scrubbed, (i, repr(t))
+        assert list(hits) == want_hits, (i, repr(t), hits, want_hits)
