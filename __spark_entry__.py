@@ -636,6 +636,16 @@ def q_repetition_stats(spark, sf_dir):
     return fr.join(lr, "doc_id").orderBy("doc_id")
 
 
+def q_curation_funnel(spark, sf_dir):
+    """Per-lang retention of the standard exclude filter — the funnel
+    report that makes silent per-group wipeouts visible."""
+    from oscar_tools_spark.operators.stats import curation_funnel
+
+    raw = _docs(spark, sf_dir)
+    curated = filter_tags(_annotated(spark, sf_dir), exclude={"adult", "noisy"})
+    return curation_funnel(raw, curated, ["lang"]).orderBy("lang")
+
+
 def q_contamination_report(spark, sf_dir):
     """Per-benchmark-item leak audit: which eval items are compromised
     and how badly (doc count + leaked-shingle count per item)."""
@@ -976,6 +986,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "decontaminate": q_decontaminate,
         "contamination_report": q_contamination_report,
+        "curation_funnel": q_curation_funnel,
         "sample_per_group": q_sample_per_group,
         "dedup_substring": q_dedup_substring,
         "dedup_substring_excise": q_dedup_substring_excise,
@@ -1052,6 +1063,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_stats": O.q_repetition_stats(),
         "decontaminate": O.q_decontaminate(),
         "contamination_report": O.q_contamination_report(),
+        "curation_funnel": O.q_curation_funnel(),
         "sample_per_group": O.q_sample_budget_per_group(SAMPLE_BUDGET),
         "dedup_substring": O.q_dedup_substring(),
         "dedup_substring_excise": O.q_dedup_substring_excise(),

@@ -156,3 +156,30 @@ def quantile_buckets(
         F.filter(F.col("_thr"), lambda t: F.col(value_col) > t)
     )
     return out.withColumn(bucket_col, bucket).drop("_thr")
+
+
+def curation_funnel(
+    raw: DataFrame,
+    curated: DataFrame,
+    group_cols: list[str],
+    retention_col: str = "retention",
+) -> DataFrame:
+    """Per-group retention between a raw snapshot and its curated
+    output: (group_cols..., rows_in, rows_out, retention) — the funnel
+    a pipeline owner reads to spot a filter eating a language or a
+    source going bad upstream. Groups absent from ``curated`` report
+    rows_out = 0 (fully dropped), so silent group wipeouts are visible.
+
+    Two map-side-combinable counts + one small join on the group key;
+    output is |groups| rows regardless of corpus size.
+    """
+    a = raw.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("rows_in"))
+    b = curated.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("rows_out"))
+    return (
+        a.join(b, group_cols, "left")
+        .withColumn("rows_out", F.coalesce(F.col("rows_out"), F.lit(0)))
+        .withColumn(
+            retention_col,
+            F.round(F.col("rows_out").cast("double") / F.col("rows_in"), 4),
+        )
+    )

@@ -811,6 +811,23 @@ order by doc_id
 """
 
 
+def q_curation_funnel(exclude=("adult", "noisy")) -> str:
+    """Per-lang retention twin of stats.curation_funnel over the
+    standard exclude filter."""
+    return f"""
+{annotated_cte()},
+a as (select lang, cast(count(*) as bigint) as rows_in
+      from documents group by lang),
+b as (select lang, cast(count(*) as bigint) as rows_out
+      from __ann where {keep_sql(exclude=exclude)} group by lang)
+select a.lang, a.rows_in,
+       coalesce(b.rows_out, 0) as rows_out,
+       round(coalesce(b.rows_out, 0) / (a.rows_in * 1.0), 4) as retention
+from a left join b on a.lang = b.lang
+order by a.lang
+"""
+
+
 def q_contamination_report(shingle_k: int = 8, modulus: int = 50) -> str:
     """Per-benchmark-item leak audit twin of
     decontaminate.contamination_report."""

@@ -170,3 +170,21 @@ def test_dedup_components_prefer_col_keeps_best(spark):
         r.doc_id for r in dedup_components(df, pairs, "doc_id").collect()
     )
     assert kept_min == [1, 10, 99]
+
+
+def test_curation_funnel_reports_wipeouts(spark):
+    """Retention per group; a group fully absent from the curated side
+    reports rows_out=0 rather than disappearing."""
+    from oscar_tools_spark.operators.stats import curation_funnel
+
+    raw = spark.createDataFrame(
+        [("en", 1), ("en", 2), ("en", 3), ("fr", 4), ("de", 5)],
+        "lang string, doc_id long",
+    )
+    cur = spark.createDataFrame(
+        [("en", 1), ("en", 2), ("fr", 4)], "lang string, doc_id long"
+    )
+    got = {r.lang: r for r in curation_funnel(raw, cur, ["lang"]).collect()}
+    assert (got["en"].rows_in, got["en"].rows_out, got["en"].retention) == (3, 2, 0.6667)
+    assert (got["fr"].rows_in, got["fr"].rows_out, got["fr"].retention) == (1, 1, 1.0)
+    assert (got["de"].rows_in, got["de"].rows_out, got["de"].retention) == (1, 0, 0.0)
