@@ -138,6 +138,31 @@ def q_dedup_docs_exact(spark, sf_dir):
     )
 
 
+def q_remove_boilerplate(spark, sf_dir):
+    """Corpus-frequency boilerplate line removal over synthetic
+    multi-line docs: a universal footer line must vanish from every
+    doc, mostly-rare lines must survive."""
+    from oscar_tools_spark.operators.dedup import remove_boilerplate_lines
+
+    docs = _docs(spark, sf_dir)
+    synth = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("\nshared footer"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(F.lit("\nrare "), (F.col("doc_id") % 97).cast("string")),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return (
+        remove_boilerplate_lines(synth, ["doc_id"], max_doc_count=2)
+        .select("doc_id", "text", "n_lines_removed")
+        .orderBy("doc_id")
+    )
+
+
 def q_dedup_incremental(spark, sf_dir):
     """Exact incremental dedup: docs with doc_id % 5 == 0 play the
     existing corpus — participating ONLY through its digest table, as
@@ -961,6 +986,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scrub": q_scrub,
         "extract_text": q_extract_text,
         "dedup_lines": q_dedup_lines,
+        "remove_boilerplate": q_remove_boilerplate,
         "dedup_docs_exact": q_dedup_docs_exact,
         "dedup_incremental": q_dedup_incremental,
         "dedup_incremental_minhash": q_dedup_incremental_minhash,
@@ -1028,6 +1054,7 @@ def oracle_sql() -> dict[str, str]:
         "scrub": O.q_scrub(),
         "extract_text": O.q_extract_text(),
         "dedup_lines": O.q_dedup_lines(),
+        "remove_boilerplate": O.q_remove_boilerplate(),
         "dedup_docs_exact": O.q_dedup_docs_exact(),
         "dedup_incremental": O.q_dedup_incremental(),
         "dedup_incremental_minhash": O.q_dedup_incremental_minhash(),

@@ -224,6 +224,63 @@ def dedup_minhash_lsh(
     return df.join(dup_keys, key_col, "left_anti")
 
 
+def remove_boilerplate_lines(
+    df: DataFrame,
+    key_cols: list[str],
+    text_col: str = "text",
+    max_doc_count: int = 2,
+    min_line_chars: int = 1,
+) -> DataFrame:
+    """Corpus-frequency boilerplate removal (the RefinedWeb/Dolma-style
+    pass): a LINE that appears verbatim in more than ``max_doc_count``
+    distinct documents is boilerplate (navigation menus, cookie
+    banners, footers) and is stripped from every document; documents
+    are reassembled from their surviving lines in original order, with
+    ``n_lines_removed`` lineage. Documents whose every line is
+    boilerplate are dropped. Lines shorter than ``min_line_chars``
+    (default: empty lines) are never treated as boilerplate, so
+    paragraph structure survives.
+
+    Differs from :func:`dedup_lines` (the reference's v1 semantic):
+    that keeps the FIRST occurrence of every duplicated line; this
+    removes high-document-frequency lines from ALL documents — the
+    right semantic when the repeated line is site chrome, not content.
+
+    Scale shape: one explode over (keys, line), a distinct +
+    map-side-combinable DF count per line, an anti-join of the line
+    stream against the (small) boilerplate line set, and one
+    conversation-style regroup. No all-pairs, no window."""
+    lines = df.select(
+        *key_cols,
+        F.size(F.split(F.col(text_col), "\n")).alias("_n0"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("_idx", "_line"),
+    )
+    dfreq = (
+        lines.select(*key_cols, "_line")
+        .distinct()
+        .groupBy("_line")
+        .agg(F.count(F.lit(1)).alias("_d"))
+    )
+    boiler = dfreq.filter(
+        (F.col("_d") > max_doc_count)
+        & (F.length("_line") >= F.lit(min_line_chars))
+    ).select("_line")
+    kept = lines.join(boiler, "_line", "left_anti")
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct(F.col("_idx"), F.col("_line")))),
+        lambda x: x["_line"],
+    )
+    return (
+        kept.groupBy(*key_cols)
+        .agg(
+            F.array_join(ordered, "\n").alias(text_col),
+            (F.max("_n0") - F.count(F.lit(1))).cast("bigint").alias(
+                "n_lines_removed"
+            ),
+        )
+    )
+
+
 # ------------------------------------------------------- incremental dedup
 
 

@@ -143,6 +143,34 @@ select doc_id from w order by doc_id
 """
 
 
+def q_remove_boilerplate(max_doc_count: int = 2) -> str:
+    """Twin of dedup.remove_boilerplate_lines over synthetic multi-line
+    docs (testdata docs are single-line): every doc gains a universal
+    footer line (boilerplate) and every 7th a mostly-rare line that
+    must survive."""
+    return f"""
+with synth as (select doc_id,
+  text || chr(10) || 'shared footer' ||
+  case when doc_id % 7 = 0
+       then chr(10) || 'rare ' || cast(doc_id % 97 as varchar) else '' end
+  as text from documents),
+t as (select doc_id, string_split(text, chr(10)) as ls from synth),
+l as (select doc_id,
+             unnest(list_transform(ls, (x, i) -> struct_pack(idx := i, line := x)),
+                    recursive := true)
+      from t),
+dfq as (select line, count(distinct doc_id) as d from l group by line),
+bp as (select line from dfq where d > {max_doc_count} and len(line) >= 1),
+kept as (select doc_id, idx, line from l
+         where line not in (select line from bp)),
+orig as (select doc_id, len(ls) as n0 from t)
+select k.doc_id, string_agg(k.line, chr(10) order by k.idx) as text,
+       cast(max(o.n0) - count(*) as bigint) as n_lines_removed
+from kept k join orig o on o.doc_id = k.doc_id
+group by k.doc_id order by k.doc_id
+"""
+
+
 def q_dedup_incremental(seen_mod: int = 5) -> str:
     """Twin of dedup.dedup_incremental over a deterministic history
     split: docs with doc_id % seen_mod == 0 are the existing corpus

@@ -503,3 +503,34 @@ def test_contamination_report_transpose(spark):
     n_docs, n_leaked = got[1]
     assert n_docs == 2
     assert n_leaked >= 5  # the shared 9-word span yields many 3-grams
+
+
+def test_remove_boilerplate_lines(spark):
+    """High-DF lines vanish from every doc; unique lines survive in
+    order; empty lines are exempt (structure preserved); all-boiler
+    docs are dropped; n_lines_removed counts correctly."""
+    from oscar_tools_spark.operators.dedup import remove_boilerplate_lines
+
+    footer = "cookie banner accept all"
+    rows = [
+        (1, f"unique alpha\n{footer}\n\nunique beta"),
+        (2, f"{footer}\nunique gamma"),
+        (3, f"unique delta\n{footer}"),
+        (4, footer),  # entirely boilerplate -> dropped
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.text, r.n_lines_removed)
+        for r in remove_boilerplate_lines(df, ["doc_id"], max_doc_count=2).collect()
+    }
+    assert got[1] == ("unique alpha\n\nunique beta", 1)  # empty line kept
+    assert got[2] == ("unique gamma", 1)
+    assert got[3] == ("unique delta", 1)
+    assert 4 not in got
+    # threshold respected: footer in <= max_doc_count docs is NOT boiler
+    few = spark.createDataFrame(rows[:2], "doc_id long, text string")
+    got2 = {
+        r.doc_id: r.text
+        for r in remove_boilerplate_lines(few, ["doc_id"], max_doc_count=2).collect()
+    }
+    assert footer in got2[1] and footer in got2[2]
