@@ -200,6 +200,12 @@ def main() -> None:
         "dedup_incremental_minhash",
         lambda: run_noop(E.q_dedup_incremental_minhash(spark, sf_dir)),
     )
+    # round-4: corpus-frequency boilerplate strip — explode, DF count,
+    # anti-join, in-order regroup
+    timed(
+        "remove_boilerplate",
+        lambda: run_noop(E.q_remove_boilerplate(spark, sf_dir)),
+    )
     # per-line langid over the transcripts table — the per-line hot path
     # (staged zip_with shape; the inline-HOF form measured 4x slower)
     timed(
