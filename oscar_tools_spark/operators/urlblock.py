@@ -69,12 +69,16 @@ CANON_RULES: tuple[tuple[str, str], ...] = (
 
 
 def canonical_url_expr(url: Column) -> Column:
-    """Canonical form of a URL for URL-keyed dedup / grouping:
-    lowercased, fragment / default ports (:80, :443) / ``www.`` host
-    prefix / trailing slash / bare ``?`` dropped — two crawls of the
-    same page under cosmetically different URLs dedup to one key.
+    """Canonical form of a URL for URL-keyed dedup / grouping: scheme +
+    authority lowercased (PATH CASE IS PRESERVED — /A and /a are
+    different pages), fragment / default ports (:80, :443) / ``www.``
+    host prefix / trailing slash / bare ``?`` dropped — two crawls of
+    the same page under cosmetically different URLs dedup to one key.
     Pure chained regexp_replace: codegen'd, no UDF."""
-    u = F.lower(F.trim(url))
+    t = F.trim(url)
+    # lowercase ONLY scheme://authority; keep the path/query as-is
+    pre = F.regexp_extract(t, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1)
+    u = F.concat(F.lower(pre), F.substring(t, F.length(pre) + 1, F.length(t)))
     for pat, repl in CANON_RULES:
         u = F.regexp_replace(u, pat, repl)
     return u

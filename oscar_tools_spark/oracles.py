@@ -294,7 +294,12 @@ def q_canonical_url() -> str:
     $N respelled as RE2's \\N."""
     from .operators.urlblock import CANON_RULES
 
-    expr = "lower(trim(url))"
+    # lowercase ONLY scheme://authority (path case preserved), then
+    # the shared rule chain
+    pre = (
+        "regexp_extract(trim(url), '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1)"
+    )
+    expr = f"lower({pre}) || substr(trim(url), len({pre}) + 1)"
     for pat, repl in CANON_RULES:
         sql_pat = pat.replace("'", "''")
         # DuckDB single-quoted literals do no backslash processing, so

@@ -391,6 +391,10 @@ def test_canonical_url_expr(spark):
         # root URL: the :// guard keeps the scheme's slashes
         ("https://example.com", "https://example.com"),
         ("https://www.example.com/", "https://example.com"),
+        # PATH case is preserved — /A and /a are different pages;
+        # only scheme + authority lowercase
+        ("HTTPS://WWW.Example.COM/CaseSensitive/Path?Q=Mixed",
+         "https://example.com/CaseSensitive/Path?Q=Mixed"),
     ]
     df = spark.createDataFrame([(i, u) for i, (u, _) in enumerate(cases)],
                                "i long, url string")
