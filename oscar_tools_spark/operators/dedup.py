@@ -335,11 +335,17 @@ def conversation_digests(
     stable ``order_cols`` order, newline-joined — the per-conversation
     fingerprint for :func:`dedup_conversations_incremental`. One
     groupBy; the sort/join lambda runs over the small per-conversation
-    array AFTER the shuffle, not per input row."""
+    array AFTER the shuffle, not per input row.
+
+    Null turn text digests as '' (array_join would silently SKIP a
+    null element, making ["a", null] collide with ["a"])."""
     ordered = F.transform(
         F.array_sort(
             F.collect_list(
-                F.struct(*[F.col(c) for c in order_cols], F.col(text_col).alias("_t"))
+                F.struct(
+                    *[F.col(c) for c in order_cols],
+                    F.coalesce(F.col(text_col), F.lit("")).alias("_t"),
+                )
             )
         ),
         lambda x: x["_t"],
