@@ -125,6 +125,13 @@ def main() -> None:
     if args.emit_digests:
         from oscar_tools_spark.operators.dedup import conversation_digests
 
+        if args.seen_digests or args.structural_filter:
+            # the digest write is a SEPARATE action; without pinning,
+            # it and the main output write would each re-execute the
+            # anti-join/structural pre-stages (two full input scans)
+            from oscar_tools_spark.plans.materialize import materialize
+
+            df = materialize(df)
         io.write(conversation_digests(df), args.emit_digests)
 
     qmodel = None
@@ -158,8 +165,11 @@ def main() -> None:
         # per-partition metrics next to the lineage columns
         metrics = {
             "kept_turns": F.count(F.lit(1)),
-            "scrubbed_turns": F.sum(
-                (F.size(F.col("rule_hits")) > 0).cast("bigint")
+            # coalesce: sum over an empty pass is null, which would
+            # serialize as a JSON null in the manifest
+            "scrubbed_turns": F.coalesce(
+                F.sum((F.size(F.col("rule_hits")) > 0).cast("bigint")),
+                F.lit(0),
             ),
         }
         manifest = run_resumable(

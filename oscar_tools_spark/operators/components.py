@@ -204,10 +204,15 @@ def dedup_components(
         "node",
     )
     # max score wins; min key breaks ties — encode as one min(struct)
-    # over (-score, key), so the agg stays map-side combinable
+    # over (-score, key), so the agg stays map-side combinable.
+    # NULL scores coalesce to +inf (sort LAST): min(struct) sorts null
+    # FIRST in Spark, which would silently crown a null-scored row.
+    neg = F.coalesce(
+        (-F.col("_p")).cast("double"), F.lit(float("inf"))
+    )
     winner = (
         scored.groupBy("component")
-        .agg(F.min(F.struct(-F.col("_p"), F.col("node"))).alias("_w"))
+        .agg(F.min(F.struct(neg.alias("_neg"), F.col("node"))).alias("_w"))
         .select(F.col("_w.node").alias(key_col))
     )
     clustered = comp.select(F.col("node").alias(key_col))

@@ -246,6 +246,11 @@ def remove_boilerplate_lines(
     removes high-document-frequency lines from ALL documents — the
     right semantic when the repeated line is site chrome, not content.
 
+    PROJECTION CONTRACT: the regroup returns ONLY (key_cols...,
+    text_col, n_lines_removed) — other input columns do not survive
+    the aggregation; join the result back on ``key_cols`` if you need
+    them (cheap: both sides are keyed identically).
+
     Scale shape: one explode over (keys, line), a distinct +
     map-side-combinable DF count per line, an anti-join of the line
     stream against the (small) boilerplate line set, and one
@@ -332,14 +337,19 @@ def conversation_digests(
     text_col: str = "text",
 ) -> DataFrame:
     """(conv_col, digest): md5 of the conversation's turn texts in
-    stable ``order_cols`` order, newline-joined — the per-conversation
-    fingerprint for :func:`dedup_conversations_incremental`. One
-    groupBy; the sort/join lambda runs over the small per-conversation
-    array AFTER the shuffle, not per input row.
+    stable ``order_cols`` order — the per-conversation fingerprint for
+    :func:`dedup_conversations_incremental`. One groupBy; the
+    sort/hash lambda runs over the small per-conversation array AFTER
+    the shuffle, not per input row.
 
-    Null turn text digests as '' (array_join would silently SKIP a
-    null element, making ["a", null] collide with ["a"])."""
-    ordered = F.transform(
+    The digest is md5 over the CONCATENATION OF PER-TURN md5s
+    (fixed-width blocks), not over joined raw text: a separator join
+    would make the two-turn conversation ["hello", "world"] collide
+    with the one-turn ["hello\\nworld"] — multi-line turn text is the
+    norm in agent transcripts. Null turn text digests as md5('')
+    (kept positional; a skipped element would make ["a", null]
+    collide with ["a"])."""
+    per_turn = F.transform(
         F.array_sort(
             F.collect_list(
                 F.struct(
@@ -348,10 +358,10 @@ def conversation_digests(
                 )
             )
         ),
-        lambda x: x["_t"],
+        lambda x: F.md5(x["_t"]),
     )
     return df.groupBy(conv_col).agg(
-        F.md5(F.array_join(ordered, "\n")).alias("digest")
+        F.md5(F.array_join(per_turn, "")).alias("digest")
     )
 
 

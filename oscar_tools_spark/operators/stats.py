@@ -152,8 +152,12 @@ def quantile_buckets(
         F.percentile_approx(value_col, fracs, accuracy).alias("_thr")
     )
     out = df.join(F.broadcast(thr), group_col)
+    # a group whose value_col is entirely null has null thresholds;
+    # coalesce to the empty array so every row lands in bucket 1
+    # (in-range) instead of a null bucket
+    safe_thr = F.coalesce(F.col("_thr"), F.array().cast("array<double>"))
     bucket = F.lit(1) + F.size(
-        F.filter(F.col("_thr"), lambda t: F.col(value_col) > t)
+        F.filter(safe_thr, lambda t: F.col(value_col) > t)
     )
     return out.withColumn(bucket_col, bucket).drop("_thr")
 

@@ -83,13 +83,17 @@ def filter_conversations(
     violations (None = unlimited), and at least one turn of every role
     in ``require_roles``. Returns the surviving TURN rows (input
     schema, conversations intact) via a key semi-join."""
+    # the structural predicate reads only n_turns / n_role_repeats /
+    # per-role counts, so don't touch the optional ts/text/tool
+    # columns — the input may legitimately lack them
+    kwargs = {"ts_col": None, "text_col": None, "tool_col": None, **profile_kwargs}
     prof = conversation_profile(
         df,
         conv_col,
         order_cols,
         role_col,
         roles=tuple(require_roles),
-        **profile_kwargs,
+        **kwargs,
     )
     cond = F.col("n_turns") >= F.lit(min_turns)
     if max_role_repeats is not None:

@@ -75,7 +75,13 @@ def canonical_url_expr(url: Column) -> Column:
     host prefix / trailing slash / bare ``?`` dropped — two crawls of
     the same page under cosmetically different URLs dedup to one key.
     Pure chained regexp_replace: codegen'd, no UDF."""
-    t = F.trim(url)
+    # strip ALL leading/trailing ASCII whitespace first (explicit char
+    # class — identical in Java and RE2; F.trim strips spaces only,
+    # and a trailing \n would make Java's '$' anchors match before the
+    # terminator while RE2's match only at end of text)
+    t = F.regexp_replace(
+        F.regexp_replace(url, r"^[ \t\n\r]+", ""), r"[ \t\n\r]+$", ""
+    )
     # lowercase ONLY scheme://authority; keep the path/query as-is
     pre = F.regexp_extract(t, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1)
     u = F.concat(F.lower(pre), F.substring(t, F.length(pre) + 1, F.length(t)))

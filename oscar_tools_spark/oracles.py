@@ -196,7 +196,10 @@ with t as (select cast(floor(doc_id / {turns_per_conv}) as bigint) as conv_id,
                   doc_id % {turns_per_conv} as turn_idx, doc_id, text
            from documents),
 digs as (select conv_id,
-                md5(string_agg(text, chr(10) order by turn_idx)) as digest
+                -- md5 over concatenated PER-TURN md5s (fixed-width
+                -- blocks): injective w.r.t. turn structure, matching
+                -- dedup.conversation_digests
+                md5(string_agg(md5(text), '' order by turn_idx)) as digest
          from t group by conv_id),
 seen as (select distinct digest from digs where conv_id % {seen_mod} = 0),
 newd as (select * from digs where conv_id % {seen_mod} <> 0),
@@ -294,12 +297,15 @@ def q_canonical_url() -> str:
     $N respelled as RE2's \\N."""
     from .operators.urlblock import CANON_RULES
 
-    # lowercase ONLY scheme://authority (path case preserved), then
-    # the shared rule chain
-    pre = (
-        "regexp_extract(trim(url), '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1)"
+    # strip ALL edge whitespace (same explicit class as the Spark
+    # expr), lowercase ONLY scheme://authority (path case preserved),
+    # then the shared rule chain
+    t = (
+        "regexp_replace(regexp_replace(url, '^[ \\t\\n\\r]+', ''),"
+        " '[ \\t\\n\\r]+$', '')"
     )
-    expr = f"lower({pre}) || substr(trim(url), len({pre}) + 1)"
+    pre = f"regexp_extract({t}, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1)"
+    expr = f"lower({pre}) || substr({t}, len({pre}) + 1)"
     for pat, repl in CANON_RULES:
         sql_pat = pat.replace("'", "''")
         # DuckDB single-quoted literals do no backslash processing, so

@@ -138,7 +138,8 @@ def run_resumable(
 
     if per_bucket:
         return _run_per_bucket(
-            df, transform, out_path, n_buckets, conv_col, manifest_path, done, todo
+            df, transform, out_path, n_buckets, conv_col, manifest_path,
+            done, todo, observe_metrics,
         )
 
     chunk = len(todo) if buckets_per_pass is None else max(1, buckets_per_pass)
@@ -156,7 +157,8 @@ def run_resumable(
             # fall back to bucketing the INPUT per bucket (scan-heavy,
             # but correct for projection-style transforms)
             return _run_per_bucket(
-                df, transform, out_path, n_buckets, conv_col, manifest_path, done, todo
+                df, transform, out_path, n_buckets, conv_col, manifest_path,
+                done, todo, observe_metrics,
             )
         if BUCKET_COL in out.columns:
             raise ValueError(
@@ -206,24 +208,39 @@ def _run_per_bucket(
     manifest_path: str,
     done: dict[int, dict],
     todo: list[int],
+    observe_metrics: dict[str, Column] | None = None,
 ) -> dict[int, dict]:
-    """Retry path: one job (and one FULL input scan) per bucket."""
+    """Retry path: one job (and one FULL input scan) per bucket.
+    Observed metrics are per-BUCKET here (finer than the pass-level
+    records of the main path — same keys, so consumers see a uniform
+    manifest either way)."""
     bucketed = df.withColumn("_bucket", bucket_expr(conv_col, n_buckets))
     for b in todo:
         t0 = time.time()
         part = bucketed.filter(F.col("_bucket") == b).drop("_bucket")
+        obs_in = Observation(f"resumable_in_b{b}_{t0}")
+        part = part.observe(obs_in, F.count(F.lit(1)).alias("rows_in"))
         out = transform(part)
+        obs_out = None
+        if observe_metrics:
+            obs_out = Observation(f"resumable_out_b{b}_{t0}")
+            out = out.observe(
+                obs_out, *[c.alias(name) for name, c in observe_metrics.items()]
+            )
         target = os.path.join(out_path, f"{BUCKET_COL}={b}")
         out.write.mode("overwrite").parquet(target)
         n_rows = out.sparkSession.read.parquet(target).count()
         rec = {
             "bucket": b,
             "rows": n_rows,
+            "rows_in_pass": int(obs_in.get["rows_in"]),
             "seconds": round(time.time() - t0, 3),
             "pass_buckets": 1,
             "model_versions": MODEL_VERSIONS,
             "path": target,
         }
+        if obs_out is not None:
+            rec["metrics"] = dict(obs_out.get)
         _append_manifest(manifest_path, rec)
         done[b] = rec
     return done

@@ -188,3 +188,32 @@ def test_curation_funnel_reports_wipeouts(spark):
     assert (got["en"].rows_in, got["en"].rows_out, got["en"].retention) == (3, 2, 0.6667)
     assert (got["fr"].rows_in, got["fr"].rows_out, got["fr"].retention) == (1, 1, 1.0)
     assert (got["de"].rows_in, got["de"].rows_out, got["de"].retention) == (1, 0, 0.0)
+
+
+def test_dedup_components_prefer_col_null_scores_lose(spark):
+    """A null-scored row must never be crowned representative (Spark's
+    min(struct) sorts null first; coalesce-to-inf pins the contract)."""
+    df = spark.createDataFrame(
+        [(1, None), (2, 0.9), (3, 0.1)], "doc_id long, q double"
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "key_a long, key_b long")
+    kept = sorted(
+        r.doc_id
+        for r in dedup_components(df, pairs, "doc_id", prefer_col="q").collect()
+    )
+    assert kept == [2]
+
+
+def test_quantile_buckets_all_null_group_in_range(spark):
+    """Approx mode: a group whose values are entirely null still gets
+    in-range buckets (1), not nulls."""
+    from oscar_tools_spark.operators.stats import quantile_buckets
+
+    df = spark.createDataFrame(
+        [("a", 1, 1.0), ("a", 2, 2.0), ("a", 3, 3.0),
+         ("b", 4, None), ("b", 5, None)],
+        "lang string, doc_id long, v double",
+    )
+    got = {r.doc_id: r.bucket for r in quantile_buckets(df, "lang", "v").collect()}
+    assert got[4] == 1 and got[5] == 1
+    assert all(v is not None for v in got.values())

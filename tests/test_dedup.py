@@ -534,3 +534,17 @@ def test_remove_boilerplate_lines(spark):
         for r in remove_boilerplate_lines(few, ["doc_id"], max_doc_count=2).collect()
     }
     assert footer in got2[1] and footer in got2[2]
+
+
+def test_conversation_digest_turn_structure_injective(spark):
+    """["hello", "world"] must NOT collide with ["hello\\nworld"] —
+    the digest hashes fixed-width per-turn md5 blocks, not a
+    separator join."""
+    from oscar_tools_spark.operators.dedup import conversation_digests
+
+    df = spark.createDataFrame(
+        [("two", 0, "hello"), ("two", 1, "world"), ("one", 0, "hello\nworld")],
+        "conv_id string, turn_idx int, text string",
+    )
+    d = {r.conv_id: r.digest for r in conversation_digests(df).collect()}
+    assert d["one"] != d["two"]

@@ -402,3 +402,16 @@ def test_canonical_url_expr(spark):
            df.select("i", canonical_url_expr(F.col("url")).alias("c")).collect()}
     for i, (u, want) in enumerate(cases):
         assert got[i] == want, (u, got[i], want)
+
+
+def test_filter_conversations_minimal_schema(spark):
+    """The structural filter must work on a minimal (conv, turn, role)
+    table — its predicate never needs text/ts/tool."""
+    from oscar_tools_spark.operators.transcripts import filter_conversations
+
+    df = spark.createDataFrame(
+        [("a", 0, "user"), ("a", 1, "assistant"), ("b", 0, "user")],
+        "conv_id string, turn_idx int, role string",
+    )
+    kept = {r.conv_id for r in filter_conversations(df, min_turns=2).collect()}
+    assert kept == {"a"}
