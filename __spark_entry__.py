@@ -586,8 +586,9 @@ def q_vocab_stats(spark, sf_dir):
 
 def q_tfidf_top_terms(spark, sf_dir):
     """Per-doc salient terms by tf-idf (top-5, deterministic
-    tie-break); corpus doc count joined as a broadcast one-row
-    aggregate, not an eager driver count."""
+    tie-break); the corpus doc count is an eager driver count embedded
+    as a literal — the one-row-join alternative constant-folds into a
+    BroadcastNestedLoopJoin (see vocab.py's documented rationale)."""
     from oscar_tools_spark.operators.vocab import tfidf_top_terms
 
     return tfidf_top_terms(_docs(spark, sf_dir), "doc_id", top_per_doc=5)

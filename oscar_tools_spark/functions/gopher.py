@@ -8,7 +8,8 @@ pass; failures are reported in a ``reasons`` array for lineage):
 
 * word count within [min_words, max_words]
 * mean word length within [min_mean_word_len, max_mean_word_len]
-* symbol-to-word ratio (``#`` and ``...``) <= max_symbol_ratio
+* symbol-to-word ratio <= max_symbol_ratio for EACH of ``#`` and
+  ``...`` independently (the paper's "for either" phrasing)
 * fraction of lines starting with a bullet <= max_bullet_frac
 * fraction of lines ending with an ellipsis <= max_ellipsis_frac
 * fraction of words containing >= 1 alphabetic char >= min_alpha_frac
@@ -64,10 +65,12 @@ def _counts(text: Column) -> dict[str, Column]:
         "n_bullet_lines": F.regexp_count(text, F.lit(BULLET_LINE_PATTERN)),
         "n_ellipsis_lines": F.regexp_count(text, F.lit(ELLIPSIS_LINE_PATTERN)),
         # '#' via translate (char-class regex in a fused stage is the
-        # measured 20x deopt — see textstats.py), '...' via regex count
-        "n_symbols": (
-            F.length(text) - F.length(F.translate(text, "#", ""))
-        ) + F.regexp_count(text, F.lit(ELLIPSIS_PATTERN)),
+        # measured 20x deopt — see textstats.py), '...' via regex count.
+        # Counted SEPARATELY: the paper thresholds each symbol's ratio
+        # independently ("for either the hash symbol or the ellipsis"),
+        # so summing them would be silently stricter.
+        "n_hash": F.length(text) - F.length(F.translate(text, "#", "")),
+        "n_ellipsis": F.regexp_count(text, F.lit(ELLIPSIS_PATTERN)),
         "n_stopword_hits": F.regexp_count(
             F.lower(text), F.lit(STOPWORD_PATTERN)
         ),
@@ -75,7 +78,15 @@ def _counts(text: Column) -> dict[str, Column]:
 
 
 def gopher_rules(text: Column, **overrides) -> dict[str, Column]:
-    """{rule_name: boolean Column} — True = rule PASSES."""
+    """{rule_name: boolean Column} — True = rule PASSES. Unknown
+    override keys raise (a typo'd threshold silently no-oping means
+    docs get dropped under the defaults the user meant to relax)."""
+    unknown = set(overrides) - set(DEFAULTS)
+    if unknown:
+        raise ValueError(
+            f"unknown gopher threshold(s) {sorted(unknown)}; "
+            f"valid: {sorted(DEFAULTS)}"
+        )
     p = {**DEFAULTS, **overrides}
     c = _counts(text)
     w = c["n_words"]
@@ -86,7 +97,8 @@ def gopher_rules(text: Column, **overrides) -> dict[str, Column]:
             (c["n_word_chars"] >= p["min_mean_word_len"] * w)
             & (c["n_word_chars"] <= p["max_mean_word_len"] * w)
         ),
-        "symbol_ratio": c["n_symbols"] * 100 <= p["max_symbol_ratio_pct"] * w,
+        "symbol_ratio": (c["n_hash"] * 100 <= p["max_symbol_ratio_pct"] * w)
+        & (c["n_ellipsis"] * 100 <= p["max_symbol_ratio_pct"] * w),
         "bullet_lines": (
             c["n_bullet_lines"] * 100 <= p["max_bullet_frac_pct"] * c["n_lines"]
         ),

@@ -61,6 +61,28 @@ def c4_line_keep_expr(
     return keep
 
 
+def c4_keep_and_clean_exprs(
+    text: Column,
+    min_words: int = 5,
+    require_terminal_punct: bool = True,
+    min_kept_lines: int = 3,
+    forbid_markers: tuple[str, ...] = FORBID_MARKERS,
+) -> tuple[Column, Column, Column]:
+    """(doc_ok, cleaned_text, n_kept_lines) expression triple — the
+    building blocks of :func:`c4_clean`, exposed for audit-mode
+    pipelines (``CurationConfig.keep_dropped``) that must ANNOTATE the
+    C4 verdict instead of dropping rows."""
+    kept_lines = F.filter(
+        F.split(text, "\n"),
+        lambda l: c4_line_keep_expr(l, min_words, require_terminal_punct),
+    )
+    doc_ok = F.size(kept_lines) >= F.lit(min_kept_lines)
+    low = F.lower(text)
+    for marker in forbid_markers:
+        doc_ok = doc_ok & ~F.contains(low, F.lit(marker.lower()))
+    return doc_ok, F.array_join(kept_lines, "\n"), F.size(kept_lines)
+
+
 def c4_clean(
     df: DataFrame,
     text_col: str = "text",
@@ -81,10 +103,16 @@ def c4_clean(
     low = F.lower(text)
     for marker in forbid_markers:
         doc_ok = doc_ok & ~F.contains(low, F.lit(marker.lower()))
+    # stage the kept-lines array in a temp column so the filter and
+    # both projections share one evaluation; guard against an input
+    # column of the same name (same pattern as similarity._ivf_cells)
+    tmp = "_c4_kept"
+    while tmp in df.columns:
+        tmp += "_"
     return (
-        df.withColumn("_c4_kept", kept_lines)
+        df.withColumn(tmp, kept_lines)
         .filter(doc_ok)
-        .withColumn(text_col, F.array_join(F.col("_c4_kept"), "\n"))
-        .withColumn("n_kept_lines", F.size(F.col("_c4_kept")))
-        .drop("_c4_kept")
+        .withColumn(text_col, F.array_join(F.col(tmp), "\n"))
+        .withColumn("n_kept_lines", F.size(F.col(tmp)))
+        .drop(tmp)
     )

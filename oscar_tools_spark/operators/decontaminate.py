@@ -119,6 +119,19 @@ def decontaminate(
 # ------------------------------------------------------ bloom-filter variant
 
 
+def _probe_positions(h: "np.ndarray", n_bits: int, probe_i: int) -> "np.ndarray":
+    """Probe ``probe_i``'s bit positions for base hashes ``h``:
+    splitmix64 finalizer with a per-probe offset — independent probe
+    streams from one base hash. SHARED by build and membership test;
+    the filter's no-false-negatives guarantee depends on the two sides
+    staying bit-identical."""
+    x = h + np.uint64(0x9E3779B97F4A7C15) * np.uint64(probe_i + 1)
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    x = x ^ (x >> np.uint64(31))
+    return x % np.uint64(n_bits)
+
+
 def build_bloom(hashes, n_bits: int, n_hashes: int = 4) -> "np.ndarray":
     """Deterministic Bloom filter over 64-bit item hashes: a uint64 bit
     array with ``n_hashes`` probe positions per item derived from the
@@ -135,13 +148,7 @@ def build_bloom(hashes, n_bits: int, n_hashes: int = 4) -> "np.ndarray":
     bits = np.zeros((n_bits + 63) // 64, dtype=np.uint64)
     h = np.asarray(list(hashes), dtype=np.uint64)
     for i in range(n_hashes):
-        # splitmix64 finalizer with a per-probe offset — independent
-        # probe streams from one base hash
-        x = h + np.uint64(0x9E3779B97F4A7C15) * np.uint64(i + 1)
-        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-        x = x ^ (x >> np.uint64(31))
-        pos = x % np.uint64(n_bits)
+        pos = _probe_positions(h, n_bits, i)
         np.bitwise_or.at(bits, pos >> np.uint64(6),
                          np.uint64(1) << (pos & np.uint64(63)))
     return bits
@@ -157,11 +164,7 @@ def bloom_contains_udf(bits: "np.ndarray", n_bits: int, n_hashes: int = 4):
         h = hashes.to_numpy(dtype=np.int64).astype(np.uint64)
         hit = np.ones(len(h), dtype=bool)
         for i in range(n_hashes):
-            x = h + np.uint64(0x9E3779B97F4A7C15) * np.uint64(i + 1)
-            x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-            x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-            x = x ^ (x >> np.uint64(31))
-            pos = x % np.uint64(n_bits)
+            pos = _probe_positions(h, n_bits, i)
             hit &= (bits[(pos >> np.uint64(6)).astype(np.int64)]
                     >> (pos & np.uint64(63))) & np.uint64(1) > 0
         return pd.Series(hit)

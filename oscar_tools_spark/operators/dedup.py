@@ -693,8 +693,20 @@ def excise_exact_substring(
     )
     covered = islands.select("_k", F.explode(F.sequence("_s", "_e")).alias("_p"))
     touched = islands.select("_k").distinct().withColumn("_exc", F.lit(True))
+    # rebuild path: re-tokenize ONLY the touched documents (semi-join
+    # BEFORE the explode — Spark cannot push the join below a
+    # generator, and reusing `toks` here re-exploded the ENTIRE corpus
+    # a second time; touched docs are typically a small fraction)
+    touched_toks = (
+        df.join(
+            touched.select(F.col("_k").alias(key_col)), key_col, "left_semi"
+        ).select(
+            F.col(key_col).alias("_k"),
+            F.posexplode(F.split(nws, " ")).alias("_p", "_t"),
+        )
+    )
     rebuilt = (
-        toks.join(touched.select("_k"), "_k", "left_semi")
+        touched_toks
         .join(covered, ["_k", "_p"], "left_anti")
         .groupBy("_k")
         .agg(

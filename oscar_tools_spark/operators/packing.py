@@ -144,12 +144,20 @@ def rebalance_to_mixture(
         F.lit(0),
     )
     if not exact:
-        # skew-free Bernoulli path: p_g = quota_g / n_g via the integer
-        # hash-threshold comparison (see sample_by_weight)
-        n_col = F.coalesce(
+        # skew-free Bernoulli path: p_g = quota_g / n_g via an integer
+        # hash-threshold comparison (see sample_by_weight). The keep
+        # test is h < ceil(quota_g * 2^32 / n_g) — algebraically
+        # identical to `h * n < quota * 2^32` (the form the DuckDB
+        # oracle replays at test scale), but the threshold is computed
+        # DRIVER-SIDE in arbitrary-precision Python: the product form
+        # overflows bigint for groups beyond ~2^31 rows, exactly the
+        # web-scale regime this mode exists for. Thresholds are <=
+        # 2^32, comfortably in-range; absent groups threshold 0.
+        thr = {g: -((-q << 32) // n_by_group[g]) for g, q in quotas.items()}
+        thr_col = F.coalesce(
             *[
-                F.when(F.col(group_col) == g, F.lit(n_by_group[g]))
-                for g in sorted(quotas)
+                F.when(F.col(group_col) == g, F.lit(t))
+                for g, t in sorted(thr.items())
             ],
             F.lit(0),
         )
@@ -168,10 +176,7 @@ def rebalance_to_mixture(
             16,
             10,
         ).cast("bigint")
-        return df.filter(
-            (n_col > 0)
-            & (h * n_col < quota_col * F.lit(4_294_967_296))
-        )
+        return df.filter(h < thr_col)
     rank_key = F.md5(
         F.concat_ws(
             ":", F.lit(str(seed)), *[F.col(c).cast("string") for c in keys]

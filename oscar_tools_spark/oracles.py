@@ -998,8 +998,8 @@ with c as (
     1 + len(regexp_extract_all(text, chr(10))) as nl,
     len(regexp_extract_all(text, '{BULLET_LINE_PATTERN}')) as bl,
     len(regexp_extract_all(text, '{ELLIPSIS_LINE_PATTERN}')) as el,
-    (length(text) - length(replace(text, '#', '')))
-      + len(regexp_extract_all(text, '{ELLIPSIS_PATTERN}')) as sym,
+    (length(text) - length(replace(text, '#', ''))) as nhash,
+    len(regexp_extract_all(text, '{ELLIPSIS_PATTERN}')) as nell,
     len(regexp_extract_all(lower(text), '{STOPWORD_PATTERN}')) as sw
   from documents),
 r as (
@@ -1007,7 +1007,8 @@ r as (
     (w >= {G["min_words"]} and w <= {G["max_words"]}) as r_word_count,
     (wc >= {G["min_mean_word_len"]} * w and wc <= {G["max_mean_word_len"]} * w)
       as r_mean_word_len,
-    (sym * 100 <= {G["max_symbol_ratio_pct"]} * w) as r_symbol_ratio,
+    (nhash * 100 <= {G["max_symbol_ratio_pct"]} * w
+     and nell * 100 <= {G["max_symbol_ratio_pct"]} * w) as r_symbol_ratio,
     (bl * 100 <= {G["max_bullet_frac_pct"]} * nl) as r_bullet_lines,
     (el * 100 <= {G["max_ellipsis_frac_pct"]} * nl) as r_ellipsis_lines,
     (aw * 100 >= {G["min_alpha_frac_pct"]} * w) as r_alpha_words,

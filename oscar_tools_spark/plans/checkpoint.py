@@ -67,23 +67,26 @@ def _bucket_counts(
 ) -> dict[int, int]:
     """Row count per committed bucket partition (0 for buckets that
     produced no rows — dynamic overwrite writes no dir for them).
-    Parquet count() resolves from footer metadata, not a data scan."""
-    paths = [
-        os.path.join(out_path, f"{BUCKET_COL}={b}")
-        for b in buckets
-        if os.path.exists(os.path.join(out_path, f"{BUCKET_COL}={b}"))
-    ]
+    Reads the committed output through Spark partition discovery, so
+    it works on ANY Hadoop-supported filesystem (an earlier
+    os.path.exists gate was local-FS-only and silently reported 0 on
+    hdfs://s3a:// paths); the ``_manifest.jsonl`` sidecar is invisible
+    to the reader (``_``-prefixed files are metadata by convention),
+    and parquet count() resolves from footer metadata, not a data
+    scan."""
     counts = dict.fromkeys(buckets, 0)
-    if paths:
+    try:
         rows = (
-            spark.read.option("basePath", out_path)
-            .parquet(*paths)
+            spark.read.parquet(out_path)
+            .filter(F.col(BUCKET_COL).isin(buckets))
             .groupBy(BUCKET_COL)
             .count()
             .collect()
         )
-        for r in rows:
-            counts[int(r[BUCKET_COL])] = int(r["count"])
+    except Exception:
+        return counts  # nothing committed yet
+    for r in rows:
+        counts[int(r[BUCKET_COL])] = int(r["count"])
     return counts
 
 
@@ -97,6 +100,7 @@ def run_resumable(
     buckets_per_pass: int | None = None,
     per_bucket: bool = False,
     observe_metrics: dict[str, Column] | None = None,
+    model_versions: str = MODEL_VERSIONS,
 ) -> dict[int, dict]:
     """Run ``transform`` over the not-yet-done conversation buckets,
     committing output partitions and manifest lines atomically-enough
@@ -139,7 +143,7 @@ def run_resumable(
     if per_bucket:
         return _run_per_bucket(
             df, transform, out_path, n_buckets, conv_col, manifest_path,
-            done, todo, observe_metrics,
+            done, todo, observe_metrics, model_versions,
         )
 
     chunk = len(todo) if buckets_per_pass is None else max(1, buckets_per_pass)
@@ -158,7 +162,7 @@ def run_resumable(
             # but correct for projection-style transforms)
             return _run_per_bucket(
                 df, transform, out_path, n_buckets, conv_col, manifest_path,
-                done, todo, observe_metrics,
+                done, todo, observe_metrics, model_versions,
             )
         if BUCKET_COL in out.columns:
             raise ValueError(
@@ -189,7 +193,7 @@ def run_resumable(
                 "rows_in_pass": rows_in,
                 "seconds": secs,
                 "pass_buckets": len(group),
-                "model_versions": MODEL_VERSIONS,
+                "model_versions": model_versions,
                 "path": os.path.join(out_path, f"{BUCKET_COL}={b}"),
             }
             if pass_metrics is not None:
@@ -209,6 +213,7 @@ def _run_per_bucket(
     done: dict[int, dict],
     todo: list[int],
     observe_metrics: dict[str, Column] | None = None,
+    model_versions: str = MODEL_VERSIONS,
 ) -> dict[int, dict]:
     """Retry path: one job (and one FULL input scan) per bucket.
     Observed metrics are per-BUCKET here (finer than the pass-level
@@ -236,7 +241,7 @@ def _run_per_bucket(
             "rows_in_pass": int(obs_in.get["rows_in"]),
             "seconds": round(time.time() - t0, 3),
             "pass_buckets": 1,
-            "model_versions": MODEL_VERSIONS,
+            "model_versions": model_versions,
             "path": target,
         }
         if obs_out is not None:

@@ -45,6 +45,12 @@ class CurationConfig:
     # fastText / KenLM model plugs into the pipeline. None = built-ins.
     langid_score_batch: object = None  # (pd.Series) -> (labels, probs)
     ppl_score_batch: object = None  # (pd.Series) -> array-like of float
+    # version strings recorded in row lineage + resumable manifests.
+    # REQUIRED (in spirit) when swapping in a custom scorer: left None
+    # with a custom scorer, lineage records 'custom-unversioned'
+    # rather than misattributing the data to the built-in models.
+    langid_model_version: str | None = None
+    ppl_model_version: str | None = None
     # optional pre-filter stages (both narrow projections/filters, so
     # the one-plan/no-shuffle property is preserved; off by default to
     # keep the reference F1 contract untouched):
@@ -64,6 +70,22 @@ class CurationConfig:
 
 
 MODEL_VERSIONS = f"langid={langid_mod.MODEL_VERSION};ppl={ppl_mod.MODEL_VERSION}"
+
+
+def model_versions_for(cfg: "CurationConfig") -> str:
+    """The lineage version string for a config — tracks swapped-in
+    scorers instead of always stamping the built-ins."""
+    lid = cfg.langid_model_version or (
+        "custom-unversioned"
+        if cfg.langid_score_batch is not None
+        else langid_mod.MODEL_VERSION
+    )
+    ppl = cfg.ppl_model_version or (
+        "custom-unversioned"
+        if cfg.ppl_score_batch is not None
+        else ppl_mod.MODEL_VERSION
+    )
+    return f"langid={lid};ppl={ppl}"
 
 
 def fused_model_udf(langid_batch=None, ppl_batch=None):
@@ -150,12 +172,12 @@ def scrub_stage(df: DataFrame, cfg: CurationConfig, text_col: str = "text") -> D
     )
 
 
-def lineage_stage(df: DataFrame) -> DataFrame:
+def lineage_stage(df: DataFrame, versions: str = MODEL_VERSIONS) -> DataFrame:
     """Adds model_versions + source_part lineage. ``input_file_name()``
     is legal only in a SINGLE-source plan — callers that join the input
     with side state (e.g. the incremental digest table) must capture
     ``source_part`` at read time; a pre-existing column is kept as-is."""
-    out = df.withColumn("model_versions", F.lit(MODEL_VERSIONS))
+    out = df.withColumn("model_versions", F.lit(versions))
     if "source_part" not in df.columns:
         out = out.withColumn(
             "source_part", F.coalesce(F.input_file_name(), F.lit(""))
@@ -171,25 +193,50 @@ def curate(df: DataFrame, cfg: CurationConfig | None = None, text_col: str = "te
     cfg = cfg or CurationConfig()
     out = df
     if cfg.c4_line_clean:
-        from ..operators.c4_clean import c4_clean
+        from ..operators.c4_clean import c4_clean, c4_keep_and_clean_exprs
 
-        out = c4_clean(
-            out,
-            text_col=text_col,
-            min_words=cfg.c4_min_words,
-            require_terminal_punct=cfg.c4_require_terminal_punct,
-            min_kept_lines=1,
-        )
+        if cfg.keep_dropped:
+            # audit mode contract: keep ALL rows — annotate the C4
+            # verdict + cleaned text instead of dropping docs
+            doc_ok, cleaned, n_kept = c4_keep_and_clean_exprs(
+                F.col(text_col),
+                min_words=cfg.c4_min_words,
+                require_terminal_punct=cfg.c4_require_terminal_punct,
+                min_kept_lines=1,
+            )
+            out = (
+                out.withColumn("c4_keep", doc_ok)
+                .withColumn("n_kept_lines", n_kept)
+                .withColumn(text_col, F.when(doc_ok, cleaned).otherwise(F.col(text_col)))
+            )
+        else:
+            out = c4_clean(
+                out,
+                text_col=text_col,
+                min_words=cfg.c4_min_words,
+                require_terminal_punct=cfg.c4_require_terminal_punct,
+                min_kept_lines=1,
+            )
     if cfg.gopher_filter:
-        from ..functions.gopher import gopher_keep_expr
+        from ..functions.gopher import gopher_keep_expr, gopher_reasons_expr
 
-        out = out.filter(
-            gopher_keep_expr(F.col(text_col), **(cfg.gopher_overrides or {}))
-        )
+        gk = gopher_keep_expr(F.col(text_col), **(cfg.gopher_overrides or {}))
+        if cfg.keep_dropped:
+            out = out.withColumn("gopher_keep", gk).withColumn(
+                "gopher_reasons",
+                F.concat_ws(
+                    "|",
+                    gopher_reasons_expr(
+                        F.col(text_col), **(cfg.gopher_overrides or {})
+                    ),
+                ),
+            )
+        else:
+            out = out.filter(gk)
     out = annotate_stage(out, cfg, text_col)
     out = filter_stage(out, cfg)
     out = scrub_stage(out, cfg, text_col)
-    return lineage_stage(out)
+    return lineage_stage(out, model_versions_for(cfg))
 
 
 # ------------------------------------------------- conversation partitioning

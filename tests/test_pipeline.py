@@ -271,3 +271,63 @@ def test_curate_optional_quality_stages_stay_one_plan(spark):
     for r in out.select("text").limit(50).collect():
         for line in r.text.split("\n"):
             assert len([w for w in line.split(" ") if w]) >= 2, line
+
+
+def test_keep_dropped_audit_mode_with_optional_stages(spark):
+    """keep_dropped's contract — keep ALL rows, exposing flags — must
+    survive the optional C4/Gopher stages: they annotate (c4_keep,
+    gopher_keep, gopher_reasons) instead of filtering."""
+    from oscar_tools_spark.datagen import synth_transcripts
+    from oscar_tools_spark.plans.pipeline import CurationConfig, curate
+
+    t = synth_transcripts(spark, 20)
+    n_in = t.count()
+    out = curate(
+        t,
+        CurationConfig(
+            keep_dropped=True,
+            use_model_langid=False,
+            with_perplexity=False,
+            c4_line_clean=True,
+            gopher_filter=True,
+        ),
+    )
+    assert out.count() == n_in
+    for col in ("keep", "c4_keep", "gopher_keep", "gopher_reasons"):
+        assert col in out.columns, col
+    # and the filtering mode still actually drops
+    filtered = curate(
+        t,
+        CurationConfig(
+            use_model_langid=False, with_perplexity=False, gopher_filter=True
+        ),
+    )
+    assert filtered.count() < n_in
+
+
+def test_custom_model_versions_in_lineage(spark):
+    """Swapped-in scorers must be attributable: explicit versions flow
+    into the model_versions lineage column; unversioned custom scorers
+    record 'custom-unversioned' rather than the built-in ids."""
+    from oscar_tools_spark.datagen import synth_transcripts
+    from oscar_tools_spark.plans.pipeline import CurationConfig, curate
+
+    t = synth_transcripts(spark, 5)
+
+    def fake_langid(texts):
+        return ["en"] * len(texts), [1.0] * len(texts)
+
+    v = curate(
+        t,
+        CurationConfig(
+            langid_score_batch=fake_langid,
+            with_perplexity=False,
+            langid_model_version="fasttext-lid176-v2",
+        ),
+    ).select("model_versions").first()[0]
+    assert "langid=fasttext-lid176-v2" in v
+    v2 = curate(
+        t,
+        CurationConfig(langid_score_batch=fake_langid, with_perplexity=False),
+    ).select("model_versions").first()[0]
+    assert "langid=custom-unversioned" in v2

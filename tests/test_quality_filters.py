@@ -415,3 +415,24 @@ def test_filter_conversations_minimal_schema(spark):
     )
     kept = {r.conv_id for r in filter_conversations(df, min_turns=2).collect()}
     assert kept == {"a"}
+
+
+def test_gopher_symbol_rule_thresholds_each_symbol_separately(spark):
+    """Paper semantics: hash ratio and ellipsis ratio are INDEPENDENT
+    tests — 0.06 + 0.06 must pass (a combined 0.12 sum would fail)."""
+    words = " ".join(["the", "be", "to", "of", "and"] * 12)  # 60 words
+    ok = words + " ####" + " ... ... ... ..."  # 4 hashes, 4 ellipses
+    bad = words + " #######"  # 7 hashes: 700 > 10 * 64ish words
+    df = spark.createDataFrame([(1, ok), (2, bad)], "doc_id long, text string")
+    got = {r.doc_id: r.gopher_reasons.split("|")
+           for r in gopher_stats(df, min_words=10).collect()}
+    assert "symbol_ratio" not in got[1]
+    assert "symbol_ratio" in got[2]
+
+
+def test_gopher_unknown_override_raises(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="min_stopwords"):
+        gopher_stats(df, min_stopwords=0).collect()

@@ -134,8 +134,11 @@ def ref_gopher_stats(text: str, p: dict):
             <= n_word_chars
             <= p["max_mean_word_len"] * n_words
         ),
+        # per-symbol independent thresholds (the paper's "for either
+        # the hash symbol or the ellipsis"), not a combined sum
         "symbol_ratio": (
-            (text.count("#") + len(_ELL_RE.findall(text))) * 100
+            text.count("#") * 100 <= p["max_symbol_ratio_pct"] * n_words
+            and len(_ELL_RE.findall(text)) * 100
             <= p["max_symbol_ratio_pct"] * n_words
         ),
         "bullet_lines": (
