@@ -61,26 +61,27 @@ def c4_line_keep_expr(
     return keep
 
 
-def c4_keep_and_clean_exprs(
-    text: Column,
-    min_words: int = 5,
-    require_terminal_punct: bool = True,
-    min_kept_lines: int = 3,
-    forbid_markers: tuple[str, ...] = FORBID_MARKERS,
-) -> tuple[Column, Column, Column]:
-    """(doc_ok, cleaned_text, n_kept_lines) expression triple — the
-    building blocks of :func:`c4_clean`, exposed for audit-mode
-    pipelines (``CurationConfig.keep_dropped``) that must ANNOTATE the
-    C4 verdict instead of dropping rows."""
+def _staged_kept_lines(df: DataFrame, text_col: str, min_words, punct):
+    """Stage the interpreted filter-HOF ONCE in a collision-guarded
+    temp column — every consumer (keep test, rewrite, count) must read
+    the staged column, never re-embed the subtree (lambda HOFs get no
+    codegen CSE, so each inline copy is a full per-row re-evaluation)."""
     kept_lines = F.filter(
-        F.split(text, "\n"),
-        lambda l: c4_line_keep_expr(l, min_words, require_terminal_punct),
+        F.split(F.col(text_col), "\n"),
+        lambda l: c4_line_keep_expr(l, min_words, punct),
     )
-    doc_ok = F.size(kept_lines) >= F.lit(min_kept_lines)
-    low = F.lower(text)
+    tmp = "_c4_kept"
+    while tmp in df.columns:
+        tmp += "_"
+    return df.withColumn(tmp, kept_lines), tmp
+
+
+def _doc_ok_expr(tmp: str, text_col: str, min_kept_lines, forbid_markers):
+    doc_ok = F.size(F.col(tmp)) >= F.lit(min_kept_lines)
+    low = F.lower(F.col(text_col))
     for marker in forbid_markers:
         doc_ok = doc_ok & ~F.contains(low, F.lit(marker.lower()))
-    return doc_ok, F.array_join(kept_lines, "\n"), F.size(kept_lines)
+    return doc_ok
 
 
 def c4_clean(
@@ -94,25 +95,38 @@ def c4_clean(
     """Drop failing documents and rewrite survivors' ``text_col`` to
     their surviving lines (joined by newline). Returns surviving rows
     with the input schema plus ``n_kept_lines`` lineage."""
-    text = F.col(text_col)
-    kept_lines = F.filter(
-        F.split(text, "\n"),
-        lambda l: c4_line_keep_expr(l, min_words, require_terminal_punct),
-    )
-    doc_ok = F.size(kept_lines) >= F.lit(min_kept_lines)
-    low = F.lower(text)
-    for marker in forbid_markers:
-        doc_ok = doc_ok & ~F.contains(low, F.lit(marker.lower()))
-    # stage the kept-lines array in a temp column so the filter and
-    # both projections share one evaluation; guard against an input
-    # column of the same name (same pattern as similarity._ivf_cells)
-    tmp = "_c4_kept"
-    while tmp in df.columns:
-        tmp += "_"
+    staged, tmp = _staged_kept_lines(df, text_col, min_words, require_terminal_punct)
     return (
-        df.withColumn(tmp, kept_lines)
-        .filter(doc_ok)
+        staged.filter(_doc_ok_expr(tmp, text_col, min_kept_lines, forbid_markers))
         .withColumn(text_col, F.array_join(F.col(tmp), "\n"))
         .withColumn("n_kept_lines", F.size(F.col(tmp)))
+        .drop(tmp)
+    )
+
+
+def c4_annotate(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 5,
+    require_terminal_punct: bool = True,
+    min_kept_lines: int = 3,
+    forbid_markers: tuple[str, ...] = FORBID_MARKERS,
+) -> DataFrame:
+    """Audit-mode variant (``CurationConfig.keep_dropped``): NEVER
+    drops rows — adds ``c4_keep`` + ``n_kept_lines`` and rewrites
+    ``text_col`` only for passing docs. Same staged single evaluation
+    of the line filter as :func:`c4_clean`."""
+    staged, tmp = _staged_kept_lines(df, text_col, min_words, require_terminal_punct)
+    return (
+        staged.withColumn(
+            "c4_keep", _doc_ok_expr(tmp, text_col, min_kept_lines, forbid_markers)
+        )
+        .withColumn("n_kept_lines", F.size(F.col(tmp)))
+        .withColumn(
+            text_col,
+            F.when(
+                F.col("c4_keep"), F.array_join(F.col(tmp), "\n")
+            ).otherwise(F.col(text_col)),
+        )
         .drop(tmp)
     )

@@ -330,6 +330,12 @@ def dedup_incremental(
     return fresh.join(winner, ["_digest", *key_cols], "left_semi").drop("_digest")
 
 
+# bump when the digest FORMULA changes: persisted --seen-digests state
+# computed under another scheme matches nothing, so without a marker an
+# upgrade silently re-admits every historically-seen conversation
+DIGEST_VERSION = "conv-md5blocks-v2"
+
+
 def conversation_digests(
     df: DataFrame,
     conv_col: str = "conv_id",
@@ -362,7 +368,7 @@ def conversation_digests(
     )
     return df.groupBy(conv_col).agg(
         F.md5(F.array_join(per_turn, "")).alias("digest")
-    )
+    ).withColumn("digest_version", F.lit(DIGEST_VERSION))
 
 
 def dedup_conversations_incremental(
@@ -384,7 +390,26 @@ def dedup_conversations_incremental(
     the digest agg shuffles one row per turn (unavoidable — the digest
     must see every turn), everything after operates on one row per
     conversation.
+
+    If ``seen_digests`` carries a ``digest_version`` column (emitted
+    by :func:`conversation_digests`), it is validated against this
+    build's ``DIGEST_VERSION`` — mixed-scheme state would otherwise
+    match nothing and silently re-admit seen conversations. The check
+    runs ONE tiny job over the digest table at plan-construction time.
     """
+    if "digest_version" in seen_digests.columns:
+        stale = (
+            seen_digests.filter(F.col("digest_version") != DIGEST_VERSION)
+            .limit(1)
+            .count()
+        )
+        if stale:
+            raise ValueError(
+                "seen_digests was produced under a different digest "
+                f"scheme (expected {DIGEST_VERSION!r}); regenerate the "
+                "state with conversation_digests before resuming "
+                "incremental dedup"
+            )
     digs = conversation_digests(df, conv_col, order_cols, text_col)
     fresh = digs.join(
         seen_digests.select(F.col(digest_col).alias("digest")).distinct(),

@@ -161,22 +161,9 @@ def rebalance_to_mixture(
             ],
             F.lit(0),
         )
-        h = F.conv(
-            F.substring(
-                F.md5(
-                    F.concat_ws(
-                        ":",
-                        F.lit(str(seed)),
-                        *[F.col(c).cast("string") for c in keys],
-                    )
-                ),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("bigint")
-        return df.filter(h < thr_col)
+        from .sampling import uniform_hash32
+
+        return df.filter(uniform_hash32(keys, seed) < thr_col)
     rank_key = F.md5(
         F.concat_ws(
             ":", F.lit(str(seed)), *[F.col(c).cast("string") for c in keys]

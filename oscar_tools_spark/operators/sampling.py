@@ -50,6 +50,29 @@ def _with_shuffle_key(df: DataFrame, key_cols: list[str], seed: int):
     return df.withColumn("_sk", key)
 
 
+def uniform_hash32(key_cols: list[str], seed: int):
+    """The repo's standard deterministic uniform-[0, 2^32) draw: first
+    8 md5 hex digits of 'seed:key...' as a bigint. ONE definition —
+    the seeded-md5 idiom was copy-pasted across samplers before, and
+    every DuckDB oracle replays it, so a drift in any copy would be a
+    silent cross-engine divergence."""
+    return F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.lit(str(seed)),
+                    *[F.col(c).cast("string") for c in key_cols],
+                )
+            ),
+            1,
+            _HEX_PREFIX,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+
+
 def _range_pid(partitions: int):
     """Deterministic range-partition id from the md5 key prefix.
 
@@ -265,21 +288,7 @@ def sample_by_weight(
     """
     w = F.least(F.greatest(F.col(weight_col).cast("double"), F.lit(0.0)), F.lit(1.0))
     wi = F.round(w * 1_000_000).cast("bigint")
-    h = F.conv(
-        F.substring(
-            F.md5(
-                F.concat_ws(
-                    ":",
-                    F.lit(str(seed)),
-                    *[F.col(c).cast("string") for c in key_cols],
-                )
-            ),
-            1,
-            8,
-        ),
-        16,
-        10,
-    ).cast("bigint")
+    h = uniform_hash32(key_cols, seed)
     return df.filter(h * F.lit(1_000_000) < wi * F.lit(4_294_967_296))
 
 
@@ -312,22 +321,7 @@ def assign_split(
     if any(w <= 0 for _, w in splits):
         raise ValueError("split weights must be positive integers")
     total = sum(w for _, w in splits)
-    h = F.conv(
-        F.substring(
-            F.md5(
-                F.concat_ws(
-                    ":",
-                    F.lit(str(seed)),
-                    *[F.col(c).cast("string") for c in key_cols],
-                )
-            ),
-            1,
-            8,
-        ),
-        16,
-        10,
-    ).cast("bigint")
-    lhs = h * F.lit(total)
+    lhs = uniform_hash32(key_cols, seed) * F.lit(total)
     expr = None
     cum = 0
     for name, w in splits[:-1]:

@@ -62,8 +62,12 @@ CANON_RULES: tuple[tuple[str, str], ...] = (
     (r"^([a-z][a-z0-9+.-]*://)www\.", "$1"),             # www. prefix
     (r"^(https://[^/:?#]+):443((?:[/?#].*)?)$", "$1$2"),  # default port
     (r"^(http://[^/:?#]+):80((?:[/?#].*)?)$", "$1$2"),
-    (r"([^/:])/+\?", "$1?"),                             # slash(es) pre-query
-    (r"([^/:])/+$", "$1"),                               # trailing slash(es)
+    # slash collapsing is ANCHORED to the true path end: `[^?#]*` from
+    # the start cannot cross the first '?', so slashes INSIDE query
+    # values (`?next=/foo/`) are never rewritten — query strings are
+    # opaque and distinct values must stay distinct keys
+    (r"^([^?#]*[^/:])/+\?", "$1?"),     # path slash(es) before the query
+    (r"^([^?#]*[^/:])/+$", "$1"),       # trailing path slash(es), no query
     (r"\?$", ""),                                        # bare trailing ?
 )
 

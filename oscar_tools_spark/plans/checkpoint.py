@@ -74,6 +74,8 @@ def _bucket_counts(
     to the reader (``_``-prefixed files are metadata by convention),
     and parquet count() resolves from footer metadata, not a data
     scan."""
+    from pyspark.errors import AnalysisException
+
     counts = dict.fromkeys(buckets, 0)
     try:
         rows = (
@@ -83,8 +85,12 @@ def _bucket_counts(
             .count()
             .collect()
         )
-    except Exception:
-        return counts  # nothing committed yet
+    except AnalysisException:
+        # nothing committed yet (path missing / no parquet to infer).
+        # ONLY this narrow case may yield zeros — any other failure
+        # (throttling, corrupt footer, permissions) must surface, not
+        # be recorded as rows=0 in a manifest marked done.
+        return counts
     for r in rows:
         counts[int(r[BUCKET_COL])] = int(r["count"])
     return counts

@@ -193,30 +193,18 @@ def curate(df: DataFrame, cfg: CurationConfig | None = None, text_col: str = "te
     cfg = cfg or CurationConfig()
     out = df
     if cfg.c4_line_clean:
-        from ..operators.c4_clean import c4_clean, c4_keep_and_clean_exprs
+        from ..operators.c4_clean import c4_annotate, c4_clean
 
-        if cfg.keep_dropped:
-            # audit mode contract: keep ALL rows — annotate the C4
-            # verdict + cleaned text instead of dropping docs
-            doc_ok, cleaned, n_kept = c4_keep_and_clean_exprs(
-                F.col(text_col),
-                min_words=cfg.c4_min_words,
-                require_terminal_punct=cfg.c4_require_terminal_punct,
-                min_kept_lines=1,
-            )
-            out = (
-                out.withColumn("c4_keep", doc_ok)
-                .withColumn("n_kept_lines", n_kept)
-                .withColumn(text_col, F.when(doc_ok, cleaned).otherwise(F.col(text_col)))
-            )
-        else:
-            out = c4_clean(
-                out,
-                text_col=text_col,
-                min_words=cfg.c4_min_words,
-                require_terminal_punct=cfg.c4_require_terminal_punct,
-                min_kept_lines=1,
-            )
+        # audit mode contract: keep ALL rows — annotate the C4 verdict
+        # + cleaned text instead of dropping docs
+        stage = c4_annotate if cfg.keep_dropped else c4_clean
+        out = stage(
+            out,
+            text_col=text_col,
+            min_words=cfg.c4_min_words,
+            require_terminal_punct=cfg.c4_require_terminal_punct,
+            min_kept_lines=1,
+        )
     if cfg.gopher_filter:
         from ..functions.gopher import gopher_keep_expr, gopher_reasons_expr
 

@@ -64,7 +64,8 @@ def test_job_incremental_digest_flags(spark, transcripts_path, tmp_path, capsys)
     _run_job(capsys, ["--input", transcripts_path, "--output", out1,
                       "--emit-digests", digests, *base])
     dig = spark.read.parquet(digests)
-    assert dig.columns == ["conv_id", "digest"] and dig.count() > 0
+    assert dig.columns == ["conv_id", "digest", "digest_version"]
+    assert dig.count() > 0
     rec = _run_job(capsys, ["--input", transcripts_path, "--output", out2,
                             "--seen-digests", digests, *base])
     assert rec["resume"] is False

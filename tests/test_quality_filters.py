@@ -395,6 +395,9 @@ def test_canonical_url_expr(spark):
         # only scheme + authority lowercase
         ("HTTPS://WWW.Example.COM/CaseSensitive/Path?Q=Mixed",
          "https://example.com/CaseSensitive/Path?Q=Mixed"),
+        # slashes INSIDE query values are opaque — never rewritten
+        ("https://h.co/p?next=/foo/?bar=1", "https://h.co/p?next=/foo/?bar=1"),
+        ("https://h.co/p?dir=/a/", "https://h.co/p?dir=/a/"),
     ]
     df = spark.createDataFrame([(i, u) for i, (u, _) in enumerate(cases)],
                                "i long, url string")
