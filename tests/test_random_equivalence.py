@@ -253,3 +253,61 @@ def test_annotations_and_scrub_match_reference_model(spark):
         assert (ann or None) == want_ann, (i, repr(t), ann, want_ann)
         assert scrubbed == want_scrubbed, (i, repr(t))
         assert list(hits) == want_hits, (i, repr(t), hits, want_hits)
+
+
+# ------------------------------------- line-structured operators
+
+
+def test_dedup_lines_matches_python_reference(spark):
+    """The reference v1 dedup semantic (first GLOBAL occurrence of each
+    line survives, stream order preserved, empty lines are ordinary
+    keys) on 200 random multi-line texts."""
+    from oscar_tools_spark.operators.dedup import dedup_lines
+
+    texts = random_texts(200, seed=29)
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = [
+        (r.doc_id, r.line_idx, r.line)
+        for r in dedup_lines(df, ["doc_id"]).collect()
+    ]
+    seen, want = set(), []
+    for i, t in enumerate(texts):
+        for j, line in enumerate(t.split("\n")):
+            if line not in seen:
+                seen.add(line)
+                want.append((i, j, line))
+    assert got == want
+
+
+def test_remove_boilerplate_matches_python_reference(spark):
+    """Corpus-frequency boilerplate strip on 200 random multi-line
+    texts with a planted high-DF footer line."""
+    from oscar_tools_spark.operators.dedup import remove_boilerplate_lines
+
+    texts = [t + "\nshared footer line" for t in random_texts(200, seed=31)]
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    max_dc = 2
+    got = {
+        r.doc_id: (r.text, r.n_lines_removed)
+        for r in remove_boilerplate_lines(
+            df, ["doc_id"], max_doc_count=max_dc
+        ).collect()
+    }
+    from collections import defaultdict
+
+    docs_of = defaultdict(set)
+    for i, t in enumerate(texts):
+        for line in set(t.split("\n")):
+            docs_of[line].add(i)
+    boiler = {
+        l for l, d in docs_of.items() if len(d) > max_dc and len(l) >= 1
+    }
+    for i, t in enumerate(texts):
+        lines = t.split("\n")
+        kept = [l for l in lines if l not in boiler]
+        if not kept:
+            assert i not in got, (i, repr(t))
+        else:
+            assert got[i] == ("\n".join(kept), len(lines) - len(kept)), (
+                i, repr(t),
+            )
