@@ -18,3 +18,31 @@ def test_readme_counts_match_driver_contract():
         text=True,
     )
     assert proc.returncode == 0, proc.stdout + proc.stderr
+
+
+def test_no_row_at_a_time_python_udfs():
+    """SURVEY.md §7 risk 4: every Python escape hatch in the package
+    must be Arrow-vectorized (pandas_udf / applyInPandas / mapInPandas
+    / applyInPandasWithState) — a row-at-a-time F.udf() in the hot
+    path is the 10-100x slow path this engine bans. Static source
+    scan; fails on any `F.udf(` / `udf(` that is not `pandas_udf(`."""
+    import re
+    from pathlib import Path
+
+    # matches `X.udf(` (F.udf / functions.udf) and bare `udf(`, but not
+    # `pandas_udf(` / `my_thing_udf(` (call sites of local vectorized
+    # helpers) — self-tested below so the guard can't silently rot
+    pat = re.compile(r"\.udf\(|(?<![a-zA-Z_.])udf\(")
+    assert pat.search("x = F.udf(lambda: 1)")
+    assert pat.search("from pyspark.sql.functions import udf\nudf(f)")
+    assert not pat.search("@F.pandas_udf('double')")
+    assert not pat.search("role_udf('conv_idx')")
+
+    pkg = Path(__file__).resolve().parent.parent / "oscar_tools_spark"
+    offenders = []
+    for f in pkg.rglob("*.py"):
+        src = f.read_text()
+        for m in pat.finditer(src):
+            line = src.count("\n", 0, m.start()) + 1
+            offenders.append(f"{f.name}:{line}")
+    assert not offenders, f"row-at-a-time udf() found: {offenders}"
