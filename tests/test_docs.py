@@ -46,3 +46,24 @@ def test_no_row_at_a_time_python_udfs():
             line = src.count("\n", 0, m.start()) + 1
             offenders.append(f"{f.name}:{line}")
     assert not offenders, f"row-at-a-time udf() found: {offenders}"
+
+
+def test_no_nondeterministic_ordering_or_rng():
+    """SURVEY.md §7 risk 6 + the determinism contract: ordering must
+    come from (conv_id, turn_idx)-style stable keys and randomness
+    from seeded md5 draws — monotonically_increasing_id (partition-
+    layout-dependent) and F.rand/F.randn (re-drawn per task attempt,
+    breaking retries and the oracle gate) are banned in the package.
+    Docstring mentions don't count (call-site parens required)."""
+    import re
+    from pathlib import Path
+
+    pat = re.compile(r"monotonically_increasing_id\(|F\.randn?\(")
+    pkg = Path(__file__).resolve().parent.parent / "oscar_tools_spark"
+    offenders = []
+    for f in pkg.rglob("*.py"):
+        src = f.read_text()
+        for m in pat.finditer(src):
+            line = src.count("\n", 0, m.start()) + 1
+            offenders.append(f"{f.name}:{line}:{m.group(0)}")
+    assert not offenders, f"nondeterministic construct found: {offenders}"
