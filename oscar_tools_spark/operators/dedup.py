@@ -391,25 +391,35 @@ def dedup_conversations_incremental(
     must see every turn), everything after operates on one row per
     conversation.
 
-    If ``seen_digests`` carries a ``digest_version`` column (emitted
-    by :func:`conversation_digests`), it is validated against this
-    build's ``DIGEST_VERSION`` — mixed-scheme state would otherwise
-    match nothing and silently re-admit seen conversations. The check
-    runs ONE tiny job over the digest table at plan-construction time.
+    ``seen_digests`` must carry the ``digest_version`` column emitted
+    by :func:`conversation_digests`: state produced under another
+    scheme (or legacy state from before versioning — including NULL
+    versions from a merged-schema read) would match nothing in the
+    anti-join and silently re-admit every seen conversation. The check
+    samples a bounded number of rows (one tiny limit-pushdown job at
+    plan-construction time — state tables are homogeneous per write,
+    so a wrong scheme shows up in any sample; a full any-stale scan
+    over tens of GB of state per batch is not worth the tail case).
     """
-    if "digest_version" in seen_digests.columns:
-        stale = (
-            seen_digests.filter(F.col("digest_version") != DIGEST_VERSION)
-            .limit(1)
-            .count()
+    if "digest_version" not in seen_digests.columns:
+        raise ValueError(
+            "seen_digests has no digest_version column — legacy or "
+            "hand-built state cannot be validated against "
+            f"{DIGEST_VERSION!r}; regenerate it with "
+            "conversation_digests (a silent scheme mismatch would "
+            "re-admit every historically-seen conversation)"
         )
-        if stale:
-            raise ValueError(
-                "seen_digests was produced under a different digest "
-                f"scheme (expected {DIGEST_VERSION!r}); regenerate the "
-                "state with conversation_digests before resuming "
-                "incremental dedup"
-            )
+    sample = seen_digests.select("digest_version").limit(100).collect()
+    stale = [
+        r.digest_version for r in sample if r.digest_version != DIGEST_VERSION
+    ]
+    if stale:
+        raise ValueError(
+            f"seen_digests was produced under digest scheme "
+            f"{stale[0]!r} (expected {DIGEST_VERSION!r}); regenerate "
+            "the state with conversation_digests before resuming "
+            "incremental dedup"
+        )
     digs = conversation_digests(df, conv_col, order_cols, text_col)
     fresh = digs.join(
         seen_digests.select(F.col(digest_col).alias("digest")).distinct(),

@@ -55,7 +55,11 @@ def uniform_hash32(key_cols: list[str], seed: int):
     8 md5 hex digits of 'seed:key...' as a bigint. ONE definition —
     the seeded-md5 idiom was copy-pasted across samplers before, and
     every DuckDB oracle replays it, so a drift in any copy would be a
-    silent cross-engine divergence."""
+    silent cross-engine divergence.
+
+    The 8 here is NOT ``_HEX_PREFIX`` (a range-partitioner tuning
+    knob): every keep-test threshold and oracle hard-codes the 2^32
+    domain, so the draw width is pinned independently."""
     return F.conv(
         F.substring(
             F.md5(
@@ -66,7 +70,7 @@ def uniform_hash32(key_cols: list[str], seed: int):
                 )
             ),
             1,
-            _HEX_PREFIX,
+            8,  # 8 hex digits <=> the 2^32 domain of every threshold
         ),
         16,
         10,

@@ -148,15 +148,19 @@ def quantile_buckets(
     if mode != "approx":
         raise ValueError(f"unknown mode: {mode!r}")
     fracs = [i / n_buckets for i in range(1, n_buckets)]
+    # collision-guarded temp name for the threshold-side group key
+    g = "_g"
+    while g in df.columns:
+        g += "_"
     thr = df.groupBy(group_col).agg(
         F.percentile_approx(value_col, fracs, accuracy).alias("_thr")
-    ).withColumnRenamed(group_col, "_g")
+    ).withColumnRenamed(group_col, g)
     # null-SAFE join: a plain equi-join drops every row whose group key
     # is NULL (exact mode's window keeps them) — silent mode-dependent
     # data loss
     out = df.join(
-        F.broadcast(thr), F.col(group_col).eqNullSafe(F.col("_g"))
-    ).drop("_g")
+        F.broadcast(thr), F.col(group_col).eqNullSafe(F.col(g))
+    ).drop(g)
     # a group whose value_col is entirely null has null thresholds;
     # coalesce to the empty array so every row lands in bucket 1
     # (in-range) instead of a null bucket

@@ -54,16 +54,37 @@ def test_no_nondeterministic_ordering_or_rng():
     from seeded md5 draws — monotonically_increasing_id (partition-
     layout-dependent) and F.rand/F.randn (re-drawn per task attempt,
     breaking retries and the oracle gate) are banned in the package.
-    Docstring mentions don't count (call-site parens required)."""
-    import re
+    AST-based (actual CALL nodes — docstrings legitimately say
+    'no rand()' and must not trip the guard), so both the F.rand and
+    directly-imported rand spellings are caught."""
+    import ast
     from pathlib import Path
 
-    pat = re.compile(r"monotonically_increasing_id\(|F\.randn?\(")
+    banned = {"rand", "randn", "monotonically_increasing_id"}
+
+    def offenders_in(src: str, name: str) -> list[str]:
+        out = []
+        for node in ast.walk(ast.parse(src)):
+            if isinstance(node, ast.Call):
+                fn = node.func
+                called = (
+                    fn.id if isinstance(fn, ast.Name)
+                    else fn.attr if isinstance(fn, ast.Attribute)
+                    else None
+                )
+                if called in banned:
+                    out.append(f"{name}:{node.lineno}:{called}")
+        return out
+
+    # self-test: the guard must catch every spelling
+    assert offenders_in("F.rand(42)", "x")
+    assert offenders_in("from pyspark.sql.functions import rand\nrand(1)", "x")
+    assert offenders_in("functions.randn()", "x")
+    assert not offenders_in('"""docs say no rand() here"""', "x")
+    assert not offenders_in("rng = default_rng(seed)", "x")
+
     pkg = Path(__file__).resolve().parent.parent / "oscar_tools_spark"
-    offenders = []
+    found = []
     for f in pkg.rglob("*.py"):
-        src = f.read_text()
-        for m in pat.finditer(src):
-            line = src.count("\n", 0, m.start()) + 1
-            offenders.append(f"{f.name}:{line}:{m.group(0)}")
-    assert not offenders, f"nondeterministic construct found: {offenders}"
+        found += offenders_in(f.read_text(), f.name)
+    assert not found, f"nondeterministic construct found: {found}"
