@@ -548,3 +548,28 @@ def test_conversation_digest_turn_structure_injective(spark):
     )
     d = {r.conv_id: r.digest for r in conversation_digests(df).collect()}
     assert d["one"] != d["two"]
+
+
+def test_digest_version_guard(spark):
+    """Scheme-mismatched or unversioned digest state must RAISE — a
+    silent mismatch would re-admit every historically-seen
+    conversation (digests from another scheme match nothing)."""
+    import pytest as _pytest
+
+    from oscar_tools_spark.operators.dedup import (
+        dedup_conversations_incremental,
+    )
+
+    batch = spark.createDataFrame(
+        [("a", 0, "x")], "conv_id string, turn_idx int, text string"
+    )
+    legacy = spark.createDataFrame(
+        [("h", "0123")], "conv_id string, digest string"
+    )
+    with _pytest.raises(ValueError, match="digest_version"):
+        dedup_conversations_incremental(batch, legacy)
+    stale = legacy.withColumn(
+        "digest_version", F.lit("conv-oldscheme-v1")
+    )
+    with _pytest.raises(ValueError, match="conv-oldscheme-v1"):
+        dedup_conversations_incremental(batch, stale)
