@@ -276,6 +276,30 @@ def q_quality_prob(spark, sf_dir):
     )
 
 
+def q_validate_transcripts(spark, sf_dir):
+    """Input-contract validation over pseudo-conversations with
+    deterministically planted anomalies: duplicated (conv, turn)
+    identities (doc_id%101), null turn_idx (%97), null text (%89)."""
+    from oscar_tools_spark.operators.transcripts import validate_transcripts
+
+    base = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.floor(F.col("doc_id") / 10).cast("long").alias("conv_id"),
+        F.when(F.col("doc_id") % 97 == 0, F.lit(None)).otherwise(
+            F.col("doc_id") % 10
+        ).alias("turn_idx"),
+        F.when(F.col("doc_id") % 89 == 0, F.lit(None)).otherwise(
+            F.col("text")
+        ).alias("text"),
+    )
+    t = base.select("conv_id", "turn_idx", "text").unionAll(
+        base.filter(F.col("doc_id") % 101 == 0).select(
+            "conv_id", "turn_idx", "text"
+        )
+    )
+    return validate_transcripts(t)
+
+
 def q_conversation_profile(spark, sf_dir):
     """Structural conversation profiles over the events table mapped
     onto the transcripts shape (user_id -> conversation, event_type ->
@@ -996,6 +1020,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonical_url": q_canonical_url,
         "quality_prob": q_quality_prob,
         "conversation_profile": q_conversation_profile,
+        "validate_transcripts": q_validate_transcripts,
         "assign_split": q_assign_split,
         "quantile_buckets": q_quantile_buckets,
         "sample_budget": q_sample_budget,
@@ -1063,6 +1088,7 @@ def oracle_sql() -> dict[str, str]:
         "url_blocklist": O.q_url_blocklist(),
         "canonical_url": O.q_canonical_url(),
         "conversation_profile": O.q_conversation_profile(),
+        "validate_transcripts": O.q_validate_transcripts(),
         "assign_split": O.q_assign_split(),
         "quantile_buckets": O.q_quantile_buckets(),
         "sample_budget": O.q_sample_budget(SAMPLE_BUDGET),

@@ -102,3 +102,48 @@ def filter_conversations(
         cond = cond & (F.col(f"n_{r}") >= F.lit(1))
     keep = prof.filter(cond).select(conv_col)
     return df.join(keep, conv_col, "left_semi")
+
+
+def validate_transcripts(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    text_col: str = "text",
+) -> DataFrame:
+    """ONE-row validation report for the transcripts input contract
+    ((conv_id, turn_idx) is the stable per-turn identity every
+    downstream semantic hangs on): row/conversation counts, null key
+    or text counts, duplicate (conv, turn) identities, and
+    conversations whose turn_idx is not contiguous 0..n-1. Run it
+    before a 100 TB curation pass — every violation class here turns
+    into silent misbehavior downstream (windows mis-order, digests
+    collide, resume buckets drift).
+
+    Two aggregations (per-conversation then global) — one shuffle on
+    the conversation key plus a scalar reduce."""
+    per_conv = df.groupBy(conv_col).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.count_distinct(F.col(turn_col)).alias("_nd"),  # skips nulls
+        F.max(turn_col).alias("_mx"),
+        F.sum(F.col(turn_col).isNull().cast("bigint")).alias("_nullt"),
+        F.sum(F.col(text_col).isNull().cast("bigint")).alias("_nulltext"),
+    )
+    # dup keys = extra rows beyond distinct non-null identities,
+    # after setting aside the null-turn rows (counted separately)
+    dup = F.col("_n") - F.col("_nd") - F.col("_nullt")
+    # contiguous = the _nd non-null idxs are exactly 0.._nd-1; a conv
+    # with ONLY null turn idxs (null _mx) is a violation, not a skip
+    noncontig = F.when(
+        F.col("_mx").isNull() | (F.col("_nd") != F.col("_mx") + 1), 1
+    ).otherwise(0)
+    return per_conv.agg(
+        F.sum("_n").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_convs"),
+        F.sum(F.col(conv_col).isNull().cast("bigint"))
+        .cast("bigint")
+        .alias("n_null_conv_groups"),
+        F.sum("_nullt").cast("bigint").alias("n_null_turn_idx"),
+        F.sum("_nulltext").cast("bigint").alias("n_null_text"),
+        F.sum(dup).cast("bigint").alias("n_dup_turn_keys"),
+        F.sum(noncontig).cast("bigint").alias("n_noncontiguous_convs"),
+    )

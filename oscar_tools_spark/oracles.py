@@ -248,6 +248,41 @@ from documents order by doc_id
 """
 
 
+def q_validate_transcripts() -> str:
+    """Twin of transcripts.validate_transcripts over the planted-
+    anomaly pseudo-conversation table."""
+    return """
+with base as (
+  select doc_id,
+         cast(floor(doc_id / 10) as bigint) as conv_id,
+         case when doc_id % 97 = 0 then null else doc_id % 10 end as turn_idx,
+         case when doc_id % 89 = 0 then null else text end as text
+  from documents),
+t as (
+  select conv_id, turn_idx, text from base
+  union all
+  select conv_id, turn_idx, text from base where doc_id % 101 = 0),
+pc as (
+  select conv_id,
+         count(*) as n,
+         count(distinct turn_idx) as nd,
+         max(turn_idx) as mx,
+         sum(case when turn_idx is null then 1 else 0 end) as nullt,
+         sum(case when text is null then 1 else 0 end) as nulltext
+  from t group by conv_id)
+select cast(sum(n) as bigint) as n_rows,
+       cast(count(*) as bigint) as n_convs,
+       cast(sum(case when conv_id is null then 1 else 0 end) as bigint)
+         as n_null_conv_groups,
+       cast(sum(nullt) as bigint) as n_null_turn_idx,
+       cast(sum(nulltext) as bigint) as n_null_text,
+       cast(sum(n - nd - nullt) as bigint) as n_dup_turn_keys,
+       cast(sum(case when mx is null or nd <> mx + 1 then 1 else 0 end)
+            as bigint) as n_noncontiguous_convs
+from pc
+"""
+
+
 def q_conversation_profile() -> str:
     """Twin of transcripts.conversation_profile over events-as-
     transcripts (user_id = conversation, event_type = role)."""

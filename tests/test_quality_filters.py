@@ -439,3 +439,27 @@ def test_gopher_unknown_override_raises(spark):
     df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with _pytest.raises(ValueError, match="min_stopwords"):
         gopher_stats(df, min_stopwords=0).collect()
+
+
+def test_validate_transcripts_report(spark):
+    """Each violation class counted exactly: dup identities, null
+    keys/text, non-contiguous and all-null-turn conversations."""
+    from oscar_tools_spark.operators.transcripts import validate_transcripts
+
+    rows = [
+        ("a", 0, "x"), ("a", 1, "y"),              # clean conv
+        ("b", 0, "x"), ("b", 0, "x2"),             # dup (b, 0)
+        ("c", 0, None), ("c", 2, "z"),             # null text + gap (0, 2)
+        ("d", None, "w"),                          # all-null turn idx
+        (None, 0, "v"),                            # null conv key
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    r = validate_transcripts(df).first()
+    assert r.n_rows == 8
+    assert r.n_convs == 5  # a, b, c, d, and the null group
+    assert r.n_null_conv_groups == 1
+    assert r.n_null_turn_idx == 1
+    assert r.n_null_text == 1
+    assert r.n_dup_turn_keys == 1
+    # c is gapped; d is all-null-turn: both violations
+    assert r.n_noncontiguous_convs == 2
