@@ -46,6 +46,11 @@ def main() -> None:
     ap.add_argument("--emit-digests", default=None,
                     help="write this batch's conversation digests here, to be "
                     "appended to --seen-digests state for the next batch")
+    ap.add_argument("--validate", action="store_true",
+                    help="fail fast if the input violates the transcripts "
+                    "contract (duplicate (conv_id, turn_idx) identities or "
+                    "null keys) — one conversation-keyed aggregation before "
+                    "any curation work starts")
     ap.add_argument("--quality-model", default=None,
                     help=".npz artifact from quality_classifier.save_model; "
                     "when set, turns are scored post-scrub and those below "
@@ -101,6 +106,23 @@ def main() -> None:
     )
     io = TableIO(spark)
     df = io.read(args.input)
+
+    if args.validate:
+        from oscar_tools_spark.operators.transcripts import validate_transcripts
+
+        rep = validate_transcripts(df).first().asDict()
+        bad = {
+            k: v
+            for k, v in rep.items()
+            if k in ("n_null_conv_groups", "n_null_turn_idx", "n_dup_turn_keys")
+            and v
+        }
+        if bad:
+            raise SystemExit(
+                f"input violates the transcripts contract: {bad} "
+                f"(full report: {rep})"
+            )
+        print(json.dumps({"validated": rep}))
 
     if args.seen_digests or args.structural_filter:
         from pyspark.sql import functions as F

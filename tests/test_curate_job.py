@@ -181,3 +181,25 @@ def test_job_quality_model_artifact(spark, transcripts_path, tmp_path, capsys):
     assert out.count() > 0
     probs = [r.quality_prob for r in out.select("quality_prob").collect()]
     assert all(0.0 <= p <= 1.0 for p in probs)
+
+
+def test_job_validate_flag(spark, transcripts_path, tmp_path, capsys):
+    """--validate passes clean input through and fails fast on
+    duplicate (conv_id, turn_idx) identities."""
+    out_path = str(tmp_path / "out")
+    rec = _run_job(
+        capsys,
+        ["--input", transcripts_path, "--output", out_path,
+         "--no-model", "--no-resume", "--validate"],
+    )
+    assert rec["resume"] is False  # ran to completion
+    # corrupt: duplicate every row's identity
+    src = spark.read.parquet(transcripts_path)
+    dup_path = str(tmp_path / "dup")
+    src.unionAll(src).write.parquet(dup_path)
+    with pytest.raises(SystemExit, match="n_dup_turn_keys"):
+        _run_job(
+            capsys,
+            ["--input", dup_path, "--output", str(tmp_path / "o2"),
+             "--no-model", "--no-resume", "--validate"],
+        )
