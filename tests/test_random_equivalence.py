@@ -311,3 +311,57 @@ def test_remove_boilerplate_matches_python_reference(spark):
             assert got[i] == ("\n".join(kept), len(lines) - len(kept)), (
                 i, repr(t),
             )
+
+
+# ---------------------------------------------------------------- minhash
+
+
+def ref_minhash_signature(text: str, num_hashes: int = 16, k: int = 3):
+    """Pure-Python replay of minhash_signatures: normalize -> word
+    k-shingles (short-text fallback) -> 32-bit md5 base hash ->
+    multiply-mod family mins. None when the doc has no shingles."""
+    import hashlib
+
+    from oscar_tools_spark.functions.hashing import MINHASH_PRIME, mix_params
+
+    # Java [^a-z0-9\s] / \s+ with ASCII \s
+    norm = re.sub(r"[^a-z0-9\s]", " ", text.lower(), flags=re.ASCII)
+    # Spark's trim() strips SPACES only; after \s+ collapse the edges
+    # are spaces, so plain strip(' ') is the faithful replay
+    norm = re.sub(r"\s+", " ", norm, flags=re.ASCII).strip(" ")
+    # split("", " ") is [""] in Spark, so n >= 1 ALWAYS: short docs
+    # (incl. empty/whitespace/punctuation-only) fall back to the
+    # single shingle [norm] — the documented empty-string shingle.
+    # Every doc therefore HAS a signature; there is no absent case.
+    parts = norm.split(" ")
+    if len(parts) >= k:
+        shingles = sorted(
+            {" ".join(parts[i:i + k]) for i in range(len(parts) - k + 1)}
+        )
+    else:
+        shingles = [norm]
+    base = [int(hashlib.md5(s.encode()).hexdigest()[:8], 16) for s in shingles]
+    sig = []
+    for i in range(num_hashes):
+        a, b = mix_params(i)
+        sig.append(min((a * h + b) % MINHASH_PRIME for h in base))
+    return tuple(sig)
+
+
+def test_minhash_signatures_match_python_reference(spark):
+    from oscar_tools_spark.operators.dedup import minhash_signatures
+
+    texts = random_texts(200, seed=37) + [
+        "the quick brown fox jumps over the lazy dog",
+        "one two",
+        "",
+        "   ",
+    ]
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {
+        r.doc_id: tuple(r[f"mh_{i}"] for i in range(16))
+        for r in minhash_signatures(df, ["doc_id"]).collect()
+    }
+    assert set(got) == set(range(len(texts)))  # every doc has a signature
+    for i, t in enumerate(texts):
+        assert got[i] == ref_minhash_signature(t), (i, repr(t))
