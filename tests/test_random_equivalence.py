@@ -365,3 +365,30 @@ def test_minhash_signatures_match_python_reference(spark):
     assert set(got) == set(range(len(texts)))  # every doc has a signature
     for i, t in enumerate(texts):
         assert got[i] == ref_minhash_signature(t), (i, repr(t))
+
+
+def ref_simhash(text: str, bits: int = 32) -> int:
+    """Pure-Python replay of simhash_table: distinct word tokens (the
+    Spark split can emit a leading '' for tab/newline-led text — kept),
+    32-bit md5 hashes, per-bit +1/-1 majority vote."""
+    import hashlib
+
+    norm = re.sub(r"[^a-z0-9\s]", " ", text.lower(), flags=re.ASCII)
+    norm = norm.strip(" ")  # Spark trim(): spaces only
+    words = set(re.split(r"\s+", norm, flags=re.ASCII))
+    votes = [0] * bits
+    for w in words:
+        h = int(hashlib.md5(w.encode()).hexdigest()[:8], 16)
+        for b in range(bits):
+            votes[b] += 1 if h & (1 << b) else -1
+    return sum(1 << b for b in range(bits) if votes[b] > 0)
+
+
+def test_simhash_matches_python_reference(spark):
+    from oscar_tools_spark.operators.dedup import simhash_table
+
+    texts = random_texts(200, seed=41) + ["", "\tabc", "  x  y  "]
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {r.doc_id: r.simhash for r in simhash_table(df, ["doc_id"]).collect()}
+    for i, t in enumerate(texts):
+        assert got[i] == ref_simhash(t), (i, repr(t))
