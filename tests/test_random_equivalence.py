@@ -392,3 +392,62 @@ def test_simhash_matches_python_reference(spark):
     got = {r.doc_id: r.simhash for r in simhash_table(df, ["doc_id"]).collect()}
     for i, t in enumerate(texts):
         assert got[i] == ref_simhash(t), (i, repr(t))
+
+
+# ------------------------------------------------------------- textstats
+
+
+def test_textstats_match_python_reference(spark):
+    """Token counts, quality score, and fingerprint on 300 adversarial
+    texts vs pure-Python replays (ASCII classes for \\S/\\s, unicode
+    \\b for the stopword alternation, HALF_UP rounding, spaces-only
+    trim)."""
+    import hashlib
+
+    from oscar_tools_spark.functions import lexicons as lx
+    from oscar_tools_spark.functions.textstats import (
+        bpe_token_count,
+        fingerprint_expr,
+        quality_score_expr,
+        ws_token_count,
+    )
+    from pyspark.sql import functions as F
+
+    ws_re = re.compile(r"\S+", re.ASCII)
+    bpe_re = re.compile(r"[A-Za-z0-9]+|[^A-Za-z0-9\s]", re.ASCII)
+    stop_re = re.compile(lx.QUALITY_STOPWORD_PATTERN)  # unicode \b = Java
+    alpha_chars = set(
+        "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"
+    )
+    punct_chars = set(".,;:!?'\"()[]-")
+
+    def ref(t: str):
+        n = len(t)
+        toks = len(ws_re.findall(t))
+        alpha = sum(1 for c in t if c in alpha_chars)
+        punct = sum(1 for c in t if c in punct_chars)
+        stop = len(stop_re.findall(t.lower()))
+        length_pts = min(n, 400) * 40 / 400
+        alpha_pts = alpha * 30 / n if n > 0 else 0.0
+        stop_pts = min(stop * 8, toks) * 20 / toks if toks > 0 else 0.0
+        punct_pts = 10.0 if (n > 0 and punct * 8 <= n) else 0.0
+        quality = _round4(length_pts + alpha_pts + stop_pts + punct_pts)
+        norm = re.sub(r"[^a-z0-9\s]", "", t.lower(), flags=re.ASCII)
+        norm = re.sub(r"\s+", " ", norm, flags=re.ASCII).strip(" ")
+        fp = int(hashlib.md5(norm.encode()).hexdigest()[:8], 16)
+        return toks, len(bpe_re.findall(t)), quality, fp
+
+    texts = random_texts(300, seed=43)
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {
+        r.doc_id: (r.ws, r.bpe, r.q, r.fp)
+        for r in df.select(
+            "doc_id",
+            ws_token_count(F.col("text")).alias("ws"),
+            bpe_token_count(F.col("text")).alias("bpe"),
+            quality_score_expr(F.col("text")).alias("q"),
+            fingerprint_expr(F.col("text")).alias("fp"),
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == ref(t), (i, repr(t), got[i], ref(t))
