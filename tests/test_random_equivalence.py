@@ -451,3 +451,46 @@ def test_textstats_match_python_reference(spark):
     }
     for i, t in enumerate(texts):
         assert got[i] == ref(t), (i, repr(t), got[i], ref(t))
+
+
+# ----------------------------------------------------------------- langid
+
+
+def test_langid_expr_matches_python_reference(spark):
+    """Expression langid (argmax of per-language stopword hits,
+    first-in-LANGID_ORDER tie-break, float32 prob) vs a Python replay
+    on planted-fragment texts (so real labels occur, not just 'und')."""
+    import numpy as np
+
+    from oscar_tools_spark.functions import lexicons as lx
+    from oscar_tools_spark.functions.langid import langid_expr
+    from pyspark.sql import functions as F
+
+    pats = {
+        lang: re.compile(lx.langid_pattern(lang))  # unicode \b = Java
+        for lang in lx.LANGID_ORDER
+    }
+
+    def ref(t: str):
+        low = t.lower()
+        hits = [len(pats[lang].findall(low)) for lang in lx.LANGID_ORDER]
+        best = max(hits)
+        if best == 0:
+            return lx.LANGID_UNKNOWN, np.float32(0.0)
+        label = lx.LANGID_ORDER[hits.index(best)]
+        return label, np.float32(best / sum(hits))
+
+    texts = planted_texts(300, seed=47)
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {
+        r.doc_id: (r.ident.label, np.float32(r.ident.prob))
+        for r in df.select(
+            "doc_id", langid_expr(F.col("text")).alias("ident")
+        ).collect()
+    }
+    n_labeled = 0
+    for i, t in enumerate(texts):
+        want = ref(t)
+        assert got[i] == want, (i, repr(t), got[i], want)
+        n_labeled += want[0] != lx.LANGID_UNKNOWN
+    assert n_labeled > 20  # the planted fragments produce real labels
