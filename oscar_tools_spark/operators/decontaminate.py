@@ -124,12 +124,18 @@ def _probe_positions(h: "np.ndarray", n_bits: int, probe_i: int) -> "np.ndarray"
     splitmix64 finalizer with a per-probe offset — independent probe
     streams from one base hash. SHARED by build and membership test;
     the filter's no-false-negatives guarantee depends on the two sides
-    staying bit-identical."""
-    x = h + np.uint64(0x9E3779B97F4A7C15) * np.uint64(probe_i + 1)
-    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-    x = x ^ (x >> np.uint64(31))
-    return x % np.uint64(n_bits)
+    staying bit-identical.
+
+    uint64 wraparound is the POINT of the mixer, so overflow is
+    silenced structurally with ``np.errstate`` — without it numpy's
+    scalar-overflow RuntimeWarnings fire on every Arrow batch, and at
+    100 TB that noise buries real signals in the executor logs."""
+    with np.errstate(over="ignore"):
+        x = h + np.uint64(0x9E3779B97F4A7C15) * np.uint64(probe_i + 1)
+        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        x = x ^ (x >> np.uint64(31))
+        return x % np.uint64(n_bits)
 
 
 def build_bloom(hashes, n_bits: int, n_hashes: int = 4) -> "np.ndarray":

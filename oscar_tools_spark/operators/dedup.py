@@ -78,8 +78,13 @@ def dedup_docs_exact(
     df: DataFrame, key_cols: list[str], text_col: str = "text"
 ) -> DataFrame:
     """Exact document dedup on md5(text); the doc with the smallest key
-    survives. Map-side-combinable groupBy, no window."""
-    digest = F.md5(F.col(text_col)).alias("_digest")
+    survives. Map-side-combinable groupBy, no window.
+
+    Null text digests as ``md5('')`` (null ≡ empty doc): ``md5(NULL)``
+    is NULL, and a bare digest would make the final ``left_semi``
+    equi-join silently erase EVERY null-text row — including the group
+    winner — because ``NULL = NULL`` never matches."""
+    digest = F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("_digest")
     keyed = df.withColumn("_digest", digest)
     winner = keyed.groupBy("_digest").agg(
         F.min(F.struct(*key_cols)).alias("_w")
@@ -251,14 +256,24 @@ def remove_boilerplate_lines(
     the aggregation; join the result back on ``key_cols`` if you need
     them (cheap: both sides are keyed identically).
 
-    Scale shape: one explode over (keys, line), a distinct +
+    Scale shape: ONE explode over (keys, line) — the exploded frame
+    feeds two shuffling consumers (the DF aggregation and the
+    anti-join/regroup), which under column pruning defeats exchange
+    reuse and re-runs the split+posexplode per consumer (verified: 2
+    Generate nodes + 2 source scans in the un-materialized plan), so
+    it is materialized once via ``plans.materialize`` like
+    jaccard_pairs/dedup_exact_substring. Then a distinct +
     map-side-combinable DF count per line, an anti-join of the line
     stream against the (small) boilerplate line set, and one
     conversation-style regroup. No all-pairs, no window."""
-    lines = df.select(
-        *key_cols,
-        F.size(F.split(F.col(text_col), "\n")).alias("_n0"),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("_idx", "_line"),
+    from ..plans.materialize import materialize
+
+    lines = materialize(
+        df.select(
+            *key_cols,
+            F.size(F.split(F.col(text_col), "\n")).alias("_n0"),
+            F.posexplode(F.split(F.col(text_col), "\n")).alias("_idx", "_line"),
+        )
     )
     dfreq = (
         lines.select(*key_cols, "_line")
@@ -292,8 +307,13 @@ def remove_boilerplate_lines(
 def corpus_digests(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Fingerprint table of a corpus for incremental exact dedup: one
     row per distinct ``md5(text_col)`` digest. 100 TB of text compresses
-    to ~32 bytes per distinct doc — the only state the next batch needs."""
-    return df.select(F.md5(F.col(text_col)).alias("digest")).distinct()
+    to ~32 bytes per distinct doc — the only state the next batch needs.
+    Null text digests as ``md5('')`` so the anti-join in
+    :func:`dedup_incremental` can actually match it (NULL digests match
+    nothing)."""
+    return df.select(
+        F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("digest")
+    ).distinct()
 
 
 def dedup_incremental(
@@ -319,7 +339,11 @@ def dedup_incremental(
     uniform, skew-free); AQE broadcasts the digest side automatically
     when it is small.
     """
-    keyed = new_df.withColumn("_digest", F.md5(F.col(text_col)))
+    # coalesce: md5(NULL) is NULL, which the anti-join can never drop
+    # and the left_semi can never keep — null text digests as md5('')
+    keyed = new_df.withColumn(
+        "_digest", F.md5(F.coalesce(F.col(text_col), F.lit("")))
+    )
     seen = seen_digests.select(F.col(digest_col).alias("_digest")).distinct()
     fresh = keyed.join(seen, "_digest", "left_anti")
     winner = (
@@ -518,9 +542,19 @@ def simhash_table(
         # emit dead signature bits (and >= 63 would overflow the signed
         # int64 packing). Widen the substring before widening bits.
         raise ValueError(f"bits must be in [1, 32], got {bits}")
+    # coalesce: a null-text doc must still emit a signature row (split
+    # of NULL is NULL -> explode drops the doc -> the inner join in
+    # dedup_simhash would erase it). Null hashes like the empty doc:
+    # split('') = [''] -> one '' token, same as empty text.
     words = F.array_distinct(
         F.split(
-            F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9\s]", " ")),
+            F.trim(
+                F.regexp_replace(
+                    F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+                    r"[^a-z0-9\s]",
+                    " ",
+                )
+            ),
             r"\s+",
         )
     )

@@ -35,7 +35,8 @@ def pack_sequences(
     token_col: str,
     max_tokens: int,
     bucket_col: str | None = None,
-    n_buckets: int = 64,
+    n_buckets: int | None = None,
+    target_bucket_rows: int = 200_000,
 ) -> DataFrame:
     """Assign (pack_bucket, seq_id, seq_offset) to every row: documents
     are packed greedily in ``key_cols`` order into sequences of at most
@@ -45,14 +46,31 @@ def pack_sequences(
     they are flagged by seq_offset == 0 and token_col > max_tokens).
 
     ``bucket_col`` names an existing partition column (e.g. lang);
-    otherwise rows are hashed into ``n_buckets`` by the first key col
+    otherwise rows are hashed into buckets by the first key col
     (``pmod(xxhash64(key), n)``, conversations/docs never straddle).
     Output schema: key_cols + token_col + pack_bucket, seq_id (within
     bucket, 0-based), seq_offset (tokens already in the sequence).
+
+    MEMORY BOUND: each bucket becomes ONE pandas group and must fit in
+    one executor's memory — the bucket count, not the executor count,
+    is the real parallelism AND memory knob. ``n_buckets`` therefore
+    auto-scales by default: ``ceil(count / target_bucket_rows)``
+    (floored at 64 so small inputs still parallelize), costing one
+    cheap count aggregation (no shuffle; a metadata count on parquet
+    sources). A 10^12-row corpus at the default 200k rows/bucket gets
+    ~5M buckets of a few hundred MB each instead of a fixed 64 buckets
+    of ~1.5 TB (the old default — an executor OOM at scale). Pass
+    ``n_buckets`` explicitly to pin the layout (e.g. for reproducible
+    (bucket, seq_id) ids across reruns on growing data), or
+    ``bucket_col`` to reuse an existing partition column — in that
+    case YOU own the per-bucket size bound.
     """
     if max_tokens < 1:
         raise ValueError(f"max_tokens must be >= 1, got {max_tokens}")
     if bucket_col is None:
+        if n_buckets is None:
+            n_rows = df.count()
+            n_buckets = max(64, -(-n_rows // max(1, target_bucket_rows)))
         bucketed = df.withColumn(
             "pack_bucket",
             F.pmod(F.xxhash64(F.col(key_cols[0])), F.lit(n_buckets)).cast("int"),

@@ -137,7 +137,7 @@ select doc_id, line_idx, line from ranked where rn = 1 order by doc_id, line_idx
 
 def q_dedup_docs_exact() -> str:
     return """
-with d as (select doc_id, md5(text) as digest from documents),
+with d as (select doc_id, md5(coalesce(text, '')) as digest from documents),
 w as (select digest, min(doc_id) as doc_id from d group by digest)
 select doc_id from w order by doc_id
 """
@@ -176,9 +176,9 @@ def q_dedup_incremental(seen_mod: int = 5) -> str:
     split: docs with doc_id % seen_mod == 0 are the existing corpus
     (digest table), the rest are the new batch."""
     return f"""
-with seen as (select distinct md5(text) as digest from documents
+with seen as (select distinct md5(coalesce(text, '')) as digest from documents
               where doc_id % {seen_mod} = 0),
-newb as (select doc_id, md5(text) as digest from documents
+newb as (select doc_id, md5(coalesce(text, '')) as digest from documents
          where doc_id % {seen_mod} <> 0),
 fresh as (select * from newb where digest not in (select digest from seen)),
 w as (select digest, min(doc_id) as doc_id from fresh group by digest)

@@ -61,6 +61,46 @@ def test_dedup_docs_exact(spark):
     assert kept == [1, 3]
 
 
+def test_dedup_docs_exact_null_text(spark):
+    """Null-text rows DEDUPLICATE (null ≡ '' digest) instead of being
+    silently erased: md5(NULL)=NULL and NULL=NULL never equi-joins, so
+    without the coalesce even the group winner vanished (regression:
+    [(1,'a'),(2,NULL),(3,NULL),(4,'a')] used to return just [1])."""
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, None), (4, "a"), (5, "")],
+        "doc_id long, text string",
+    )
+    kept = sorted(r.doc_id for r in dedup_docs_exact(df, ["doc_id"]).collect())
+    assert kept == [1, 2]  # 2 wins the null≡'' group (3, 5 are dups of it)
+
+
+def test_dedup_incremental_null_text(spark):
+    """Null-text batch rows survive/drop like empty docs: history ''
+    digest drops new NULLs; with no '' in history the smallest-key NULL
+    row survives the within-batch winner pass."""
+    from oscar_tools_spark.operators.dedup import corpus_digests, dedup_incremental
+
+    batch = spark.createDataFrame(
+        [(1, "x"), (2, None), (3, None)], "doc_id long, text string"
+    )
+    no_empty_history = corpus_digests(
+        spark.createDataFrame([(100, "seen")], "doc_id long, text string")
+    )
+    kept = sorted(
+        r.doc_id
+        for r in dedup_incremental(batch, no_empty_history, ["doc_id"]).collect()
+    )
+    assert kept == [1, 2]
+    empty_history = corpus_digests(
+        spark.createDataFrame([(100, "")], "doc_id long, text string")
+    )
+    kept = sorted(
+        r.doc_id
+        for r in dedup_incremental(batch, empty_history, ["doc_id"]).collect()
+    )
+    assert kept == [1]  # history '' digest now matches the null rows
+
+
 def test_shingles(spark):
     df = spark.createDataFrame([("The quick brown fox jumps",)], "text string")
     row = df.select(word_shingles_expr(F.col("text")).alias("s")).first()
@@ -195,6 +235,18 @@ def test_simhash_exact_collision_dedup(spark):
     )
     kept = sorted(r.doc_id for r in dedup_simhash(df, "doc_id").collect())
     assert kept == [1, 3]
+
+
+def test_simhash_null_text_not_erased(spark):
+    """Null-text docs get a signature row (null ≡ empty doc) instead of
+    vanishing through the inner join: the smallest-key null/empty doc
+    survives, later ones dedupe against it."""
+    df = spark.createDataFrame(
+        [(1, "real words"), (2, None), (3, ""), (4, None)],
+        "doc_id long, text string",
+    )
+    kept = sorted(r.doc_id for r in dedup_simhash(df, "doc_id").collect())
+    assert kept == [1, 2]
 
 
 def test_jaccard_shingle_df_cap_bounds_blowup(spark):
@@ -393,6 +445,27 @@ def test_excise_merges_adjacent_spans(spark):
     assert got[3] == "gap tail one two"
     assert got[4] == "solo extra pad"
     assert got[1] == "aa bb cc" and got[2] == "dd ee ff"
+
+
+def test_bloom_probe_emits_no_overflow_warnings():
+    """The splitmix64 mixer wraps uint64 on purpose; it must do so
+    without numpy RuntimeWarning spam (observed per-batch in oracle
+    runs before the errstate guard)."""
+    import warnings
+
+    import numpy as np
+
+    from oscar_tools_spark.operators.decontaminate import (
+        _probe_positions,
+        build_bloom,
+    )
+
+    h = np.array([2**63 + 5, 2**64 - 1, 0, 12345], dtype=np.uint64)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        for i in range(4):
+            _probe_positions(h, 1 << 20, i)
+        build_bloom(h.tolist(), 1 << 16)
 
 
 def test_decontaminate_bloom_superset_and_fpr(spark):

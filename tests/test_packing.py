@@ -71,6 +71,27 @@ def test_pack_sequences_budget_invariant_and_determinism(spark):
     assert a == b
 
 
+def test_pack_sequences_autoscales_buckets(spark):
+    """Default bucketing derives n_buckets from corpus size so one
+    pandas group stays bounded: 500 rows at a forced 10-row target
+    must spread across >= 50 hash buckets (floor 64 applies), with
+    every bucket far under the corpus size; budget semantics hold."""
+    df = spark.range(500).select(
+        F.col("id").alias("doc_id"), F.lit(100).alias("tok")
+    )
+    out = pack_sequences(df, ["doc_id"], "tok", 512, target_bucket_rows=10)
+    sizes = out.groupBy("pack_bucket").count().collect()
+    assert len(sizes) >= 50
+    assert max(r["count"] for r in sizes) < 100  # no mega-bucket
+    assert out.count() == 500
+    for r in (
+        out.groupBy("pack_bucket", "seq_id")
+        .agg(F.sum("tok").alias("s"), F.count("*").alias("n"))
+        .collect()
+    ):
+        assert r.s <= 512 or r.n == 1
+
+
 def test_rebalance_to_mixture_quotas(spark):
     # en:200 de:60 fr:40 rows; targets 2:1:1 -> limiting group is de
     # (60/1=60 <= 200/2=100, 40/1=40) -> M=40 ... recompute: scales

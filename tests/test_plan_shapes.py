@@ -151,6 +151,18 @@ def test_substring_dedup_computes_grams_once(spark):
     assert plan.count("Generate explode") == 0, plan[:2000]
 
 
+def test_remove_boilerplate_explodes_lines_once(spark):
+    """The exploded line frame feeds the DF aggregation AND the
+    anti-join/regroup; un-materialized, the split+posexplode (and the
+    source scan) ran twice — the executed plan had 2 Generate nodes +
+    2 scans. Materialized, the downstream plan has zero Generates."""
+    from oscar_tools_spark.operators.dedup import remove_boilerplate_lines
+
+    plan = _plan(remove_boilerplate_lines(_docs(spark), ["doc_id"]))
+    assert plan.count("Generate") == 0, plan[:2000]
+    assert plan.count("Scan parquet") == 0, plan[:2000]
+
+
 def test_incremental_minhash_derives_history_once(spark):
     """hist_keys feeds two anti-join consumers; un-materialized, each
     re-evaluated the whole seen_bands side — the history band pipeline
