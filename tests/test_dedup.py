@@ -544,6 +544,34 @@ def test_dedup_within_docs_lines_and_words(spark):
     # shuffle-free plan
     plan = dedup_within_docs(df, "doc_id")._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+    # the sorted array must stay a bound COLUMN inside the keep lambda
+    # (CollapseProject would re-inline the array_sort subtree per
+    # element -> O(L^2 log L)); a second array_sort textually nested
+    # inside transform(...) would betray the collapse
+    assert "_sorted" in plan
+
+
+def test_dedup_within_docs_pathological_doc_bounded(spark):
+    """A 10^4-line doc with heavy repeats completes in bounded time:
+    the sort-based keep test is O(L log L) per doc, not the O(L^2)
+    prefix scan (which took ~1 min on a 20k-line doc)."""
+    import time
+
+    from oscar_tools_spark.operators.dedup import dedup_within_docs
+
+    big = "\n".join(f"line {(i * 2654435761) % 3000}" for i in range(10_000))
+    df = spark.createDataFrame([(1, big)], "doc_id long, text string")
+    t0 = time.time()
+    row = dedup_within_docs(df, "doc_id").collect()[0]
+    assert time.time() - t0 < 30  # generous CI bound; measured <1 s
+    assert row.n_dup_segments_removed == 10_000 - 3000
+    # survivors are exactly the distinct lines, first occurrences, in order
+    seen, firsts = set(), []
+    for ln in big.split("\n"):
+        if ln not in seen:
+            seen.add(ln)
+            firsts.append(ln)
+    assert row.text == "\n".join(firsts)
 
 
 def test_contamination_report_transpose(spark):
