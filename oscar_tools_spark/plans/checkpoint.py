@@ -96,6 +96,29 @@ def _bucket_counts(
     return counts
 
 
+def _clear_partition_dirs(spark: SparkSession, out_path: str, buckets) -> None:
+    """Delete the partition directories of not-yet-committed buckets
+    before a pass write. Dynamic partition overwrite only replaces
+    partitions PRESENT in the new write — if a crashed prior pass left
+    partially-committed files in ``bucket=N`` (possible with v2/direct
+    file committers on object stores) and the re-run transform
+    legitimately emits zero rows for that bucket, the stale rows would
+    survive and be recorded as committed. The buckets are todo (no
+    manifest line), so anything under them is uncommitted garbage by
+    definition. Uses the Hadoop FileSystem API, not os.*, so hdfs://
+    and s3a:// paths work."""
+    sc = spark.sparkContext
+    jvm = sc._jvm
+    conf = sc._jsc.hadoopConfiguration()
+    for b in buckets:
+        p = jvm.org.apache.hadoop.fs.Path(
+            os.path.join(out_path, f"{BUCKET_COL}={b}")
+        )
+        fs = p.getFileSystem(conf)
+        if fs.exists(p):
+            fs.delete(p, True)
+
+
 def run_resumable(
     df: DataFrame,
     transform: Callable[[DataFrame], DataFrame],
@@ -181,6 +204,10 @@ def run_resumable(
             out = out.observe(
                 obs_out, *[c.alias(name) for name, c in observe_metrics.items()]
             )
+        # dynamic overwrite misses buckets the transform emits zero
+        # rows for — clear their (uncommitted) dirs so stale partials
+        # from a crashed prior pass cannot survive into the manifest
+        _clear_partition_dirs(df.sparkSession, out_path, group)
         (
             out.withColumn(BUCKET_COL, bucket_expr(conv_col, n_buckets))
             .write.mode("overwrite")

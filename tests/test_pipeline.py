@@ -121,6 +121,47 @@ def test_checkpoint_resumability(spark, tmp_path):
     t.unpersist()
 
 
+def test_resumable_clears_stale_partials_in_todo_buckets(spark, tmp_path):
+    """Crashed-run tail case: dynamic partition overwrite only replaces
+    partitions PRESENT in the new write, so stale partial files in a
+    todo bucket used to survive when the re-run transform legitimately
+    emitted zero rows for it — and _bucket_counts recorded them as
+    committed. The pre-write cleanup must delete them."""
+    from pyspark.sql import functions as F
+
+    t = synth_transcripts(spark, 60).cache()
+    out_dir = str(tmp_path / "out")
+
+    # find a bucket with rows, then build a transform that drops it
+    from oscar_tools_spark.plans.checkpoint import bucket_expr
+
+    counts = {
+        r._b: r["count"]
+        for r in t.withColumn("_b", bucket_expr("conv_id", 4))
+        .groupBy("_b")
+        .count()
+        .collect()
+    }
+    victim = max(counts, key=counts.get)
+
+    def transform(df):
+        return df.filter(bucket_expr("conv_id", 4) != victim)
+
+    # simulate the crashed prior pass: stale uncommitted files in the
+    # victim's partition dir, NO manifest line
+    stale_dir = tmp_path / "out" / f"bucket={victim}"
+    t.limit(7).drop("conv_id").withColumn(
+        "conv_id", F.lit("stale")
+    ).select(*t.columns).write.parquet(str(stale_dir))
+
+    done = run_resumable(t, transform, out_dir, n_buckets=4)
+    assert done[victim]["rows"] == 0  # stale rows not counted
+    out = read_resumable_output(spark, out_dir)
+    assert out.filter(F.col("conv_id") == "stale").count() == 0
+    assert out.count() == t.count() - counts[victim]
+    t.unpersist()
+
+
 def test_resumable_fresh_run_scans_source_once(spark, tmp_path):
     """The 100 TB contract (VERDICT r3 #1): a fresh resumable run must
     read the input ONCE, not once per bucket — `_bucket` is a computed
