@@ -840,14 +840,21 @@ def q_dedup_embedding(spark, sf_dir):
 
 
 def q_media_features(spark, sf_dir):
-    """Multimodal plumbing (rows-only check: synthetic media table,
-    binary payloads are not DuckDB-view material)."""
-    from oscar_tools_spark.operators.multimodal import extract_features, synth_media
+    """Multimodal header extraction — REAL pure-Python PNG/JPEG/GIF/
+    BMP/WAV parsing over Arrow-batched binary payloads (rows-only
+    check: synthetic media table, binary payloads are not DuckDB-view
+    material; format/dims/rate correctness is pinned by the golden
+    bytes fixtures in tests/test_multimodal.py)."""
+    from oscar_tools_spark.operators.multimodal import (
+        extract_media_headers,
+        synth_media,
+    )
 
     _ensure_shipped(spark)
     media = synth_media(spark, 100)
-    return extract_features(media).select(
-        "media_id", "kind", "n_bytes", "digest"
+    return extract_media_headers(media).select(
+        "media_id", "kind", "format", "width", "height", "sample_rate",
+        "n_bytes", "digest",
     ).orderBy("media_id")
 
 

@@ -2,13 +2,20 @@
 metadata, with decode / feature-extract / resize / frame-sample as
 Arrow-batched ``mapInPandas`` operators.
 
-The decode step itself is STUBBED (no image/audio libraries in this
-container): ``decode_fn=None`` uses a deterministic fake decoder (a
-pure function of the payload bytes) so the Spark-side plumbing —
-schema, batch iteration, partition sizing, UDF signatures — is real and
-tested; swapping in PIL/ffmpeg means passing a real ``decode_fn`` and
-nothing else changes. Passing ``decode_fn=RAISE`` surfaces the
-NotImplementedError contract explicitly.
+Two tiers of "decode":
+
+* **Header parsing is REAL** — :func:`parse_media_header` reads
+  format + dimensions (PNG/JPEG/GIF/BMP) and sample rate/channels
+  (WAV) straight from the payload bytes in pure Python; no image
+  library needed. :func:`extract_media_headers` runs it distributed.
+* **Pixel/sample decoding is STUBBED** (no PIL/ffmpeg in this
+  container): ``decode_fn=None`` in :func:`extract_features` uses a
+  deterministic fake embedding (a pure function of the payload bytes)
+  so the Spark-side plumbing — schema, batch iteration, partition
+  sizing, UDF signatures — is real and tested; swapping in PIL/ffmpeg
+  means passing a real ``decode_fn`` and nothing else changes. Passing
+  ``decode_fn=RAISE`` surfaces the NotImplementedError contract
+  explicitly.
 
 Scale notes: media rows are large -> keep
 ``spark.sql.execution.arrow.maxRecordsPerBatch`` small for these
@@ -54,6 +61,117 @@ FEATURE_SCHEMA = (
     "media_id long, kind string, n_bytes long, digest string, "
     "features array<float>"
 )
+
+
+HEADER_SCHEMA = (
+    "media_id long, kind string, format string, width int, height int, "
+    "sample_rate int, n_channels int, n_bytes long, digest string"
+)
+
+
+def parse_media_header(payload: bytes | None) -> dict:
+    """REAL pure-Python media header parsing — format, dimensions,
+    audio rate/channels from the leading bytes of the payload. No
+    image/audio libraries: these container formats put everything we
+    need in fixed-offset (PNG/GIF/BMP/WAV) or marker-walked (JPEG)
+    headers. Unknown/truncated payloads parse as format=None with all
+    fields null — never an exception (corrupt media is data, not a
+    job failure, same policy as the v2 JSONL reader's corrupt lines).
+
+    Returns {format, width, height, sample_rate, n_channels} with
+    None for inapplicable fields.
+    """
+    out = {
+        "format": None,
+        "width": None,
+        "height": None,
+        "sample_rate": None,
+        "n_channels": None,
+    }
+    b = payload or b""
+    try:
+        if b[:8] == b"\x89PNG\r\n\x1a\n" and len(b) >= 24 and b[12:16] == b"IHDR":
+            # 8-byte magic, 4-byte chunk length, "IHDR", then w/h big-endian
+            out["format"] = "png"
+            out["width"] = int.from_bytes(b[16:20], "big")
+            out["height"] = int.from_bytes(b[20:24], "big")
+        elif b[:2] == b"\xff\xd8":
+            out["format"] = "jpeg"
+            # walk marker segments to the first SOFn frame header
+            i = 2
+            while i + 9 <= len(b):
+                if b[i] != 0xFF:
+                    break
+                marker = b[i + 1]
+                if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                    i += 2  # standalone markers have no length field
+                    continue
+                seg_len = int.from_bytes(b[i + 2 : i + 4], "big")
+                if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                    # SOFn: [len:2][precision:1][height:2][width:2]
+                    out["height"] = int.from_bytes(b[i + 5 : i + 7], "big")
+                    out["width"] = int.from_bytes(b[i + 7 : i + 9], "big")
+                    break
+                if seg_len < 2:
+                    break
+                i += 2 + seg_len
+        elif b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 10:
+            out["format"] = "gif"
+            out["width"] = int.from_bytes(b[6:8], "little")
+            out["height"] = int.from_bytes(b[8:10], "little")
+        elif b[:2] == b"BM" and len(b) >= 26:
+            out["format"] = "bmp"
+            out["width"] = int.from_bytes(b[18:22], "little", signed=True)
+            # negative height encodes top-down row order
+            out["height"] = abs(int.from_bytes(b[22:26], "little", signed=True))
+        elif b[:4] == b"RIFF" and b[8:12] == b"WAVE" and len(b) >= 28:
+            out["format"] = "wav"
+            out["n_channels"] = int.from_bytes(b[22:24], "little")
+            out["sample_rate"] = int.from_bytes(b[24:28], "little")
+    except (IndexError, ValueError):  # pragma: no cover - defensive
+        pass
+    return out
+
+
+def extract_media_headers(df: DataFrame, batch_rows: int = 256) -> DataFrame:
+    """Distributed REAL header parsing over the media table: one
+    Arrow-batched ``mapInPandas`` pass emitting (format, width, height,
+    sample_rate, n_channels) parsed from the payload bytes, plus size
+    and content digest. Narrow (no shuffle); re-chunks batches so huge
+    payloads never balloon one task's Arrow buffers."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_rows):
+                chunk = pdf.iloc[start : start + batch_rows]
+                parsed = [parse_media_header(p) for p in chunk["payload"]]
+                yield pd.DataFrame(
+                    {
+                        "media_id": chunk["media_id"],
+                        "kind": chunk["kind"],
+                        "format": [p["format"] for p in parsed],
+                        "width": pd.array(
+                            [p["width"] for p in parsed], dtype="Int32"
+                        ),
+                        "height": pd.array(
+                            [p["height"] for p in parsed], dtype="Int32"
+                        ),
+                        "sample_rate": pd.array(
+                            [p["sample_rate"] for p in parsed], dtype="Int32"
+                        ),
+                        "n_channels": pd.array(
+                            [p["n_channels"] for p in parsed], dtype="Int32"
+                        ),
+                        "n_bytes": chunk["payload"].map(
+                            lambda b: len(b) if b is not None else 0
+                        ),
+                        "digest": chunk["payload"].map(
+                            lambda b: hashlib.sha256(b or b"").hexdigest()
+                        ),
+                    }
+                )
+
+    return df.mapInPandas(op, HEADER_SCHEMA)
 
 
 def RAISE(payload: bytes, kind: str) -> np.ndarray:  # noqa: N802
@@ -105,12 +223,56 @@ def extract_features(
     return df.mapInPandas(op, FEATURE_SCHEMA)
 
 
+def png_bytes(width: int, height: int, body: bytes = b"") -> bytes:
+    """Minimal structurally-valid PNG prefix (magic + IHDR) with junk
+    body — enough for any header parser, deterministic, no libraries."""
+    ihdr = (
+        width.to_bytes(4, "big")
+        + height.to_bytes(4, "big")
+        + bytes([8, 2, 0, 0, 0])  # bit depth 8, truecolor
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + (13).to_bytes(4, "big")
+        + b"IHDR"
+        + ihdr
+        + b"\x00\x00\x00\x00"  # unchecked CRC — parsers read offsets only
+        + body
+    )
+
+
+def wav_bytes(sample_rate: int, n_channels: int = 1, body: bytes = b"") -> bytes:
+    """Minimal structurally-valid WAV (RIFF/WAVE fmt chunk) prefix."""
+    byte_rate = sample_rate * n_channels * 2
+    fmt = (
+        (1).to_bytes(2, "little")  # PCM
+        + n_channels.to_bytes(2, "little")
+        + sample_rate.to_bytes(4, "little")
+        + byte_rate.to_bytes(4, "little")
+        + (n_channels * 2).to_bytes(2, "little")
+        + (16).to_bytes(2, "little")
+    )
+    return (
+        b"RIFF"
+        + (36 + len(body)).to_bytes(4, "little")
+        + b"WAVE"
+        + b"fmt "
+        + (16).to_bytes(4, "little")
+        + fmt
+        + b"data"
+        + len(body).to_bytes(4, "little")
+        + body
+    )
+
+
 def synth_media(spark, n: int, seed: int = 42) -> DataFrame:
     """Deterministic fake media table for plumbing tests: payload bytes
-    are a pure function of (media_id, seed)."""
+    are a pure function of (media_id, seed) — with REAL PNG/WAV headers
+    whose parsed fields match ``meta`` (video stays junk bytes: no mp4
+    parser, so it exercises the format=None path)."""
     kinds = ["image", "audio", "video"]
 
-    def payload_for(i: int) -> bytes:
+    def junk_for(i: int) -> bytes:
         return hashlib.sha512(f"media:{seed}:{i}".encode()).digest() * (1 + i % 7)
 
     rows = []
@@ -123,5 +285,11 @@ def synth_media(spark, n: int, seed: int = 42) -> DataFrame:
             "n_frames": 30 * (1 + i % 10) if kind == "video" else None,
             "mime": {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[kind],
         }
-        rows.append((i, kind, payload_for(i), meta))
+        if kind == "image":
+            payload = png_bytes(meta["width"], meta["height"], junk_for(i))
+        elif kind == "audio":
+            payload = wav_bytes(meta["sample_rate"], 1, junk_for(i))
+        else:
+            payload = junk_for(i)
+        rows.append((i, kind, payload, meta))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)

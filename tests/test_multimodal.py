@@ -1,0 +1,116 @@
+"""Golden-bytes fixtures for the REAL pure-Python media header parser
+and its distributed mapInPandas wrapper.
+
+The byte strings below are hand-assembled minimal valid headers — the
+parser reads fixed offsets (PNG/GIF/BMP/WAV) or walks JPEG marker
+segments, so a full decoder is never needed.
+"""
+
+from __future__ import annotations
+
+from oscar_tools_spark.operators.multimodal import (
+    extract_media_headers,
+    parse_media_header,
+    png_bytes,
+    synth_media,
+    wav_bytes,
+)
+
+# hand-built golden fixtures ------------------------------------------------
+
+GOLDEN_PNG_640x480 = (
+    b"\x89PNG\r\n\x1a\n"
+    + (13).to_bytes(4, "big")
+    + b"IHDR"
+    + (640).to_bytes(4, "big")
+    + (480).to_bytes(4, "big")
+    + bytes([8, 6, 0, 0, 0])
+    + b"\xde\xad\xbe\xef"
+)
+
+# SOI + APP0(JFIF) + DQT (skipped by the walker) + SOF0 with 1024x768
+GOLDEN_JPEG_1024x768 = (
+    b"\xff\xd8"
+    + b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00\x01\x02\x00" + b"\x00" * 6
+    + b"\xff\xdb" + (5).to_bytes(2, "big") + b"\x00\x01\x02"
+    + b"\xff\xc0" + (11).to_bytes(2, "big")
+    + bytes([8])
+    + (768).to_bytes(2, "big")   # height
+    + (1024).to_bytes(2, "big")  # width
+    + bytes([3, 1, 0x11, 0])
+)
+
+GOLDEN_GIF_320x200 = (
+    b"GIF89a" + (320).to_bytes(2, "little") + (200).to_bytes(2, "little") + b"\x00" * 3
+)
+
+GOLDEN_BMP_800x600 = (
+    b"BM" + b"\x00" * 16
+    + (800).to_bytes(4, "little", signed=True)
+    + (-600).to_bytes(4, "little", signed=True)  # top-down row order
+    + b"\x00" * 8
+)
+
+GOLDEN_WAV_44100_STEREO = wav_bytes(44100, 2, b"\x01\x02\x03\x04")
+
+
+def test_parse_png_golden():
+    p = parse_media_header(GOLDEN_PNG_640x480)
+    assert (p["format"], p["width"], p["height"]) == ("png", 640, 480)
+
+
+def test_parse_jpeg_marker_walk():
+    p = parse_media_header(GOLDEN_JPEG_1024x768)
+    assert (p["format"], p["width"], p["height"]) == ("jpeg", 1024, 768)
+
+
+def test_parse_gif_golden():
+    p = parse_media_header(GOLDEN_GIF_320x200)
+    assert (p["format"], p["width"], p["height"]) == ("gif", 320, 200)
+
+
+def test_parse_bmp_negative_height_abs():
+    p = parse_media_header(GOLDEN_BMP_800x600)
+    assert (p["format"], p["width"], p["height"]) == ("bmp", 800, 600)
+
+
+def test_parse_wav_golden():
+    p = parse_media_header(GOLDEN_WAV_44100_STEREO)
+    assert (p["format"], p["sample_rate"], p["n_channels"]) == ("wav", 44100, 2)
+    assert p["width"] is None and p["height"] is None
+
+
+def test_parse_unknown_truncated_and_null_never_raise():
+    for b in (None, b"", b"\x89PN", b"\xff\xd8", b"GIF89a", b"RIFFxxxx",
+              b"garbage bytes that match no magic", GOLDEN_PNG_640x480[:20]):
+        p = parse_media_header(b)
+        # truncated prefixes of real formats may identify the format
+        # but must leave unparsed fields null and never raise
+        assert set(p) == {"format", "width", "height", "sample_rate", "n_channels"}
+    assert parse_media_header(b"junk")["format"] is None
+
+
+def test_png_wav_builders_round_trip():
+    p = parse_media_header(png_bytes(12345, 7, b"junkbody"))
+    assert (p["format"], p["width"], p["height"]) == ("png", 12345, 7)
+    w = parse_media_header(wav_bytes(16000, 1))
+    assert (w["format"], w["sample_rate"], w["n_channels"]) == ("wav", 16000, 1)
+
+
+def test_extract_media_headers_distributed(spark):
+    """synth_media payloads carry REAL PNG/WAV headers: the parsed
+    fields must equal the meta the generator wrote; video rows (junk
+    bytes, no mp4 parser) come back format=None — the unknown path."""
+    media = synth_media(spark, 60)
+    meta = {r.media_id: r.meta.asDict() for r in media.select("media_id", "meta").collect()}
+    rows = extract_media_headers(media).collect()
+    assert len(rows) == 60
+    for r in rows:
+        m = meta[r.media_id]
+        if r.kind == "image":
+            assert (r.format, r.width, r.height) == ("png", m["width"], m["height"])
+        elif r.kind == "audio":
+            assert (r.format, r.sample_rate, r.n_channels) == ("wav", 16000, 1)
+        else:
+            assert r.format is None and r.width is None
+        assert r.n_bytes > 0 and len(r.digest) == 64
