@@ -494,3 +494,110 @@ def test_langid_expr_matches_python_reference(spark):
         assert got[i] == want, (i, repr(t), got[i], want)
         n_labeled += want[0] != lx.LANGID_UNKNOWN
     assert n_labeled > 20  # the planted fragments produce real labels
+
+
+# ------------------------------------------------- trained-model scorers
+
+
+def test_perplexity_matches_python_reference(spark):
+    """Char-bigram perplexity (training AND scoring) vs an independent
+    pure-Python replay: dict-counted Laplace bigram LM over the same
+    seed corpus, plain-math scoring — catches vectorization bugs in
+    the batched encode/gather/bincount path (NUL doc separators,
+    latin-1 'replace' OOV mapping, degenerate <2-char docs)."""
+    import math
+
+    from oscar_tools_spark.functions.langid import _SEED_CORPUS
+    from oscar_tools_spark.functions.perplexity import score
+
+    vocab = "abcdefghijklmnopqrstuvwxyz "
+    V = len(vocab) + 1  # + OOV
+
+    def ids(text: str) -> list[int]:
+        out = []
+        for byte in text.lower().encode("latin-1", "replace"):
+            ch = chr(byte)
+            out.append(vocab.index(ch) if ch in vocab else V - 1)
+        return out
+
+    counts = [[1.0] * V for _ in range(V)]
+    for corpus in _SEED_CORPUS.values():
+        ii = ids(corpus)
+        for a, b in zip(ii, ii[1:]):
+            counts[a][b] += 1.0
+    logp = [[math.log(c / sum(row)) for c in row] for row in counts]
+    worst = math.exp(-sum(sum(r) for r in logp) / (V * V))
+
+    def ref(text: str) -> float:
+        ii = ids(text or "")
+        if len(ii) < 2:
+            return worst
+        lps = [logp[a][b] for a, b in zip(ii, ii[1:])]
+        return math.exp(-sum(lps) / len(lps))
+
+    texts = random_texts(300, seed=29) + ["", "x", "\x00", "a\x00b", "中中中"]
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {r.doc_id: r.perplexity for r in score(df).collect()}
+    for i, t in enumerate(texts):
+        want = ref(t)
+        assert abs(got[i] - want) <= 1e-9 * max(1.0, abs(want)), (i, repr(t))
+
+
+def test_quality_prob_matches_python_reference(spark):
+    """Hashed-logit forward pass vs an independent replay: hand-rolled
+    CRC32 (bit-reflected poly 0xEDB88320 table — NOT zlib) over
+    re-derived unigram+bigram grams, plain-float mean + sigmoid.
+    Catches bucket-hash, normalization, and empty-gram-path bugs."""
+    import math
+
+    from oscar_tools_spark.functions.quality_classifier import (
+        score_quality,
+        train_quality_classifier,
+    )
+
+    crc_table = []
+    for n in range(256):
+        c = n
+        for _ in range(8):
+            c = (0xEDB88320 ^ (c >> 1)) if c & 1 else c >> 1
+        crc_table.append(c)
+
+    def crc32(data: bytes) -> int:
+        c = 0xFFFFFFFF
+        for byte in data:
+            c = crc_table[(c ^ byte) & 0xFF] ^ (c >> 8)
+        return c ^ 0xFFFFFFFF
+
+    token_re = re.compile(r"[a-z0-9]+")
+
+    def ref(text: str, w, b: float, dim: int) -> float:
+        toks = token_re.findall((text or "").lower())
+        grams = toks + [a + " " + b2 for a, b2 in zip(toks, toks[1:])]
+        if not grams:
+            z = b
+        else:
+            z = b + sum(float(w[crc32(g.encode()) % dim]) for g in grams) / len(grams)
+        return 1.0 / (1.0 + math.exp(-z))
+
+    # tiny deterministic training corpora (content irrelevant — the
+    # replay tests the FORWARD pass against whatever weights came out)
+    pos = spark.createDataFrame(
+        [(f"clean sentence number {i} with words",) for i in range(30)],
+        "text string",
+    )
+    neg = spark.createDataFrame(
+        [(f"$$$ BUY{i} NOW!!! {'x' * (i % 9)}",) for i in range(30)],
+        "text string",
+    )
+    model = train_quality_classifier(pos, neg, dim=2**10, sample_cap=30, epochs=40)
+    w, b, dim = model["w"], model["b"], model["dim"]
+
+    texts = random_texts(300, seed=31) + ["", "   ", "word", "123 abc 123 abc"]
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {r.doc_id: r.quality_prob for r in score_quality(df, model).collect()}
+    for i, t in enumerate(texts):
+        want = ref(t, w, b, dim)
+        # 1e-7: the library gathers float32 weights and sums pairwise;
+        # the replay sums per-element in float64 — observed divergence
+        # ~2e-9, pure summation order, far below any consumer rounding
+        assert abs(got[i] - want) <= 1e-7, (i, repr(t), got[i], want)
