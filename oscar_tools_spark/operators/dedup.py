@@ -1086,12 +1086,19 @@ def dedup_simhash_hamming(
     text_col: str = "text",
     bits: int = 32,
     chunks: int = 4,
+    keep_signature: bool = False,
 ) -> DataFrame:
     """Near-dup dedup at hamming distance < ``chunks``: split the
     simhash into ``chunks`` bit-bands; by pigeonhole, two hashes within
     hamming distance chunks-1 collide on at least one band. Band
     equi-join generates candidates; exact hamming (bit_count of xor)
     verifies; lowest key wins.
+
+    ``keep_signature=True`` returns the survivors WITH their
+    ``simhash`` column (one driver query then value-checks both the
+    signature table and the survivor set); the signature frame is
+    materialized so the aggregation feeding two consumers (bands +
+    output join) runs once.
     """
     if bits % chunks:
         raise ValueError(
@@ -1101,6 +1108,10 @@ def dedup_simhash_hamming(
         )
     width = bits // chunks
     sh = simhash_table(df, [key_col], text_col, bits)
+    if keep_signature:
+        from ..plans.materialize import materialize
+
+        sh = materialize(sh)
     bands = sh.select(
         key_col,
         "simhash",
@@ -1133,4 +1144,74 @@ def dedup_simhash_hamming(
     dup = cand.filter(F.col("hamming") < chunks).select(
         F.col("ka").alias(key_col)
     ).distinct()
+    surv = df.join(dup, key_col, "left_anti")
+    if keep_signature:
+        return surv.join(sh.select(key_col, "simhash"), key_col, "left")
+    return surv
+
+
+# ------------------------------------------------------------- SemDeDup
+
+
+def semdedup(
+    df: DataFrame,
+    key_col: str,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_clusters: int = 16,
+    threshold: float = 0.95,
+    sample_size: int = 10_000,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — public method):
+    SEMANTIC dedup via k-means clustering of the embedding space
+    followed by within-cluster cosine near-dup removal. Two docs are
+    semantic dups when they land in the same k-means cell AND their
+    embeddings' cosine >= ``threshold``; the lowest key survives.
+
+    Differs from :func:`dedup_embedding_lsh` (random hyperplane bands —
+    data-oblivious): the cells FOLLOW the corpus density, so near-dups
+    concentrate in the same cell at much coarser granularity, and the
+    cluster structure is reusable (topic stats, stratified sampling).
+    Approximation is the paper's own: a pair straddling a cell
+    boundary is missed (raise ``n_clusters`` resolution or lower it to
+    1 for exact brute force — cluster count, not threshold, controls
+    recall).
+
+    Scale shape: centroids fit on a bounded deterministic sample
+    (driver-side, ``similarity.ivf_centroids``), ONE Arrow-batched
+    assignment matmul per batch, then a within-cell equi-join — no
+    cartesian, no all-pairs. THE KNOB THAT MATTERS AT 100 TB:
+    ``n_clusters`` must scale with the corpus so cells stay bounded
+    (the join does |cell|² work per cell — the paper uses 50k clusters
+    for LAION; target ~10k-100k rows per cell, i.e. n_clusters ≈
+    corpus_rows / 10^4..10^5). The assigned frame is materialized: it
+    feeds both sides of the self-join, which would otherwise re-run
+    the assignment UDF twice.
+    """
+    from ..plans.materialize import materialize
+    from .similarity import cosine_expr, ivf_assign_udf, ivf_centroids
+
+    cent = ivf_centroids(df, dim, vec_col, key_col, n_clusters, sample_size)
+    assigned = materialize(
+        df.select(
+            F.col(key_col).alias("_k"),
+            F.col(vec_col).alias("_v"),
+            F.element_at(ivf_assign_udf(cent, 1)(F.col(vec_col)), 1).alias(
+                "_cell"
+            ),
+        )
+    )
+    a = assigned.select(
+        F.col("_cell"), F.col("_k").alias("_ka"), F.col("_v").alias("_va")
+    )
+    b = assigned.select(
+        F.col("_cell"), F.col("_k").alias("_kb"), F.col("_v").alias("_vb")
+    )
+    dup = (
+        a.join(b, "_cell")
+        .filter(F.col("_ka") > F.col("_kb"))
+        .filter(cosine_expr(F.col("_va"), F.col("_vb")) >= threshold)
+        .select(F.col("_ka").alias(key_col))
+        .distinct()
+    )
     return df.join(dup, key_col, "left_anti")

@@ -777,8 +777,10 @@ dups as (
     on a.band_idx = b.band_idx and a.band_key = b.band_key and a.doc_id > b.doc_id
   where bit_count(xor(a.simhash, b.simhash)) < {chunks}
 )
-select doc_id from documents where doc_id not in (select doc_id from dups)
-order by doc_id
+select d.doc_id, sh.simhash from documents d
+left join sh on d.doc_id = sh.doc_id
+where d.doc_id not in (select doc_id from dups)
+order by d.doc_id
 """
 
 
@@ -1258,3 +1260,92 @@ select doc_id, array_to_string(kept, '{sep}') as text,
        (n0 - len(kept))::bigint as n_dup_segments_removed
 from d order by doc_id
 """
+
+
+# ------------------------------------------------- merged driver queries
+# The driver CORRECTNESS window covers the first 50 registry entries, so
+# closely-related variants share ONE registry entry: each merged oracle
+# composes the per-variant SQL above (unchanged semantics) via UNION ALL
+# with a variant tag, or a doc_id join for same-grain projections. The
+# per-variant generators stay — pytest and the local gate still use them.
+
+
+def _sub(sql: str) -> str:
+    """Wrap a full oracle statement as a subquery (DuckDB allows CTEs
+    and ORDER BY inside parenthesized subqueries)."""
+    return "(" + sql.strip().rstrip(";") + ")"
+
+
+def q_filter_matrix() -> str:
+    """All four extract-tags truth-table variants in one result, tagged
+    by variant — the full reference filter semantics in one hash."""
+    variants = [
+        ("exclude", q_filter(exclude={"adult", "noisy", "tiny"})),
+        ("include", q_filter(include={"tiny"})),
+        ("include_exclude", q_filter(include={"tiny"}, exclude={"header"})),
+        ("clean", q_filter(include={"tiny"}, clean=True)),
+    ]
+    parts = [
+        f"select '{tag}' as variant, doc_id, lang from {_sub(sql)}"
+        for tag, sql in variants
+    ]
+    return "\nunion all\n".join(parts) + "\norder by variant, doc_id"
+
+
+def q_text_stats() -> str:
+    """token_stats + quality_score + fingerprint fused on doc_id."""
+    return f"""
+select a.doc_id, a.ws_tokens, a.bpe_tokens, a.stop_hits, q.quality, f.fp
+from {_sub(q_token_stats())} a
+join {_sub(q_quality_score())} q using (doc_id)
+join {_sub(q_fingerprint())} f using (doc_id)
+order by a.doc_id
+"""
+
+
+def q_annotate_scrub() -> str:
+    """Heuristic annotations + PII/toxicity scrub fused on doc_id (the
+    unfiltered per-op surfaces; the filtered composition is
+    curation_pipeline)."""
+    return f"""
+select a.doc_id, a.annotations_str, s.scrubbed, s.rule_hits_str
+from {_sub(q_annotate())} a
+join {_sub(q_scrub())} s using (doc_id)
+order by a.doc_id
+"""
+
+
+def q_topk_per_lang_embedded(k: int = 3) -> str:
+    """Window top-k per language + broadcast equi-join to embeddings in
+    one query (merges q_topk_per_lang + q_doc_embedding_join)."""
+    return f"""
+select t.lang, t.doc_id, t.n_chars, cast(e.label as bigint) as label
+from {_sub(q_topk_per_lang(k))} t
+join embeddings e on t.doc_id = e.vec_id
+order by t.lang, t.doc_id
+"""
+
+
+def q_sample_budget_modes(budget: int, seed: int = 42) -> str:
+    """Both reference v1 sample modes (without/with replacement), mode-
+    tagged."""
+    return (
+        f"select 'budget' as mode, doc_id from {_sub(q_sample_budget(budget, seed))}"
+        "\nunion all\n"
+        f"select 'with_replacement' as mode, doc_id from "
+        f"{_sub(q_sample_with_replacement(budget, seed))}"
+        "\norder by mode, doc_id"
+    )
+
+
+def q_dedup_substring_modes(gram_k: int = 20) -> str:
+    """Both Lee-et-al substring-dedup semantics (document DROP and span
+    EXCISION), mode-tagged; drop mode carries no rewritten text."""
+    return (
+        f"select 'drop' as mode, doc_id, cast(null as varchar) as text "
+        f"from {_sub(q_dedup_substring(gram_k))}"
+        "\nunion all\n"
+        f"select 'excise' as mode, doc_id, text from "
+        f"{_sub(q_dedup_substring_excise(gram_k))}"
+        "\norder by mode, doc_id"
+    )

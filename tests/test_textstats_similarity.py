@@ -166,6 +166,50 @@ def test_dedup_embedding_lsh_plan_has_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_semdedup_brute_force_equivalence_and_clusters(spark):
+    """SemDeDup: with n_clusters=1 (one cell = all pairs compared) the
+    survivor set must EQUAL the brute-force cosine baseline; at the
+    intended multi-cluster setting the planted tiny-perturbation twins
+    (cos ~0.9999, far inside any sane cell) must still be dropped and
+    the plan must stay cartesian-free."""
+    from oscar_tools_spark.operators.dedup import (
+        dedup_embedding_cosine,
+        semdedup,
+    )
+
+    df, dim = _clustered_embeddings(spark)
+    brute = sorted(
+        r.vec_id
+        for r in dedup_embedding_cosine(df, "vec_id", threshold=0.98).collect()
+    )
+    one_cell = sorted(
+        r.vec_id
+        for r in semdedup(
+            df, "vec_id", dim=dim, n_clusters=1, threshold=0.98
+        ).collect()
+    )
+    assert one_cell == brute
+
+    clustered = semdedup(df, "vec_id", dim=dim, n_clusters=8, threshold=0.98)
+    surv = sorted(r.vec_id for r in clustered.collect())
+    assert len(surv) < df.count()  # twins dropped
+    assert set(surv) <= set(range(df.count()))
+    # survivors of the clustered run are a superset of brute force:
+    # cell boundaries can only MISS pairs, never invent them
+    assert set(brute) <= set(surv)
+    plan = clustered._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # determinism
+    again = sorted(
+        r.vec_id
+        for r in semdedup(
+            df, "vec_id", dim=dim, n_clusters=8, threshold=0.98
+        ).collect()
+    )
+    assert again == surv
+
+
 def test_ivf_topk_deterministic_and_overlaps_exact(spark, sf_dir):
     """IVF ANN: deterministic (bounded lowest-key sample + stride init,
     no RNG), finds the query's own row, and overlaps the exact top-k."""
