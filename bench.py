@@ -37,6 +37,7 @@ from oscar_tools_spark.operators.dedup import (  # noqa: E402
     dedup_minhash_lsh,
     dedup_simhash_hamming,
     jaccard_pairs,
+    semdedup,
 )
 from oscar_tools_spark.operators.sampling import sample_by_budget  # noqa: E402
 from oscar_tools_spark.operators.similarity import topk_cosine  # noqa: E402
@@ -157,6 +158,14 @@ def main() -> None:
         "dedup_embedding",
         lambda: run_noop(
             dedup_embedding_lsh(emb, "vec_id", dim=64, threshold=0.98)
+        ),
+    )
+    # round-5: SemDeDup — k-means cells + within-cell cosine join (the
+    # data-adaptive sibling of the hyperplane-LSH path above)
+    timed(
+        "semdedup",
+        lambda: run_noop(
+            semdedup(emb, "vec_id", dim=64, n_clusters=16, threshold=0.98)
         ),
     )
     timed(
