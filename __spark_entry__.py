@@ -1133,7 +1133,7 @@ def q_topk_cosine_ann(spark, sf_dir):
     ivf = q_topk_cosine_ivf(spark, sf_dir).select(
         F.lit("ivf").alias("variant"), "vec_id"
     )
-    return lsh.unionAll(ivf)
+    return lsh.unionAll(ivf).orderBy("variant", "vec_id")
 
 
 def q_sample_budget_modes(spark, sf_dir):

@@ -268,11 +268,16 @@ def remove_boilerplate_lines(
     conversation-style regroup. No all-pairs, no window."""
     from ..plans.materialize import materialize
 
+    # coalesce: split(NULL) is NULL and posexplode(NULL) emits zero
+    # rows, which would silently erase null-text documents (no output
+    # row, no lineage) — null ≡ empty doc, same policy as the exact/
+    # incremental/simhash dedup family
+    text = F.coalesce(F.col(text_col), F.lit(""))
     lines = materialize(
         df.select(
             *key_cols,
-            F.size(F.split(F.col(text_col), "\n")).alias("_n0"),
-            F.posexplode(F.split(F.col(text_col), "\n")).alias("_idx", "_line"),
+            F.size(F.split(text, "\n")).alias("_n0"),
+            F.posexplode(F.split(text, "\n")).alias("_idx", "_line"),
         )
     )
     dfreq = (

@@ -103,6 +103,11 @@ def parse_media_header(payload: bytes | None) -> dict:
                 if b[i] != 0xFF:
                     break
                 marker = b[i + 1]
+                if marker == 0xFF:
+                    i += 1  # legal fill-byte padding before a marker
+                    continue
+                if marker == 0xD9:
+                    break  # EOI before any SOF — no dimensions
                 if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
                     i += 2  # standalone markers have no length field
                     continue

@@ -55,9 +55,12 @@ def pack_sequences(
     one executor's memory — the bucket count, not the executor count,
     is the real parallelism AND memory knob. ``n_buckets`` therefore
     auto-scales by default: ``ceil(count / target_bucket_rows)``
-    (floored at 64 so small inputs still parallelize), costing one
-    cheap count aggregation (no shuffle; a metadata count on parquet
-    sources). A 10^12-row corpus at the default 200k rows/bucket gets
+    (floored at 64 so small inputs still parallelize). The count is an
+    EXTRA Spark action over the input lineage — metadata-cheap on a
+    raw parquet scan, but a full recompute when the input is a derived
+    pipeline (filter/scrub compositions): persist such inputs first or
+    pass ``n_buckets`` explicitly to skip the count entirely. A
+    10^12-row corpus at the default 200k rows/bucket gets
     ~5M buckets of a few hundred MB each instead of a fixed 64 buckets
     of ~1.5 TB (the old default — an executor OOM at scale). Pass
     ``n_buckets`` explicitly to pin the layout (e.g. for reproducible

@@ -154,7 +154,7 @@ with synth as (select doc_id,
   case when doc_id % 7 = 0
        then chr(10) || 'rare ' || cast(doc_id % 97 as varchar) else '' end
   as text from documents),
-t as (select doc_id, string_split(text, chr(10)) as ls from synth),
+t as (select doc_id, string_split(coalesce(text, ''), chr(10)) as ls from synth),
 l as (select doc_id,
              unnest(list_transform(ls, (x, i) -> struct_pack(idx := i, line := x)),
                     recursive := true)
@@ -589,8 +589,13 @@ order by doc_id
 
 
 def q_simhash(bits: int = 32) -> str:
+    # coalesce mirrors simhash_table: null text hashes like the empty
+    # doc (one '' token) instead of yielding a NULL word list whose
+    # vote terms all fall to 0 — without it the h CTE (also reused by
+    # q_simhash_hamming_dedup) would diverge from Spark on null rows
     words = (
-        "list_distinct(string_split_regex(trim(regexp_replace(lower(text),"
+        "list_distinct(string_split_regex(trim(regexp_replace("
+        "lower(coalesce(text, '')),"
         " '[^a-z0-9\\s]', ' ', 'g')), '\\s+'))"
     )
     hashes = f"list_transform({words}, w -> ('0x' || substr(md5(w), 1, 8))::bigint)"

@@ -237,6 +237,24 @@ def test_simhash_exact_collision_dedup(spark):
     assert kept == [1, 3]
 
 
+def test_remove_boilerplate_null_text_not_erased(spark):
+    """Null-text docs survive boilerplate removal as empty docs (one
+    exempt empty line) instead of vanishing with no lineage row —
+    split(NULL) is NULL and posexplode(NULL) emits nothing."""
+    from oscar_tools_spark.operators.dedup import remove_boilerplate_lines
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "a\nb"), (3, "")], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.text, r.n_lines_removed)
+        for r in remove_boilerplate_lines(df, ["doc_id"]).collect()
+    }
+    assert got[1] == ("", 0)
+    assert got[2] == ("a\nb", 0)
+    assert got[3] == ("", 0)
+
+
 def test_simhash_null_text_not_erased(spark):
     """Null-text docs get a signature row (null ≡ empty doc) instead of
     vanishing through the inner join: the smallest-key null/empty doc

@@ -64,6 +64,23 @@ def test_parse_jpeg_marker_walk():
     assert (p["format"], p["width"], p["height"]) == ("jpeg", 1024, 768)
 
 
+def test_parse_jpeg_fill_bytes_and_midstream_eoi():
+    """ITU T.81 B.1.1.2 allows 0xFF fill bytes before any marker — the
+    walker must skip them, not read a bogus segment length; a
+    mid-stream EOI before any SOF terminates with null dims."""
+    padded = (
+        b"\xff\xd8" + b"\xff\xff\xff"  # fill bytes before the SOF marker
+        + b"\xc0" + (11).to_bytes(2, "big")
+        + bytes([8]) + (480).to_bytes(2, "big") + (640).to_bytes(2, "big")
+        + bytes([3, 1, 0x11, 0])
+    )
+    p = parse_media_header(padded)
+    assert (p["format"], p["width"], p["height"]) == ("jpeg", 640, 480)
+    eoi_first = b"\xff\xd8\xff\xd9" + b"\x00" * 16
+    p = parse_media_header(eoi_first)
+    assert (p["format"], p["width"], p["height"]) == ("jpeg", None, None)
+
+
 def test_parse_gif_golden():
     p = parse_media_header(GOLDEN_GIF_320x200)
     assert (p["format"], p["width"], p["height"]) == ("gif", 320, 200)
