@@ -1177,6 +1177,30 @@ def q_dedup_substring_modes(spark, sf_dir):
     return d.unionAll(e).orderBy("mode", "doc_id")
 
 
+def q_upsample_mixture(spark, sf_dir):
+    """Fractional-epoch UPSAMPLING mix (the Pile/GPT-3 shape): repeat
+    rows so group totals follow the 4:2:2:1:1 lang targets with the
+    most-overrepresented group kept exactly once. Anchor selection and
+    the per-group (base, threshold) pairs are exact integer arithmetic
+    (Python ints driver-side, hugeint in the DuckDB twin)."""
+    from oscar_tools_spark.operators.packing import upsample_to_mixture
+    from oscar_tools_spark.oracles import UPSAMPLE_TARGETS
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang")
+    return upsample_to_mixture(
+        docs, "lang", UPSAMPLE_TARGETS, key_cols=["doc_id"]
+    ).orderBy("lang", "doc_id", "copy_idx")
+
+
+def q_corpus_profile(spark, sf_dir):
+    """Per-language corpus profile: doc/char/token/tag counts fused
+    with the exact index-based length quantiles on the shared lang
+    grain (merges corpus_stats + length_profile)."""
+    stats = q_corpus_stats(spark, sf_dir)
+    prof = q_length_profile(spark, sf_dir).drop("n", "total")
+    return stats.join(prof, "lang").orderBy("lang")
+
+
 def q_semdedup(spark, sf_dir):
     """SemDeDup (Abbas et al. 2023): k-means-clustered embedding space,
     within-cluster cosine near-dup removal, lowest key survives
@@ -1214,7 +1238,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components_best": q_dedup_components_best,
         "dedup_components": q_dedup_components,
         "sentence_ids": q_sentence_ids,
-        "corpus_stats": q_corpus_stats,
+        "corpus_profile": q_corpus_profile,
+        "upsample_mixture": q_upsample_mixture,
         "simhash_hamming_dedup": q_simhash_hamming_dedup,
         "dedup_embedding": q_dedup_embedding,
         "media_features": q_media_features,
@@ -1261,7 +1286,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rebalance_mixture": q_rebalance_mixture,
         "vocab_stats": q_vocab_stats,
         "tfidf_top_terms": q_tfidf_top_terms,
-        "length_profile": q_length_profile,
         # -- sanctioned past-window tail (long-green; machinery covered
         #    by in-window entries; still in the local oracle gate)
         "sessionize": q_sessionize,
@@ -1274,7 +1298,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_components_best": O.q_dedup_components_best(),
         "dedup_components": O.q_dedup_components(),
         "sentence_ids": O.q_sentence_ids(),
-        "corpus_stats": O.q_corpus_stats(),
+        "corpus_profile": O.q_corpus_profile(),
+        "upsample_mixture": O.q_upsample_mixture(),
         "simhash_hamming_dedup": O.q_simhash_hamming_dedup(),
         # dedup_embedding / media_features / model_scores / semdedup /
         # topk_cosine_ann: rows-only (float cosines, binary payloads,
@@ -1320,7 +1345,6 @@ def oracle_sql() -> dict[str, str]:
         "rebalance_mixture": O.q_rebalance_mixture(),
         "vocab_stats": O.q_vocab_stats(),
         "tfidf_top_terms": O.q_tfidf_top_terms(),
-        "length_profile": O.q_length_profile(),
         "sessionize": O.q_sessionize(),
         "events_hourly": O.q_events_hourly(),
     }

@@ -196,3 +196,91 @@ def rebalance_to_mixture(
         .filter(F.col("_rk") <= quota_col)
         .drop("_rk")
     )
+
+
+def upsample_to_mixture(
+    df: DataFrame,
+    group_col: str,
+    targets: dict[str, int],
+    key_cols: list[str],
+    seed: int = 42,
+    copy_col: str = "copy_idx",
+) -> DataFrame:
+    """UPSAMPLING mixture assembly — the Pile/GPT-3-style fractional-
+    epoch mix, the complement of :func:`rebalance_to_mixture` (which
+    only downsamples): emit each row 1+ times so surviving group totals
+    follow ``targets`` (INTEGER weights; only ratios matter) while the
+    most-overrepresented group is kept exactly once (repeat factor 1 —
+    nothing is ever dropped or downsampled; groups absent from
+    ``targets`` are dropped).
+
+    With anchor H = argmax_g(n_g / t_g) (tie: smallest group name),
+    group g's exact repeat factor is f_g = (t_g * n_H) / (t_H * n_g)
+    >= 1. Each row repeats floor(f_g) times, plus one extra copy when
+    its uniform hash draw falls below the fractional remainder — the
+    repo's standard deterministic integer-threshold Bernoulli (see
+    sample_by_weight), so expected group totals hit the quota within
+    O(sqrt(n_g)) with NO rand() and bit-identical results across runs,
+    partitionings, and the DuckDB oracle. All division happens in
+    arbitrary-precision driver-side Python ints (DuckDB replays it in
+    hugeint) — no float in the count path.
+
+    Scale shape: ONE map-side-combinable group count (|groups| rows to
+    the driver), then a single narrow projection: literal CASE for
+    (base, threshold), hash draw, explode(sequence(1, copies)). No
+    shuffle beyond the count; copies >= 1 always, so the
+    sequence(1, 0) -> [1, 0] inference trap can't fire.
+
+    Output: key_cols + group_col + ``copy_col`` (1-based copy index;
+    (keys, copy_idx) is unique). Training consumers shuffle the result
+    by a hash of (keys, copy_idx) so repeats don't cluster.
+    """
+    if not targets:
+        raise ValueError("targets must be non-empty")
+    if any(t <= 0 or t != int(t) for t in targets.values()):
+        raise ValueError(f"targets must be positive integers, got {targets}")
+    present = (
+        df.filter(F.col(group_col).isin(list(targets)))
+        .groupBy(group_col)
+        .count()
+        .collect()
+    )
+    n_by_group = {r[group_col]: int(r["count"]) for r in present}
+    if not n_by_group:
+        raise ValueError("no rows in any target group")
+    # anchor = max n/t by integer cross-multiplication (no floats);
+    # scanning sorted names makes the tie-break the smallest name
+    anchor = sorted(n_by_group)[0]
+    for g in sorted(n_by_group):
+        if n_by_group[g] * targets[anchor] > n_by_group[anchor] * targets[g]:
+            anchor = g
+    n_h, t_h = n_by_group[anchor], targets[anchor]
+    base, thr = {}, {}
+    for g, n_g in n_by_group.items():
+        num, den = targets[g] * n_h, t_h * n_g
+        base[g] = num // den
+        thr[g] = ((num % den) << 32) // den  # in [0, 2^32)
+    from .sampling import uniform_hash32
+
+    base_col = F.coalesce(
+        *[F.when(F.col(group_col) == g, F.lit(b)) for g, b in sorted(base.items())],
+        F.lit(None),
+    )
+    thr_col = F.coalesce(
+        *[F.when(F.col(group_col) == g, F.lit(t)) for g, t in sorted(thr.items())],
+        F.lit(0),
+    )
+    draw = uniform_hash32([group_col, *key_cols], seed)
+    copies = (
+        base_col + F.when(draw < thr_col, F.lit(1)).otherwise(F.lit(0))
+    ).cast("bigint")
+    staged = df.select(*key_cols, group_col).withColumn("_copies", copies).filter(
+        F.col("_copies").isNotNull()
+    )
+    return staged.select(
+        *key_cols,
+        group_col,
+        F.explode(F.sequence(F.lit(1).cast("bigint"), F.col("_copies"))).alias(
+            copy_col
+        ),
+    )

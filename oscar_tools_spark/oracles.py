@@ -1354,3 +1354,53 @@ def q_dedup_substring_modes(gram_k: int = 20) -> str:
         f"{_sub(q_dedup_substring_excise(gram_k))}"
         "\norder by mode, doc_id"
     )
+
+
+UPSAMPLE_TARGETS = {"en": 4, "de": 2, "es": 2, "fr": 1, "zh": 1}
+
+
+def q_upsample_mixture(seed: int = 42) -> str:
+    """Twin of packing.upsample_to_mixture over (lang, doc_id): anchor
+    group (max n/t, tie = smallest lang, integer cross-compare via the
+    weight-LCM trick) repeats once; every other group repeats
+    floor(f_g) times + 1 when the uniform hash draw falls below the
+    hugeint-exact fractional threshold — the same arbitrary-precision
+    arithmetic the Spark side runs driver-side in Python ints."""
+    lcm = 4  # lcm of UPSAMPLE_TARGETS weights {4, 2, 1}
+    t_case = "case g " + " ".join(
+        f"when '{g}' then {w}" for g, w in sorted(UPSAMPLE_TARGETS.items())
+    ) + " end"
+    langs = ", ".join(f"'{g}'" for g in sorted(UPSAMPLE_TARGETS))
+    return f"""
+with c as (select lang as g, cast(count(*) as hugeint) as n
+           from documents where lang in ({langs}) group by lang),
+w as (select g, n, cast({t_case} as hugeint) as t from c),
+a as (select g as gh, n as nh, t as th from w
+      order by n * {lcm} / t desc, g limit 1),
+q as (select w.g,
+             (w.t * a.nh) // (a.th * w.n) as base,
+             (((w.t * a.nh) % (a.th * w.n)) * 4294967296::hugeint)
+               // (a.th * w.n) as thr
+      from w, a),
+r as (select d.doc_id, d.lang,
+             q.base + case when ('0x' || substr(md5(
+               '{seed}:' || d.lang || ':' || cast(d.doc_id as varchar)
+             ), 1, 8))::bigint < q.thr then 1 else 0 end as copies
+      from documents d join q on q.g = d.lang)
+select doc_id, lang, unnest(range(1, cast(copies as bigint) + 1)) as copy_idx
+from r order by lang, doc_id, copy_idx
+"""
+
+
+def q_corpus_profile() -> str:
+    """corpus_stats + length_profile fused on lang (same per-language
+    grain; the duplicate n/total columns are dropped in favor of
+    docs/chars)."""
+    return f"""
+select s.lang, s.docs, s.chars, s.tokens,
+       s.n_tiny, s.n_short_sentences, s.n_header, s.n_footer, s.n_noisy, s.n_adult,
+       l.mean, l.p5, l.p9, l.p99
+from {_sub(q_corpus_stats())} s
+join {_sub(q_length_profile())} l using (lang)
+order by s.lang
+"""

@@ -92,6 +92,57 @@ def test_pack_sequences_autoscales_buckets(spark):
         assert r.s <= 512 or r.n == 1
 
 
+def test_upsample_to_mixture_quotas_and_anchor(spark):
+    """Fractional-epoch upsampling: the most-overrepresented group is
+    emitted EXACTLY once per row (anchor, f=1); other groups repeat to
+    ~t_g/t_H-proportional totals; (key, copy) ids are unique; groups
+    absent from targets are dropped; deterministic under
+    repartitioning."""
+    import pytest
+
+    from oscar_tools_spark.operators.packing import upsample_to_mixture
+
+    rows = (
+        [("en", i) for i in range(200)]
+        + [("de", i) for i in range(40)]
+        + [("fr", i) for i in range(25)]
+        + [("xx", i) for i in range(10)]  # not in targets -> dropped
+    )
+    df = spark.createDataFrame(
+        [(g, i) for g, i in rows], "lang string, doc_id long"
+    )
+    targets = {"en": 2, "de": 1, "fr": 1}
+    out = upsample_to_mixture(df, "lang", targets, key_cols=["doc_id"])
+    counts = {r.lang: r["count"] for r in out.groupBy("lang").count().collect()}
+    # anchor = en (200/2 = 100 > 40/1, 25/1): kept exactly once per row
+    assert counts["en"] == 200
+    # de quota = 1 * 200 / 2 = 100 (f = 2.5), fr quota = 100 (f = 4.0
+    # exactly -> integer repeats, no Bernoulli slack)
+    assert counts["fr"] == 100
+    assert abs(counts["de"] - 100) <= 15  # Bernoulli tail on 40 rows
+    assert "xx" not in counts
+    # copy ids unique per (lang, doc_id)
+    assert (
+        out.groupBy("lang", "doc_id", "copy_idx").count().filter("count > 1").count()
+        == 0
+    )
+    # deterministic under repartition
+    a = sorted(map(tuple, out.collect()))
+    b = sorted(
+        map(
+            tuple,
+            upsample_to_mixture(
+                df.repartition(13), "lang", targets, key_cols=["doc_id"]
+            ).collect(),
+        )
+    )
+    assert a == b
+    with pytest.raises(ValueError, match="positive integers"):
+        upsample_to_mixture(df, "lang", {"en": 0.5}, key_cols=["doc_id"])
+    with pytest.raises(ValueError, match="non-empty"):
+        upsample_to_mixture(df, "lang", {}, key_cols=["doc_id"])
+
+
 def test_rebalance_to_mixture_quotas(spark):
     # en:200 de:60 fr:40 rows; targets 2:1:1 -> limiting group is de
     # (60/1=60 <= 200/2=100, 40/1=40) -> M=40 ... recompute: scales
