@@ -250,6 +250,19 @@ def q_url_blocklist(spark, sf_dir):
     )
 
 
+def q_url_pipeline(spark, sf_dir):
+    """URL curation pipeline in one driver row (merges canonical_url +
+    url_blocklist): canonicalized dedup key joined with the UT1-style
+    dot-suffix blocklist verdict per doc."""
+    c = q_canonical_url(spark, sf_dir)
+    b = q_url_blocklist(spark, sf_dir)
+    return (
+        c.join(b, "doc_id")
+        .select("doc_id", "url_canonical", "url_blocked")
+        .orderBy("doc_id")
+    )
+
+
 def q_quality_prob(spark, sf_dir):
     """CCNet/GPT-3-style hashed-logit quality scores. Trained on a
     deterministic split (pos = doc_id%7==0, neg = %7==1) — rows-only
@@ -799,6 +812,30 @@ def q_sessionize(spark, sf_dir, gap_seconds: int = 1800):
     )
 
 
+def q_events_analytics(spark, sf_dir):
+    """Event-stream analytics, section-tagged union (merges
+    events_hourly + sessionize into one driver row): tumbling-hour
+    counts + value sums per event type, and per-user session counts
+    (>30 min gap opens a new session). (section, key1, key2) is a
+    total order — hourly keys are unique per (hour, event_type),
+    session keys per user."""
+    h = q_events_hourly(spark, sf_dir).select(
+        F.lit("hourly").alias("section"),
+        F.col("hour").alias("key1"),
+        F.col("event_type").alias("key2"),
+        "n",
+        "value_sum",
+    )
+    s = q_sessionize(spark, sf_dir).select(
+        F.lit("sessions").alias("section"),
+        F.col("user_id").cast("string").alias("key1"),
+        F.lit(None).cast("string").alias("key2"),
+        F.col("n_sessions").alias("n"),
+        F.lit(None).cast("double").alias("value_sum"),
+    )
+    return h.unionAll(s).orderBy("section", "key1", "key2")
+
+
 def q_topk_per_lang(spark, sf_dir, k: int = 3):
     from pyspark.sql import Window as W
 
@@ -1263,8 +1300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lines": q_dedup_lines,
         "dedup_incremental_minhash": q_dedup_incremental_minhash,
         "dedup_convs_incremental": q_dedup_convs_incremental,
-        "url_blocklist": q_url_blocklist,
-        "canonical_url": q_canonical_url,
+        "url_pipeline": q_url_pipeline,
         "conversation_profile": q_conversation_profile,
         "validate_transcripts": q_validate_transcripts,
         "assign_split": q_assign_split,
@@ -1286,10 +1322,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rebalance_mixture": q_rebalance_mixture,
         "vocab_stats": q_vocab_stats,
         "tfidf_top_terms": q_tfidf_top_terms,
-        # -- sanctioned past-window tail (long-green; machinery covered
-        #    by in-window entries; still in the local oracle gate)
-        "sessionize": q_sessionize,
-        "events_hourly": q_events_hourly,
+        "events_analytics": q_events_analytics,
     }
 
 
@@ -1323,8 +1356,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_lines": O.q_dedup_lines(),
         "dedup_incremental_minhash": O.q_dedup_incremental_minhash(),
         "dedup_convs_incremental": O.q_dedup_convs_incremental(),
-        "url_blocklist": O.q_url_blocklist(),
-        "canonical_url": O.q_canonical_url(),
+        "url_pipeline": O.q_url_pipeline(),
         "conversation_profile": O.q_conversation_profile(),
         "validate_transcripts": O.q_validate_transcripts(),
         "assign_split": O.q_assign_split(),
@@ -1345,6 +1377,5 @@ def oracle_sql() -> dict[str, str]:
         "rebalance_mixture": O.q_rebalance_mixture(),
         "vocab_stats": O.q_vocab_stats(),
         "tfidf_top_terms": O.q_tfidf_top_terms(),
-        "sessionize": O.q_sessionize(),
-        "events_hourly": O.q_events_hourly(),
+        "events_analytics": O.q_events_analytics(),
     }

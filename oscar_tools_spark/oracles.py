@@ -740,6 +740,30 @@ from g group by user_id order by user_id
 """
 
 
+def q_events_analytics() -> str:
+    """Section-tagged union of the hourly rollup and sessionization
+    twins (merged driver entry; the parts keep their own generators)."""
+    return f"""
+select 'hourly' as section, hour as key1, event_type as key2, n, value_sum
+from ({q_events_hourly()})
+union all
+select 'sessions', cast(user_id as varchar), cast(null as varchar),
+       n_sessions, cast(null as double)
+from ({q_sessionize()})
+order by section, key1, key2
+"""
+
+
+def q_url_pipeline() -> str:
+    """Canonicalization + blocklist twins joined on doc_id (merged
+    driver entry)."""
+    return f"""
+select c.doc_id, c.url_canonical, b.url_blocked
+from ({q_canonical_url()}) c join ({q_url_blocklist()}) b using (doc_id)
+order by c.doc_id
+"""
+
+
 def q_topk_per_lang(k: int = 3) -> str:
     """Top-k docs by size per language (window top-k pattern)."""
     return f"""

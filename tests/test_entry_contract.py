@@ -11,7 +11,7 @@ import pytest
 import __spark_entry__ as E
 
 SF = "/root/testdata/sf0.001"
-SPOT_CHECK = ["annotate_scrub", "filter_matrix", "dedup_lines", "sessionize", "curation_pipeline"]
+SPOT_CHECK = ["annotate_scrub", "filter_matrix", "dedup_lines", "events_analytics", "url_pipeline", "curation_pipeline"]
 
 
 @pytest.fixture(scope="module")
@@ -61,11 +61,10 @@ def test_every_query_has_callable_and_oracle_alignment():
         # pytest-gated (test_dedup.py bloom invariants)
         "decontaminate_bloom",
     }
-    # the driver gate covers the first 50 entries: every rows-only or
-    # merged entry must sit inside the window; only the two sanctioned
-    # long-green basics may trail
+    # the driver gate covers the first 50 entries: the whole registry
+    # must fit so EVERY operator family gets a driver CORRECTNESS row
     order = list(q)
-    assert set(order[50:]) <= {"sessionize", "events_hourly"}, order[50:]
+    assert len(order) <= 50, order[50:]
 
 
 @pytest.mark.parametrize("name", SPOT_CHECK)
