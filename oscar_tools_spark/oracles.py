@@ -1251,6 +1251,28 @@ where rank <= {top_per_doc} order by doc_id, rank
 """
 
 
+def q_vocab_tfidf() -> str:
+    """vocab_stats + tfidf_top_terms tag-union (merged driver entry):
+    section 'vocab' = corpus top-100 grams re-ranked by (tf desc, gram)
+    with the doc frequency as the metric; section 'tfidf' = per-doc
+    top-5 salient grams with the tf-idf score as the metric.
+    (section, doc_id, rank) is a total order — vocab rows pin
+    doc_id = -1 (an explicit sentinel, NOT null: DuckDB sorts nulls
+    last and Spark first, so a null sort key would shuffle the two
+    engines' row orders apart)."""
+    return f"""
+select 'vocab' as section, cast(-1 as bigint) as doc_id,
+       cast(row_number() over (order by tf desc, gram) as bigint) as rank,
+       gram, tf, cast(df_docs as double) as metric
+from {_sub(q_vocab_stats())}
+union all
+select 'tfidf' as section, doc_id,
+       cast(rank as bigint) as rank, gram, tf, score as metric
+from {_sub(q_tfidf_top_terms())}
+order by section, doc_id, rank
+"""
+
+
 def q_length_profile(quantiles=(0.5, 0.9, 0.99)) -> str:
     """Index-based-quantile twin of stats.length_profile over
     (lang, n_chars): element at floor(q*(n-1)) in (value, doc_id)

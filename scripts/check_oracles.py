@@ -4,7 +4,7 @@ Runs every __spark_entry__ query against its DuckDB oracle at the given
 sf dir and compares row count, column names, dtypes (loosely), and
 order-insensitive values. Usage:
 
-    python scripts/check_oracles.py [sf_dir]
+    python scripts/check_oracles.py [sf_dir] [--only name,name,...]
 """
 
 from __future__ import annotations
@@ -36,7 +36,7 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns)).reset_index(drop=True)
 
 
-def main(sf_dir: str) -> int:
+def main(sf_dir: str, only: set[str] | None = None) -> int:
     spark = get_spark("oracle-check", cores=8, shuffle_partitions=8)
     con = duckdb.connect()
     for t in TABLES:
@@ -45,6 +45,11 @@ def main(sf_dir: str) -> int:
             con.sql(f"create view {t} as select * from read_parquet('{p}')")
 
     queries, oracles = E.queries(), E.oracle_sql()
+    if only:
+        unknown = only - set(queries)
+        if unknown:
+            raise SystemExit(f"unknown query names: {sorted(unknown)}")
+        queries = {k: v for k, v in queries.items() if k in only}
     failures = 0
     for name, fn in queries.items():
         try:
@@ -84,4 +89,10 @@ def main(sf_dir: str) -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"))
+    args = sys.argv[1:]
+    sel: set[str] | None = None
+    if "--only" in args:
+        i = args.index("--only")
+        sel = set(args[i + 1].split(","))
+        args = args[:i] + args[i + 2 :]
+    sys.exit(main(args[0] if args else "/root/testdata/sf0.001", sel))

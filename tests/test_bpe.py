@@ -1,0 +1,98 @@
+"""Byte-level BPE tokenizer: train determinism, distributed encode,
+round-trip totality, persistence, and the injectable encode seam.
+
+The round-trip check (decode(encode(t)) == t, byte-exact, for every
+row including unicode never seen at training time) is the module's
+end-to-end oracle — it needs no second engine, which is why
+``bpe_tokens`` is a rows-only registry entry."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from oscar_tools_spark.functions import bpe
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = (
+        [("the cat sat on the mat and the cat ate", i) for i in range(40)]
+        + [("héllo wörld __init__ 12345 !!", 100 + i) for i in range(10)]
+        + [(None, 200)]
+    )
+    return spark.createDataFrame(rows, "text string, doc_id long")
+
+
+@pytest.fixture(scope="module")
+def model(spark, corpus):
+    return bpe.train_bpe(corpus, vocab_size=256 + 64, sample_cap=1000)
+
+
+def test_train_deterministic(spark, corpus, model):
+    again = bpe.train_bpe(corpus, vocab_size=256 + 64, sample_cap=1000)
+    assert again["merges"] == model["merges"]
+    assert len(model["merges"]) <= 64
+    assert len(model["merges"]) > 0
+
+
+def test_pretokenize_tiles_everything():
+    rnd = random.Random(11)
+    pool = "ab AB 09 _-,.!/\\\n\t éü中文🙂  "
+    for _ in range(300):
+        s = "".join(rnd.choice(pool) for _ in range(rnd.randint(0, 80)))
+        assert "".join(bpe.pretokenize(s)) == s
+
+
+def test_roundtrip_and_counts_distributed(spark, corpus, model):
+    out = bpe.tokenize(corpus, model).select("doc_id", "text", "token_ids", "n_bpe_tokens")
+    rows = out.collect()
+    assert len(rows) == corpus.count()
+    for r in rows:
+        want = r.text or ""
+        assert bpe.decode(r.token_ids, model) == want
+        assert r.n_bpe_tokens == len(r.token_ids)
+        assert r.n_bpe_tokens <= len(want.encode("utf-8"))
+    # in-domain text actually compresses (merges fired)
+    trained = [r for r in rows if r.text and "cat" in r.text][0]
+    assert trained.n_bpe_tokens < len(trained.text.encode("utf-8"))
+
+
+def test_unseen_unicode_still_total(spark, model):
+    df = spark.createDataFrame([("Ωmega ¡nuevo! 🙃🙃   x",)], "text string")
+    r = bpe.tokenize(df, model).first()
+    assert bpe.decode(r.token_ids, model) == r.text
+
+
+def test_save_load_roundtrip(tmp_path, model):
+    p = str(tmp_path / "bpe.json")
+    bpe.save_bpe(model, p)
+    loaded = bpe.load_bpe(p)
+    assert loaded["merges"] == model["merges"]
+    assert loaded["vocab_size"] == model["vocab_size"]
+    s = "the cat ate thé çat"
+    assert bpe.encode(s, loaded) == bpe.encode(s, model)
+
+
+def test_encode_seam_swaps_cleanly(spark, model):
+    """A native-tokenizer stand-in rides the same plan: the injected
+    batch fn sees the raw text and its output lands in token_ids."""
+    df = spark.createDataFrame([("ab", 1), ("c", 2)], "text string, doc_id long")
+
+    def fake_batch(texts):
+        return [[len(t)] for t in texts]
+
+    rows = {
+        r.doc_id: r.token_ids
+        for r in bpe.tokenize(df, model, encode_batch=fake_batch).collect()
+    }
+    assert rows == {1: [2], 2: [1]}
+
+
+def test_vocab_ids_are_positional(model):
+    vocab = bpe.vocab_of(model)
+    assert vocab[0] == b"\x00" and vocab[255] == b"\xff"
+    for i, (a, b) in enumerate(model["merges"]):
+        assert vocab[256 + i] == a + b

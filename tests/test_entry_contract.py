@@ -47,6 +47,9 @@ def test_every_query_has_callable_and_oracle_alignment():
     assert len(q) >= 25
     rows_only = set(q) - set(o)
     assert rows_only == {
+        # iterative BPE merge loop has no SQL twin; byte-exact
+        # decode(encode(t)) == t round-trip gated in test_bpe.py
+        "bpe_tokens",
         "dedup_embedding",
         "media_features",
         # fused trained-model scorers (langid label, perplexity,
