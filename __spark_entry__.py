@@ -252,12 +252,48 @@ def q_url_blocklist(spark, sf_dir):
 
 def q_url_pipeline(spark, sf_dir):
     """URL curation pipeline in one driver row (merges canonical_url +
-    url_blocklist): canonicalized dedup key joined with the UT1-style
-    dot-suffix blocklist verdict per doc."""
-    c = q_canonical_url(spark, sf_dir)
-    b = q_url_blocklist(spark, sf_dir)
+    url_blocklist): canonicalized dedup key + UT1-style dot-suffix
+    blocklist verdict per doc. Both synthetic URL columns are built in
+    ONE projection of docs, so the only frame consumed twice is that
+    narrow (doc_id, source) projection inside annotate_url_blocklist —
+    no doc_id re-join of two independent docs scans (the pre-r5 shape
+    cost 3 scans + a shuffle join)."""
+    from oscar_tools_spark.operators.urlblock import (
+        annotate_url_blocklist,
+        canonical_url_expr,
+    )
+
+    docs = _docs(spark, sf_dir)
+    host_c = F.concat(
+        F.lit("example"), (F.col("doc_id") % 20).cast("string"), F.lit(".com")
+    )
+    path = F.concat(F.lit("/p/"), F.col("doc_id").cast("string"))
+    m = F.col("doc_id") % 5
+    url_c = (
+        F.when(m == 0, F.concat(F.lit("https://www."), host_c, path, F.lit("/")))
+        .when(m == 1, F.concat(F.lit("https://"), host_c, path, F.lit("#frag")))
+        .when(m == 2, F.concat(F.lit("https://"), host_c, F.lit(":443"), path))
+        .when(m == 3, F.concat(F.lit("https://"), host_c, path, F.lit("?")))
+        .otherwise(F.concat(F.lit("https://"), host_c, path))
+    )
+    url_b = F.concat(
+        F.lit("https://w"),
+        (F.col("doc_id") % 3).cast("string"),
+        F.lit("."),
+        F.col("source"),
+        F.lit(".example."),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("com")).otherwise(F.lit("org")),
+        F.lit("/p/"),
+        F.col("doc_id").cast("string"),
+    )
+    u = docs.select(
+        "doc_id",
+        canonical_url_expr(url_c).alias("url_canonical"),
+        url_b.alias("url"),
+    )
+    bl = spark.createDataFrame([(d,) for d in O.URL_BLOCKLIST], "domain string")
     return (
-        c.join(b, "doc_id")
+        annotate_url_blocklist(u, bl, ["doc_id"])
         .select("doc_id", "url_canonical", "url_blocked")
         .orderBy("doc_id")
     )

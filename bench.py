@@ -215,6 +215,22 @@ def main() -> None:
         "remove_boilerplate",
         lambda: run_noop(E.q_remove_boilerplate(spark, sf_dir)),
     )
+    # round-5: byte-level BPE encode of every turn. Training is
+    # driver-side on a capped sample (a fixed cost, excluded); the
+    # timed path is the Arrow-batched word-cached encode UDF — the
+    # real token counts packing/mixture budgeting consume.
+    from oscar_tools_spark.functions.bpe import tokenize, train_bpe
+
+    if only_set is None or "bpe_encode" in only_set:
+        bpe_model = train_bpe(docs, vocab_size=256 + 128, sample_cap=500)
+        timed(
+            "bpe_encode",
+            lambda: run_noop(
+                tokenize(transcripts, bpe_model).select(
+                    "conv_id", "turn_idx", "n_bpe_tokens"
+                )
+            ),
+        )
     # per-line langid over the transcripts table — the per-line hot path
     # (staged zip_with shape; the inline-HOF form measured 4x slower)
     timed(

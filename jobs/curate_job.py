@@ -16,6 +16,15 @@ from __future__ import annotations
 
 import argparse
 import json
+import sys
+from pathlib import Path
+
+# `spark-submit --py-files oscar_tools_spark.zip` puts the package on
+# sys.path; for a bare `python jobs/curate_job.py` run sys.path[0] is
+# jobs/ (the script dir), so add the repo root as a fallback
+_REPO_ROOT = str(Path(__file__).resolve().parent.parent)
+if _REPO_ROOT not in sys.path:
+    sys.path.append(_REPO_ROOT)
 
 from pyspark.sql import SparkSession
 
@@ -56,6 +65,11 @@ def main() -> None:
                     "when set, turns are scored post-scrub and those below "
                     "--quality-min are dropped (quality_prob kept as lineage)")
     ap.add_argument("--quality-min", type=float, default=0.5)
+    ap.add_argument("--bpe-model", default=None,
+                    help="JSON artifact from bpe.save_bpe; when set, every "
+                    "kept turn gets an n_bpe_tokens column (real tokenizer "
+                    "token counts for downstream packing / mixture "
+                    "budgeting) — one extra Arrow pass, no shuffle")
     ap.add_argument("--structural-filter", action="store_true",
                     help="drop whole malformed conversations before curation "
                     "(< --min-turns turns, missing user/assistant roles); "
@@ -162,6 +176,12 @@ def main() -> None:
 
         qmodel = load_model(args.quality_model)
 
+    bmodel = None
+    if args.bpe_model:
+        from oscar_tools_spark.functions.bpe import load_bpe
+
+        bmodel = load_bpe(args.bpe_model)
+
     def transform(part):
         out = curate(part, cfg)
         if qmodel is not None:
@@ -172,6 +192,12 @@ def main() -> None:
             out = score_quality(out, qmodel).filter(
                 F.col("quality_prob") >= args.quality_min
             )
+        if bmodel is not None:
+            from oscar_tools_spark.functions.bpe import tokenize
+
+            # counts only: the ids array would multiply the output
+            # volume; column pruning drops it before the write
+            out = tokenize(out, bmodel).drop("token_ids")
         if args.partitions:
             out = repartition_conversations(out, args.partitions)
         return out

@@ -96,3 +96,31 @@ def test_vocab_ids_are_positional(model):
     assert vocab[0] == b"\x00" and vocab[255] == b"\xff"
     for i, (a, b) in enumerate(model["merges"]):
         assert vocab[256 + i] == a + b
+
+
+def test_tokenize_works_on_streams(spark, model, tmp_path):
+    """The encode UDF is a stateless projection, so the SAME tokenize()
+    must run unchanged under Structured Streaming (batch/stream
+    unification — the repo's standing contract for stateless ops)."""
+    src = tmp_path / "src"
+    src.mkdir()
+    spark.createDataFrame(
+        [(1, "the cat sat"), (2, "on the mat")], "doc_id long, text string"
+    ).write.parquet(str(src / "p1"))
+    stream = spark.readStream.schema("doc_id long, text string").parquet(
+        str(src / "*")
+    )
+    q = (
+        bpe.tokenize(stream, model)
+        .writeStream.format("memory")
+        .queryName("bpe_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = {r.doc_id: r for r in spark.sql("select * from bpe_stream").collect()}
+    assert set(got) == {1, 2}
+    for doc_id, r in got.items():
+        assert bpe.decode(r.token_ids, model) == ("the cat sat" if doc_id == 1 else "on the mat")
+        assert r.n_bpe_tokens == len(r.token_ids)

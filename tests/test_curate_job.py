@@ -203,3 +203,29 @@ def test_job_validate_flag(spark, transcripts_path, tmp_path, capsys):
             ["--input", dup_path, "--output", str(tmp_path / "o2"),
              "--no-model", "--no-resume", "--validate"],
         )
+
+
+def test_job_bpe_model_artifact(spark, transcripts_path, tmp_path, capsys):
+    """Train -> save_bpe JSON artifact -> the job loads it and appends
+    n_bpe_tokens (counts only; the ids array is pruned before the
+    write) to every kept turn."""
+    from oscar_tools_spark.functions.bpe import encode, load_bpe, save_bpe, train_bpe
+
+    src = spark.read.parquet(transcripts_path)
+    model = train_bpe(src, vocab_size=256 + 32, sample_cap=100)
+    mpath = str(tmp_path / "bpe.json")
+    save_bpe(model, mpath)
+    out_path = str(tmp_path / "out")
+    _run_job(
+        capsys,
+        ["--input", transcripts_path, "--output", out_path,
+         "--no-model", "--no-resume", "--bpe-model", mpath],
+    )
+    out = spark.read.parquet(out_path)
+    assert "n_bpe_tokens" in out.columns
+    assert "token_ids" not in out.columns
+    rows = out.select("text", "n_bpe_tokens").limit(20).collect()
+    assert rows
+    loaded = load_bpe(mpath)
+    for r in rows:
+        assert r.n_bpe_tokens == len(encode(r.text, loaded))
