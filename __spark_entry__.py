@@ -1347,6 +1347,89 @@ def q_semdedup(spark, sf_dir):
     )
 
 
+def q_conversation_repair(spark, sf_dir):
+    """Transcript repair chain: merge runs of consecutive same-role
+    turns (streamed-chunk / retried-tool artifacts), then truncate each
+    conversation to the longest prefix fitting a 150-token budget
+    (context-window packing at a turn boundary). Pseudo-transcripts
+    map documents deterministically (conv = doc_id//10, a fixed
+    10-slot role pattern, planted null roles %83 / null texts %89 to
+    pin the null-safety semantics). One window + one regrouping per
+    stage, all keyed on the conversation."""
+    from oscar_tools_spark.operators.transcripts import (
+        merge_consecutive_roles,
+        truncate_to_token_budget,
+    )
+
+    roles = ["user", "assistant", "assistant", "user", "tool",
+             "tool", "assistant", "user", "assistant", "assistant"]
+    r = (F.col("doc_id") % 10).cast("int")
+    t = _docs(spark, sf_dir).select(
+        F.floor(F.col("doc_id") / 10).cast("bigint").alias("conv_id"),
+        r.alias("turn_idx"),
+        F.when(F.col("doc_id") % 83 == 0, F.lit(None).cast("string"))
+        .otherwise(F.element_at(F.array(*[F.lit(x) for x in roles]), r + 1))
+        .alias("role"),
+        F.when(F.col("doc_id") % 89 == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return truncate_to_token_budget(
+        merge_consecutive_roles(t), budget=150
+    ).orderBy("conv_id", "turn_idx")
+
+
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance resampling (Xie et al. 2023): smoothed hashed-
+    unigram log-likelihood ratios fit on target (source='src0') vs the
+    raw corpus, exact bigint micro-nat scores per doc, deterministic
+    top-100 selection. Fit = two B-bounded aggregations (eager);
+    scoring = one explode -> broadcast join -> doc-keyed sum."""
+    from oscar_tools_spark.operators.dsir import (
+        dsir_select,
+        fit_dsir_log_ratios,
+        score_dsir,
+    )
+
+    docs = _docs(spark, sf_dir)
+    lam = fit_dsir_log_ratios(
+        docs, docs.filter(F.col("source") == "src0"), n_buckets=512
+    )
+    return dsir_select(score_dsir(docs, lam), 100)
+
+
+def q_sample_strategies(spark, sf_dir):
+    """Stratified per-group budget + quality-weighted Bernoulli
+    sampling fused into one tagged driver row (one window slot for
+    both strategies; each remains individually benched/tested)."""
+    a = q_sample_per_group(spark, sf_dir).select(
+        F.lit("per_group").alias("mode"), "doc_id"
+    )
+    b = q_sample_weighted(spark, sf_dir).select(
+        F.lit("weighted").alias("mode"), "doc_id"
+    )
+    return a.unionAll(b).orderBy("mode", "doc_id")
+
+
+def q_decontamination(spark, sf_dir):
+    """Benchmark decontamination + per-item leak audit fused into one
+    tagged driver row: 'kept' rows = surviving corpus ids (audit
+    columns zeroed), 'leak' rows = per-benchmark-item counts."""
+    k = q_decontaminate(spark, sf_dir).select(
+        F.lit("kept").alias("part"),
+        F.col("doc_id").alias("id"),
+        F.lit(0).cast("bigint").alias("n_docs"),
+        F.lit(0).cast("bigint").alias("n_shingles_leaked"),
+    )
+    leak = q_contamination_report(spark, sf_dir).select(
+        F.lit("leak").alias("part"),
+        F.col("bench_id").alias("id"),
+        F.col("n_docs"),
+        F.col("n_shingles_leaked"),
+    )
+    return k.unionAll(leak).orderBy("part", "id")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_curation_pipeline(spark, "/root/testdata/sf0.001")
@@ -1363,6 +1446,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     remain as bench/pytest surfaces."""
     return {
         # -- never driver-checked before r5, newest, or changed this round
+        "conversation_repair": q_conversation_repair,
+        "dsir_weights": q_dsir_weights,
         "bpe_tokens": q_bpe_tokens,
         "vocab_tfidf": q_vocab_tfidf,
         "dedup_components_best": q_dedup_components_best,
@@ -1404,14 +1489,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "update_lang_codes": q_update_lang_codes,
         "topk_cosine_ids": q_topk_cosine_ids,
         "repetition_stats": q_repetition_stats,
-        "decontaminate": q_decontaminate,
-        "contamination_report": q_contamination_report,
+        "decontamination": q_decontamination,
         "decontaminate_bloom": q_decontaminate_bloom,
         "curation_funnel": q_curation_funnel,
-        "sample_per_group": q_sample_per_group,
+        "sample_strategies": q_sample_strategies,
         "gopher_quality": q_gopher_quality,
         "c4_clean": q_c4_clean,
-        "sample_weighted": q_sample_weighted,
         "rebalance_mixture": q_rebalance_mixture,
         "events_analytics": q_events_analytics,
     }
@@ -1419,6 +1502,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "conversation_repair": O.q_conversation_repair(),
+        "dsir_weights": O.q_dsir_weights(),
         # bpe_tokens: rows-only — the iterative BPE merge loop has no
         # SQL twin; byte-exact round-trip is the pytest oracle
         "vocab_tfidf": O.q_vocab_tfidf(),
@@ -1461,13 +1546,11 @@ def oracle_sql() -> dict[str, str]:
         "update_lang_codes": O.q_update_lang_codes(),
         "topk_cosine_ids": O.q_topk_cosine_ids(),
         "repetition_stats": O.q_repetition_stats(),
-        "decontaminate": O.q_decontaminate(),
-        "contamination_report": O.q_contamination_report(),
+        "decontamination": O.q_decontamination(),
         "curation_funnel": O.q_curation_funnel(),
-        "sample_per_group": O.q_sample_budget_per_group(SAMPLE_BUDGET),
+        "sample_strategies": O.q_sample_strategies(SAMPLE_BUDGET),
         "gopher_quality": O.q_gopher_quality(),
         "c4_clean": O.q_c4_clean(),
-        "sample_weighted": O.q_sample_weighted(),
         "rebalance_mixture": O.q_rebalance_mixture(),
         "events_analytics": O.q_events_analytics(),
     }

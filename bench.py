@@ -231,6 +231,40 @@ def main() -> None:
                 )
             ),
         )
+    # round-5: transcript repair over the REAL transcripts table —
+    # merge consecutive same-role runs (one window + one regroup, a
+    # single conv-keyed shuffle) then truncate each conversation to a
+    # 2048-token prefix (one running-sum window on the same key)
+    from oscar_tools_spark.operators.transcripts import (
+        merge_consecutive_roles,
+        truncate_to_token_budget,
+    )
+
+    timed(
+        "transcript_repair",
+        lambda: run_noop(
+            truncate_to_token_budget(
+                merge_consecutive_roles(transcripts), budget=2048
+            )
+        ),
+    )
+    # round-5: DSIR importance scoring — fit is two B-bounded bucket
+    # aggregations (eager, included in the timing: it is part of the
+    # operator's real cost), scoring is one explode -> broadcast join
+    # -> doc-keyed sum
+    from oscar_tools_spark.operators.dsir import (
+        dsir_select,
+        fit_dsir_log_ratios,
+        score_dsir,
+    )
+
+    def _dsir():
+        lam = fit_dsir_log_ratios(
+            docs, docs.filter(F.col("source") == "src0"), n_buckets=4096
+        )
+        run_noop(dsir_select(score_dsir(docs, lam), 10_000))
+
+    timed("dsir_select", _dsir)
     # per-line langid over the transcripts table — the per-line hot path
     # (staged zip_with shape; the inline-HOF form measured 4x slower)
     timed(

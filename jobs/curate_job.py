@@ -70,6 +70,16 @@ def main() -> None:
                     "kept turn gets an n_bpe_tokens column (real tokenizer "
                     "token counts for downstream packing / mixture "
                     "budgeting) — one extra Arrow pass, no shuffle")
+    ap.add_argument("--merge-roles", action="store_true",
+                    help="repair transcripts BEFORE curation: collapse runs "
+                    "of consecutive same-role turns into one turn (streamed-"
+                    "chunk / retried-tool artifacts) and re-index turn_idx "
+                    "contiguously — one conversation-keyed shuffle")
+    ap.add_argument("--truncate-tokens", type=int, default=0,
+                    help="keep only the longest prefix of each KEPT "
+                    "conversation fitting this token budget (turn-boundary "
+                    "context-window packing; uses n_bpe_tokens when "
+                    "--bpe-model is set, else whitespace counts); 0 = off")
     ap.add_argument("--structural-filter", action="store_true",
                     help="drop whole malformed conversations before curation "
                     "(< --min-turns turns, missing user/assistant roles); "
@@ -158,6 +168,15 @@ def main() -> None:
         df = filter_conversations(
             df, min_turns=args.min_turns, require_roles=("user", "assistant")
         )
+    if args.merge_roles:
+        from oscar_tools_spark.operators.transcripts import merge_consecutive_roles
+
+        # repair before curation so per-turn annotations/scrubs see the
+        # final turn boundaries. The merge regroups to (conv_id,
+        # turn_idx, role, text [, n_merged]); other input columns don't
+        # survive a row merge, so it requires the bare transcript shape
+        keep = [c for c in ("conv_id", "turn_idx", "role", "text") if c in df.columns]
+        df = merge_consecutive_roles(df.select(*keep)).drop("n_merged")
     if args.emit_digests:
         from oscar_tools_spark.operators.dedup import conversation_digests
 
@@ -198,6 +217,18 @@ def main() -> None:
             # counts only: the ids array would multiply the output
             # volume; column pruning drops it before the write
             out = tokenize(out, bmodel).drop("token_ids")
+        if args.truncate_tokens > 0:
+            from oscar_tools_spark.operators.transcripts import (
+                truncate_to_token_budget,
+            )
+
+            # after curation/BPE so the budget sees the turns that will
+            # actually ship; conversation-local, so bucket-safe
+            out = truncate_to_token_budget(
+                out,
+                budget=args.truncate_tokens,
+                tokens_col="n_bpe_tokens" if bmodel is not None else None,
+            )
         if args.partitions:
             out = repartition_conversations(out, args.partitions)
         return out

@@ -1,0 +1,154 @@
+"""DSIR-style data selection: hashed n-gram importance resampling.
+
+Public method (Xie et al. 2023, "Data Selection for Language Models
+via Importance Resampling"): estimate how target-like each raw-corpus
+document is by the log-likelihood ratio of its hashed n-gram features
+under bag-of-words models fit on a TARGET sample vs the RAW source,
+then keep the highest-weight documents. This is the standard
+domain-targeting step of a pretraining pipeline (e.g. select
+Wikipedia/book-like documents out of a web crawl) and complements the
+discriminative quality classifier (functions/quality_classifier.py):
+DSIR is generative (two smoothed unigram models, no training loop) and
+its weights have a probabilistic resampling interpretation.
+
+Determinism & cross-engine parity: features are word k-grams (the
+repo-wide normalization from vocab.word_grams_expr) hashed into
+``n_buckets`` via the md5-prefix idiom shared with the DuckDB oracles.
+The per-bucket log ratio uses add-one smoothing and is computed as
+
+    lam(b) = ln( ((ct_b + 1) * (S + B)) / ((cs_b + 1) * (T + B)) )
+
+— ONE ln of an exactly-representable double ratio (integer products
+stay far below 2**53 at test scale; the driver-side fit uses Python
+arbitrary-precision ints, so no overflow at any scale), then frozen to
+micro-nats: lam_micro = floor(lam * 1e6 + 0.5). Per-document scores
+are SUMS OF BIGINTS — exact, order-independent, hash-matchable against
+the DuckDB oracle (both engines call glibc ln on identical doubles).
+
+Scale shape: the fit is two bucket-count aggregations (explode ->
+groupBy(bucket), map-side combinable, B-bounded output) collected as
+B-row arrays (bounded driver collect, ~64 KiB at B=4096); scoring is
+one explode -> broadcast equi-join against the B-row lambda table ->
+groupBy(doc) sum — a single doc-keyed shuffle, no cartesians, no
+Python in the hot path. At 10^12 turns the only full-corpus passes are
+the source-count aggregation and the scoring pass.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .vocab import word_grams_expr
+
+
+def gram_bucket_expr(gram: Column, n_buckets: int) -> Column:
+    """md5-prefix hash bucket in [0, n_buckets) — the repo-wide
+    cross-engine idiom (DuckDB: ('0x'||substr(md5(g),1,8))::bigint %
+    B)."""
+    return (
+        F.conv(F.substring(F.md5(gram), 1, 8), 16, 10).cast("bigint")
+        % F.lit(int(n_buckets))
+    )
+
+
+def _bucket_counts(
+    df: DataFrame, text_col: str, n_buckets: int, k: int
+) -> list[int]:
+    """Dense length-B occurrence counts of hashed k-gram features.
+    Distributed explode+groupBy; the collect is B rows (bounded)."""
+    rows = (
+        df.select(F.explode(word_grams_expr(F.col(text_col), k)).alias("_g"))
+        .select(gram_bucket_expr(F.col("_g"), n_buckets).alias("_b"))
+        .groupBy("_b")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .collect()
+    )
+    counts = [0] * n_buckets
+    for r in rows:
+        counts[r["_b"]] = r["_n"]
+    return counts
+
+
+def fit_dsir_log_ratios(
+    source_df: DataFrame,
+    target_df: DataFrame,
+    text_col: str = "text",
+    n_buckets: int = 4096,
+    k: int = 1,
+) -> list[int]:
+    """Fit the per-bucket importance log-ratios: list of B ints,
+    lam_micro[b] = floor(1e6 * ln(p_target(b) / p_source(b)) + 0.5)
+    under add-one smoothing. Python-int products (exact at any corpus
+    size); the int/int division is correctly rounded to double, so the
+    DuckDB oracle reproduces every value bit-for-bit at test scale."""
+    ct = _bucket_counts(target_df, text_col, n_buckets, k)
+    cs = _bucket_counts(source_df, text_col, n_buckets, k)
+    T, S, B = sum(ct), sum(cs), n_buckets
+    return [
+        math.floor(
+            1e6 * math.log(((ct[b] + 1) * (S + B)) / ((cs[b] + 1) * (T + B)))
+            + 0.5
+        )
+        for b in range(B)
+    ]
+
+
+def score_dsir(
+    df: DataFrame,
+    lam_micro: list[int],
+    text_col: str = "text",
+    key_cols: tuple[str, ...] = ("doc_id",),
+    k: int = 1,
+) -> DataFrame:
+    """Per-document DSIR importance score: key cols + ``n_feats``
+    (k-gram occurrences) + ``score_micro`` (bigint sum of bucket
+    log-ratios in micro-nats; divide by 1e6 for nats). Documents with
+    no features score 0 (log-ratio of an empty product).
+
+    ONE corpus scan: explode_outer (a featureless document keeps a
+    null-bucket row, so it still gets a score-0 output row) -> LEFT
+    broadcast join on the B-row lambda table -> doc-keyed sum. Real
+    buckets never miss the join (the table is dense over [0, B));
+    only the null-bucket sentinel rows do."""
+    spark = df.sparkSession
+    B = len(lam_micro)
+    lam = spark.createDataFrame(
+        [(b, int(v)) for b, v in enumerate(lam_micro)], "_b bigint, _lam bigint"
+    )
+    keys = [F.col(c) for c in key_cols]
+    feats = df.select(
+        *keys, F.explode_outer(word_grams_expr(F.col(text_col), k)).alias("_g")
+    ).select(
+        *key_cols,
+        F.when(
+            F.col("_g").isNotNull(), gram_bucket_expr(F.col("_g"), B)
+        ).alias("_b"),
+    )
+    return (
+        feats.join(F.broadcast(lam), "_b", "left")
+        .groupBy(*key_cols)
+        .agg(
+            F.count("_b").cast("bigint").alias("n_feats"),
+            F.coalesce(F.sum("_lam"), F.lit(0))
+            .cast("bigint")
+            .alias("score_micro"),
+        )
+    )
+
+
+def dsir_select(
+    scored: DataFrame,
+    n: int,
+    key_cols: tuple[str, ...] = ("doc_id",),
+) -> DataFrame:
+    """Keep the ``n`` most target-like documents by (score desc, keys)
+    — the deterministic hard-top-k variant of DSIR's Gumbel resampling
+    (the paper's noisy draw exists for diversity; a deterministic
+    pipeline wants reproducible selection). Compiles to
+    TakeOrderedAndProject: per-partition top-n, driver merge, no global
+    sort."""
+    order = [F.col("score_micro").desc(), *[F.col(c) for c in key_cols]]
+    return scored.orderBy(*order).limit(int(n))

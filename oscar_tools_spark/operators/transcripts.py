@@ -147,3 +147,128 @@ def validate_transcripts(
         F.sum(dup).cast("bigint").alias("n_dup_turn_keys"),
         F.sum(noncontig).cast("bigint").alias("n_noncontiguous_convs"),
     )
+
+
+def merge_consecutive_roles(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    sep: str = "\n",
+    carry_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Transcript repair: collapse runs of consecutive same-role turns
+    into one turn (texts joined by ``sep`` in stable ``turn_col``
+    order) and re-index ``turn_col`` contiguously from 0. Consecutive
+    same-role turns are a near-universal artifact of transcript
+    ingestion (streamed assistant chunks, retried tool calls) and most
+    chat-format trainers require strict alternation.
+
+    Scale shape: one window (run-change flags + running run id, both
+    over the same (conv, turn) ordering — a single Window exec) and one
+    groupBy on (conv, run); Spark reuses the window's hash partitioning
+    on ``conv_col`` for the aggregation, so the whole repair costs ONE
+    shuffle. Null roles are handled null-safely (a run of NULL roles
+    merges like any other run); null texts are skipped by array_join,
+    and an all-null run yields '' (matching the oracle's
+    coalesce(string_agg ..., '')).
+    """
+    w = Window.partitionBy(conv_col).orderBy(turn_col)
+    # the first turn always opens a run: a bare lag-comparison can't
+    # see it when the first role is NULL (eqNullSafe(NULL, lag=NULL)
+    # is true), so gate on row_number — same window spec, so both
+    # functions run in ONE Window exec
+    runs = df.withColumn(
+        "_chg",
+        F.when(F.row_number().over(w) == 1, F.lit(1))
+        .otherwise(
+            (~F.col(role_col).eqNullSafe(F.lag(role_col).over(w))).cast("int")
+        )
+        .cast("bigint"),
+    ).withColumn("_run", F.sum("_chg").over(w))
+    return (
+        runs.groupBy(conv_col, "_run")
+        .agg(
+            # roles are constant within a run by construction (the run
+            # id increments on every null-safe role change), so max()
+            # IS the run's role — and max-of-all-NULL is NULL in both
+            # Spark and DuckDB, unlike min_by/arg_min null handling
+            F.max(F.col(role_col)).alias(role_col),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col(turn_col).alias("t"),
+                                F.col(text_col).alias("x"),
+                            )
+                        )
+                    ),
+                    lambda s: s.getField("x"),
+                ),
+                sep,
+            ).alias(text_col),
+            F.count(F.lit(1)).alias("n_merged"),
+            # lineage passthrough (e.g. source_part): min() is
+            # deterministic and consecutive turns almost always share it
+            *[F.min(F.col(c)).alias(c) for c in carry_cols],
+        )
+        .select(
+            conv_col,
+            (F.col("_run") - 1).cast("int").alias(turn_col),
+            role_col,
+            text_col,
+            "n_merged",
+            *carry_cols,
+        )
+    )
+
+
+def truncate_to_token_budget(
+    df: DataFrame,
+    budget: int,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    tokens_col: str | None = None,
+    text_col: str = "text",
+    keep_first: bool = True,
+) -> DataFrame:
+    """Keep the longest PREFIX of each conversation whose cumulative
+    token count fits ``budget`` — the context-window packing rule for
+    transcript training data (truncate at a turn boundary, never
+    mid-turn). Token counts come from ``tokens_col`` when given (e.g.
+    ``n_bpe_tokens`` from the BPE pass) else whitespace word counts of
+    ``text_col``. ``keep_first`` always retains each conversation's
+    first turn even if it alone exceeds the budget (so no conversation
+    silently vanishes; drop oversized ones explicitly with
+    filter_conversations / gopher rules instead).
+
+    Adds ``n_tokens`` (this turn) and ``cum_tokens`` (running total
+    including this turn). Scale shape: one running-sum window keyed on
+    the conversation — a single shuffle, no joins, map-side prunable.
+    """
+    if tokens_col is not None:
+        tok = F.col(tokens_col).cast("bigint")
+    else:
+        # whitespace tokenization: split on ASCII-ws runs; size() of
+        # the trimmed split is 1 for '' so gate on non-empty
+        trimmed = F.trim(F.coalesce(F.col(text_col), F.lit("")))
+        tok = F.when(trimmed == "", F.lit(0)).otherwise(
+            F.size(F.split(trimmed, r"\s+"))
+        ).cast("bigint")
+    w = (
+        Window.partitionBy(conv_col)
+        .orderBy(turn_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    first = Window.partitionBy(conv_col).orderBy(turn_col)
+    out = (
+        df.withColumn("n_tokens", tok)
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .withColumn("_rn", F.row_number().over(first))
+    )
+    keep = F.col("cum_tokens") <= F.lit(int(budget))
+    if keep_first:
+        keep = keep | (F.col("_rn") == 1)
+    return out.filter(keep).drop("_rn")

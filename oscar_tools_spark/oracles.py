@@ -1450,3 +1450,128 @@ from {_sub(q_corpus_stats())} s
 join {_sub(q_length_profile())} l using (lang)
 order by s.lang
 """
+
+
+def q_conversation_repair(budget: int = 150) -> str:
+    """Transcript-repair twin of transcripts.merge_consecutive_roles +
+    truncate_to_token_budget over the deterministic pseudo-transcript
+    mapping of documents (conv = doc_id//10, role from a fixed 10-slot
+    pattern, planted null roles %83 and null texts %89): null-safe run
+    detection (IS DISTINCT FROM == eqNullSafe), ordered string_agg ==
+    ordered array_join (both skip nulls; coalesce '' for all-null
+    runs), max(role) == run role (runs are role-homogeneous),
+    whitespace token counts, prefix cum-sum budget with keep-first."""
+    pattern = ("['user','assistant','assistant','user','tool',"
+               "'tool','assistant','user','assistant','assistant']")
+    return f"""
+with t as (
+  select cast(doc_id // 10 as bigint) as conv_id,
+         cast(doc_id % 10 as int) as turn_idx,
+         case when doc_id % 83 = 0 then null
+              else ({pattern})[cast(doc_id % 10 as int) + 1] end as role,
+         case when doc_id % 89 = 0 then null else text end as text
+  from documents
+), runs as (
+  select *, case when row_number() over (partition by conv_id
+                                         order by turn_idx) = 1
+                   or role is distinct from
+                      lag(role) over (partition by conv_id order by turn_idx)
+                 then 1 else 0 end as chg
+  from t
+), r2 as (
+  select *, sum(chg) over (partition by conv_id order by turn_idx) as run
+  from runs
+), m as (
+  select conv_id, cast(run - 1 as int) as turn_idx, max(role) as role,
+         coalesce(string_agg(text, chr(10) order by turn_idx), '') as text,
+         cast(count(*) as bigint) as n_merged
+  from r2 group by conv_id, run
+), tok as (
+  select *, cast(case when trim(text) = '' then 0
+                      else len(string_split_regex(trim(text), '\\s+')) end
+                 as bigint) as n_tokens
+  from m
+), c as (
+  select *, cast(sum(n_tokens) over (partition by conv_id order by turn_idx
+              rows between unbounded preceding and current row)
+              as bigint) as cum_tokens,
+         row_number() over (partition by conv_id order by turn_idx) as rn
+  from tok
+)
+select conv_id, turn_idx, role, text, n_merged, n_tokens, cum_tokens
+from c where cum_tokens <= {budget} or rn = 1
+order by conv_id, turn_idx
+"""
+
+
+def q_dsir_weights(n_buckets: int = 512, top_n: int = 100) -> str:
+    """DSIR twin of dsir.fit_dsir_log_ratios + score_dsir +
+    dsir_select: identical feature extraction (word unigrams, md5
+    bucket), identical smoothing arithmetic — exact bigint products
+    cast to double, ONE ln (both engines call glibc log on identical
+    doubles), floor(x*1e6+0.5) freeze — and exact bigint per-doc sums,
+    (score desc, doc_id) top-N. Target = source='src0' documents."""
+    return f"""
+with w as (select doc_id, source, {WORDS_SQL} as __w from documents),
+g as (
+  select doc_id, source,
+         ('0x' || substr(md5(gram), 1, 8))::bigint % {n_buckets} as b
+  from (select doc_id, source, unnest(__w) as gram from w)
+  where gram <> ''  -- DuckDB split('') = ['']; the Spark regex never emits ''
+),
+cs as (select b, cast(count(*) as bigint) as n from g group by b),
+ct as (select b, cast(count(*) as bigint) as n from g
+       where source = 'src0' group by b),
+tot as (select (select count(*) from g) as s_tot,
+               (select count(*) from g where source = 'src0') as t_tot),
+lam as (
+  select bb.range as b,
+         cast(floor(1e6 * ln(
+             ((coalesce(ct.n, 0) + 1) * (tot.s_tot + {n_buckets}))::double
+           / ((coalesce(cs.n, 0) + 1) * (tot.t_tot + {n_buckets}))::double
+         ) + 0.5) as bigint) as lam
+  from range({n_buckets}) bb
+  cross join tot
+  left join cs on cs.b = bb.range
+  left join ct on ct.b = bb.range
+),
+sc as (
+  select d.doc_id,
+         cast(count(g.b) as bigint) as n_feats,
+         cast(coalesce(sum(lam.lam), 0) as bigint) as score_micro
+  from documents d
+  left join g on g.doc_id = d.doc_id
+  left join lam on lam.b = g.b
+  group by d.doc_id
+)
+select doc_id, n_feats, score_micro from sc
+order by score_micro desc, doc_id limit {top_n}
+"""
+
+
+def q_sample_strategies(budget: int, seed: int = 42) -> str:
+    """sample_budget_per_group + sample_weighted fused into one tagged
+    row (both emit bare doc_id keep-sets; same strategies, one
+    driver-window slot)."""
+    return f"""
+select 'per_group' as mode, doc_id
+from {_sub(q_sample_budget_per_group(budget, seed))}
+union all
+select 'weighted' as mode, doc_id from {_sub(q_sample_weighted(seed))}
+order by mode, doc_id
+"""
+
+
+def q_decontamination(shingle_k: int = 8, modulus: int = 50) -> str:
+    """decontaminate + contamination_report fused into one tagged row:
+    'kept' rows carry the surviving corpus doc ids (report columns 0),
+    'leak' rows carry the per-benchmark-item audit."""
+    return f"""
+select 'kept' as part, doc_id as id,
+       cast(0 as bigint) as n_docs, cast(0 as bigint) as n_shingles_leaked
+from {_sub(q_decontaminate(shingle_k, modulus))}
+union all
+select 'leak' as part, bench_id as id, n_docs, n_shingles_leaked
+from {_sub(q_contamination_report(shingle_k, modulus))}
+order by part, id
+"""

@@ -229,3 +229,36 @@ def test_job_bpe_model_artifact(spark, transcripts_path, tmp_path, capsys):
     loaded = load_bpe(mpath)
     for r in rows:
         assert r.n_bpe_tokens == len(encode(r.text, loaded))
+
+
+def test_job_merge_roles_and_truncate(spark, transcripts_path, tmp_path, capsys):
+    """--merge-roles repairs consecutive same-role runs BEFORE curation
+    (synth transcripts plant ~8% tool turns, so runs exist) and
+    --truncate-tokens keeps only the budget-fitting prefix of each
+    kept conversation (turn-boundary context packing)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    out_path = str(tmp_path / "out")
+    _run_job(
+        capsys,
+        ["--input", transcripts_path, "--output", out_path,
+         "--no-model", "--no-resume",
+         "--merge-roles", "--truncate-tokens", "40"],
+    )
+    out = spark.read.parquet(out_path)
+    assert {"n_tokens", "cum_tokens"} <= set(out.columns)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    rows = (
+        out.withColumn("_prev", F.lag("role").over(w))
+        .withColumn("_rn", F.row_number().over(w))
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        # repaired: strict alternation of roles within each conversation
+        assert not (r.role is None and r._prev is None)
+        if r._prev is not None:
+            assert r.role != r._prev
+        # truncated: inside budget, or the protected first turn
+        assert r.cum_tokens <= 40 or r._rn == 1

@@ -1,0 +1,171 @@
+"""merge_consecutive_roles / truncate_to_token_budget / DSIR tests.
+
+The repair ops are oracle-checked end-to-end via the
+``conversation_repair`` driver row; these tests pin the EDGE semantics
+the synthetic mapping can't fully exercise (null-role runs, all-null
+texts, zero-token turns, oversized first turns) plus the DSIR
+invariants (shift-invariance of ranking, target-likeness separation,
+exact pure-Python replay of fit + score).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from oscar_tools_spark.operators.dsir import (
+    dsir_select,
+    fit_dsir_log_ratios,
+    score_dsir,
+)
+from oscar_tools_spark.operators.transcripts import (
+    merge_consecutive_roles,
+    truncate_to_token_budget,
+)
+
+
+@pytest.fixture(scope="module")
+def convs(spark):
+    rows = [
+        ("c1", 0, "user", "hi there"),
+        ("c1", 1, "assistant", "hello"),
+        ("c1", 2, "assistant", "how can I help"),
+        ("c1", 3, "user", "fix my code please and thanks"),
+        ("c1", 4, None, None),
+        ("c1", 5, None, "tool out"),
+        ("c1", 6, "user", "more words here"),
+        # c2: leading NULL role (first-run detection), all-null texts
+        ("c2", 0, None, None),
+        ("c2", 1, "assistant", None),
+        ("c2", 2, "assistant", None),
+        # c3: single huge first turn
+        ("c3", 0, "user", " ".join(["w"] * 50)),
+        ("c3", 1, "assistant", "short reply"),
+    ]
+    return spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string"
+    )
+
+
+def test_merge_runs(convs):
+    got = {
+        (r.conv_id, r.turn_idx): r
+        for r in merge_consecutive_roles(convs).collect()
+    }
+    assert got[("c1", 1)].text == "hello\nhow can I help"
+    assert got[("c1", 1)].n_merged == 2
+    # NULL-role run merges null-safely; array_join skips null texts
+    assert got[("c1", 3)].role is None
+    assert got[("c1", 3)].text == "tool out"
+    # re-index is contiguous from 0
+    assert sorted(t for c, t in got if c == "c1") == [0, 1, 2, 3, 4]
+    # c2: leading null role opens its own run; all-null texts -> ''
+    assert got[("c2", 0)].role is None and got[("c2", 0)].text == ""
+    assert got[("c2", 1)].role == "assistant" and got[("c2", 1)].text == ""
+    assert got[("c2", 1)].n_merged == 2
+
+
+def test_truncate_budget_prefix(convs):
+    m = merge_consecutive_roles(convs)
+    kept = truncate_to_token_budget(m, budget=10).collect()
+    by_conv = {}
+    for r in kept:
+        by_conv.setdefault(r.conv_id, []).append(r)
+    for rows in by_conv.values():
+        rows.sort(key=lambda r: r.turn_idx)
+        # prefix property: turn indexes are 0..n-1 with no gaps
+        assert [r.turn_idx for r in rows] == list(range(len(rows)))
+        # cum_tokens is the running sum of n_tokens
+        c = 0
+        for r in rows:
+            c += r.n_tokens
+            assert r.cum_tokens == c
+    # c3's first turn alone exceeds the budget but keep_first retains it
+    assert [r.turn_idx for r in by_conv["c3"]] == [0]
+    assert by_conv["c3"][0].cum_tokens == 50
+    # keep_first=False drops it entirely
+    none_kept = truncate_to_token_budget(m, budget=10, keep_first=False)
+    assert none_kept.filter(F.col("conv_id") == "c3").count() == 0
+
+
+def test_truncate_uses_tokens_col(spark):
+    df = spark.createDataFrame(
+        [("c", 0, "a b c", 100), ("c", 1, "d", 1)],
+        "conv_id string, turn_idx int, text string, n_bpe_tokens int",
+    )
+    kept = truncate_to_token_budget(
+        df, budget=100, tokens_col="n_bpe_tokens"
+    ).collect()
+    assert [r.turn_idx for r in kept] == [0]  # 100 fits, 100+1 doesn't
+    assert kept[0].n_tokens == 100
+
+
+@pytest.fixture(scope="module")
+def dsir_corpus(spark):
+    """Source: 40 'web' docs + 10 'wiki' docs; target = wiki."""
+    rows = []
+    for i in range(40):
+        rows.append((i, "web", f"buy cheap click now offer {i % 7} deal"))
+    for i in range(40, 50):
+        rows.append((i, "wiki", f"history of science article {i % 3} study"))
+    # a doc with no features at all
+    rows.append((50, "web", "   "))
+    return spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+
+def test_dsir_separates_target_like_docs(dsir_corpus):
+    tgt = dsir_corpus.filter(F.col("source") == "wiki")
+    lam = fit_dsir_log_ratios(dsir_corpus, tgt, n_buckets=256)
+    scored = score_dsir(dsir_corpus, lam)
+    rows = {r.doc_id: r for r in scored.collect()}
+    assert len(rows) == 51  # featureless doc still gets a row
+    assert rows[50].n_feats == 0 and rows[50].score_micro == 0
+    wiki = [rows[i].score_micro for i in range(40, 50)]
+    web = [rows[i].score_micro for i in range(40)]
+    assert min(wiki) > max(web)  # clean separation on disjoint vocab
+    top = dsir_select(scored, 10).collect()
+    assert {r.doc_id for r in top} == set(range(40, 50))
+
+
+def test_dsir_pure_python_replay(dsir_corpus):
+    """Third implementation: replay fit + score with hashlib + dict
+    counters and require exact equality of every score_micro."""
+    import hashlib
+    import re
+
+    def words(text):
+        norm = re.sub(r"\s+", " ", re.sub(r"[^a-z0-9\s]", " ", text.lower())).strip()
+        return norm.split(" ") if norm else []
+
+    def bucket(g, B):
+        return int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % B
+
+    B = 256
+    rows = dsir_corpus.collect()
+    cs = [0] * B
+    ct = [0] * B
+    for r in rows:
+        for g in words(r.text):
+            b = bucket(g, B)
+            cs[b] += 1
+            if r.source == "wiki":
+                ct[b] += 1
+    S, T = sum(cs), sum(ct)
+    lam_py = [
+        math.floor(
+            1e6 * math.log(((ct[b] + 1) * (S + B)) / ((cs[b] + 1) * (T + B)))
+            + 0.5
+        )
+        for b in range(B)
+    ]
+    tgt = dsir_corpus.filter(F.col("source") == "wiki")
+    lam_spark = fit_dsir_log_ratios(dsir_corpus, tgt, n_buckets=B)
+    assert lam_spark == lam_py
+    expected = {
+        r.doc_id: sum(lam_py[bucket(g, B)] for g in words(r.text))
+        for r in rows
+    }
+    got = {r.doc_id: r.score_micro for r in score_dsir(dsir_corpus, lam_py).collect()}
+    assert got == expected
