@@ -235,3 +235,40 @@ def test_decontaminate_broadcasts_benchmark_side(spark):
     assert plan.count("Exchange hashpartitioning") == 2
     assert "partial_count" in plan
     assert "hashpartitioning(_s" not in plan.split("BroadcastExchange")[0]
+
+
+def test_transcript_repair_chain_single_shuffle(spark):
+    """merge_consecutive_roles + truncate_to_token_budget must cost ONE
+    conversation-keyed shuffle total: the window establishes
+    hashpartitioning(conv_id), which satisfies the run-groupBy's
+    (conv_id, _run) clustering AND the truncate windows — any second
+    hash Exchange means a full extra corpus shuffle at 10^12 turns."""
+    from oscar_tools_spark.operators.transcripts import (
+        merge_consecutive_roles,
+        truncate_to_token_budget,
+    )
+
+    t = _docs(spark).select(
+        F.col("doc_id").alias("conv_id"),
+        (F.col("doc_id") % 10).cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        "text",
+    )
+    plan = _plan(truncate_to_token_budget(merge_consecutive_roles(t), budget=64))
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:3000]
+
+
+def test_dsir_scoring_broadcasts_lambda_table(spark):
+    """score_dsir must join the B-row lambda table via broadcast (never
+    shuffle the exploded corpus on bucket id) and aggregate with ONE
+    doc-keyed shuffle."""
+    from oscar_tools_spark.operators.dsir import fit_dsir_log_ratios, score_dsir
+
+    docs = _docs(spark)
+    lam = fit_dsir_log_ratios(
+        docs, docs.filter(F.col("source") == "src0"), n_buckets=64
+    )
+    plan = _plan(score_dsir(docs, lam))
+    assert "BroadcastExchange" in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:3000]
