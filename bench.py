@@ -265,6 +265,15 @@ def main() -> None:
         run_noop(dsir_select(score_dsir(docs, lam), 10_000))
 
     timed("dsir_select", _dsir)
+    # round-5: Luhn-validated credit-card + secrets scrub over the full
+    # transcripts table — shuffle-free narrow projection; the HOF Luhn
+    # check only touches candidate fragments, never the raw text
+    from oscar_tools_spark.operators.pii import scrub_pii_extended
+
+    timed(
+        "pii_scrub",
+        lambda: run_noop(scrub_pii_extended(transcripts)),
+    )
     # per-line langid over the transcripts table — the per-line hot path
     # (staged zip_with shape; the inline-HOF form measured 4x slower)
     timed(

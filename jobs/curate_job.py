@@ -80,6 +80,12 @@ def main() -> None:
                     "conversation fitting this token budget (turn-boundary "
                     "context-window packing; uses n_bpe_tokens when "
                     "--bpe-model is set, else whitespace counts); 0 = off")
+    ap.add_argument("--scrub-pii", action="store_true",
+                    help="additionally redact Luhn-VALIDATED credit cards and "
+                    "credential-shaped tokens (AWS/GitHub/hex keys) from kept "
+                    "turns, with per-kind hit-count lineage columns — opt-in "
+                    "layer on top of the reference-pinned scrub chain; runs "
+                    "before BPE counting so token counts see the final text")
     ap.add_argument("--structural-filter", action="store_true",
                     help="drop whole malformed conversations before curation "
                     "(< --min-turns turns, missing user/assistant roles); "
@@ -203,6 +209,10 @@ def main() -> None:
 
     def transform(part):
         out = curate(part, cfg)
+        if args.scrub_pii:
+            from oscar_tools_spark.operators.pii import scrub_pii_extended
+
+            out = scrub_pii_extended(out)
         if qmodel is not None:
             from pyspark.sql import functions as F
 

@@ -1,0 +1,180 @@
+"""Extended PII / secrets scrubbing: Luhn-validated credit cards and
+credential-shaped tokens.
+
+The reference's scrub chain (``src/impls/oscar_doc/oscar_doc.rs`` regex
+rewrite per turn; our ``operators/scrub.py``) is pure pattern
+substitution — it cannot express CHECKSUM-validated detection, which is
+what separates a credit-card scrubber from a "replace every 16-digit
+run" heuristic (order ids, tracking numbers, and timestamps survive; the
+industry-standard practice, e.g. the BigScience ROOTS / Dolma PII
+pipelines, validates candidates with the public Luhn mod-10 checksum
+before redacting). This module is therefore OPT-IN and layered on top of
+the reference-pinned scrub: the default keep/drop + scrubbed-text
+contract (F1 vs reference labels) is untouched.
+
+Detection strategy (cross-engine deterministic, no lookaround — RE2 has
+none, and Java's ``\\b`` is unicode-aware while RE2's is ASCII, so word
+boundaries are avoided entirely):
+
+1. split the text on any char that is not ``[0-9 -]`` — candidate
+   fragments are maximal digit/space/dash runs;
+2. trim stray spaces/dashes and keep fragments that are a well-formed
+   card shape: 13-19 digits with at most one space/dash between
+   adjacent digits;
+3. Luhn mod-10 checksum over the digits (doubling every second digit
+   from the right); only validated candidates are redacted — each one
+   replaced LITERALLY (no regex re-scan) via a fold.
+
+Secrets use distinctive public token formats (prefix-anchored, so no
+boundary semantics needed): AWS access-key ids (``AKIA`` + 16
+upper/digit), GitHub personal access tokens (``ghp_`` + 36 worded), and
+long lowercase-hex runs (32-64 nibbles — API secrets / auth digests),
+the latter via the same fragment-split trick.
+
+Scale shape: everything is a narrow per-row projection — no shuffle, no
+joins, no Python. The HOF lambdas (filter/transform/aggregate) run
+interpreted, but only over the few candidate fragments per document,
+never over the raw text; the single full-text pass is the split itself.
+``pii_report`` adds one global aggregation (output rows = number of PII
+kinds, i.e. bounded).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# candidate fragment must be EXACTLY a card shape: 13-19 digits, at most
+# one space/dash between adjacent digits (standard PAN formatting)
+CC_SHAPE = r"^(?:[0-9][ -]?){12,18}[0-9]$"
+CC_TOKEN = "<CC>"
+
+# prefix-anchored public credential formats (regex-replaceable as-is)
+SECRET_RULES: list[tuple[str, str, str]] = [
+    ("aws_key", r"AKIA[0-9A-Z]{16}", "<AWSKEY>"),
+    ("gh_token", r"ghp_[A-Za-z0-9]{36}", "<GHTOKEN>"),
+]
+# lowercase-hex secrets detected via fragment split (no \b semantics)
+HEX_SHAPE = r"^[0-9a-f]{32,64}$"
+HEX_TOKEN = "<HEXKEY>"
+
+PII_KINDS = ["cc"] + [name for name, _, _ in SECRET_RULES] + ["hex_secret"]
+
+
+def _cc_candidates(text: Column) -> Column:
+    """Luhn-validated card numbers present in ``text`` (array<string>,
+    original formatting preserved so literal replacement round-trips)."""
+    frags = F.transform(
+        F.split(F.coalesce(text, F.lit("")), r"[^0-9 \-]+"),
+        lambda s: F.btrim(s, F.lit(" -")),
+    )
+    shaped = F.filter(frags, lambda s: s.rlike(CC_SHAPE))
+
+    def luhn_ok(s: Column) -> Column:
+        # digit list via regexp_extract_all — the same idiom the DuckDB
+        # oracle uses, so both engines see identical digit sequences
+        ds = F.reverse(F.regexp_extract_all(s, F.lit("[0-9]"), F.lit(0)))
+        terms = F.transform(
+            ds,
+            lambda c, i: F.when(
+                i % 2 == 1,
+                F.when(c.cast("int") < 5, c.cast("int") * 2).otherwise(
+                    c.cast("int") * 2 - 9
+                ),
+            ).otherwise(c.cast("int")),
+        )
+        total = F.aggregate(terms, F.lit(0), lambda acc, x: acc + x)
+        return total % 10 == 0
+
+    return F.filter(shaped, luhn_ok)
+
+
+def _hex_candidates(text: Column) -> Column:
+    """Long lowercase-hex runs (array<string>) via the same
+    fragment-split trick — a ``\\b``-free boundary."""
+    frags = F.split(F.coalesce(text, F.lit("")), r"[^0-9a-f]+")
+    return F.filter(frags, lambda s: s.rlike(HEX_SHAPE))
+
+
+def _fold_replace(text: Column, cands: Column, token: str) -> Column:
+    """Literally replace every candidate occurrence (no regex re-scan;
+    duplicates in ``cands`` are harmless — replace() is idempotent)."""
+    return F.aggregate(
+        cands, text, lambda acc, m: F.replace(acc, m, F.lit(token))
+    )
+
+
+def scrub_pii_extended(
+    df: DataFrame, text_col: str = "text", prefix: str = "pii_"
+) -> DataFrame:
+    """Redact Luhn-valid credit cards and credential-shaped tokens from
+    ``text_col`` IN PLACE, adding per-kind hit-count lineage columns
+    ``{prefix}cc / {prefix}aws_key / {prefix}gh_token /
+    {prefix}hex_secret`` (counts of redacted matches, mirroring the
+    base scrub's ``rule_hits`` lineage contract). Null text passes
+    through as null with zero counts."""
+    text = F.col(text_col)
+    cc = _cc_candidates(text)
+    hx = _hex_candidates(text)
+    out = df.withColumn("_cc", cc).withColumn("_hx", hx)
+    scrubbed = _fold_replace(
+        _fold_replace(F.coalesce(text, F.lit("")), F.col("_cc"), CC_TOKEN),
+        F.col("_hx"),
+        HEX_TOKEN,
+    )
+    counts: list[Column] = [
+        F.size(F.col("_cc")).cast("bigint").alias(f"{prefix}cc")
+    ]
+    for name, pattern, token in SECRET_RULES:
+        counts.append(
+            F.size(
+                F.regexp_extract_all(
+                    F.coalesce(text, F.lit("")), F.lit(pattern), F.lit(0)
+                )
+            )
+            .cast("bigint")
+            .alias(f"{prefix}{name}")
+        )
+        scrubbed = F.regexp_replace(scrubbed, pattern, token)
+    counts.append(F.size(F.col("_hx")).cast("bigint").alias(f"{prefix}hex_secret"))
+    keep = [c for c in out.columns if c not in ("_cc", "_hx", text_col)]
+    return out.select(
+        *keep,
+        F.when(text.isNotNull(), scrubbed).alias(text_col),
+        *counts,
+    )
+
+
+def pii_report(
+    df: DataFrame, text_col: str = "text", prefix: str = "pii_"
+) -> DataFrame:
+    """Corpus-level audit: one row per PII kind with total redacted
+    matches and number of affected documents — the what-did-we-remove
+    evidence a scrubbing run ships with. Input may be raw (scrub is
+    applied internally) or already-scrubbed-with-lineage (columns
+    reused). Output is |PII_KINDS| rows: bounded, driver-safe."""
+    cols = [f"{prefix}{k}" for k in PII_KINDS]
+    if not set(cols) <= set(df.columns):
+        df = scrub_pii_extended(df, text_col=text_col, prefix=prefix)
+    aggs = []
+    for kind, c in zip(PII_KINDS, cols):
+        aggs.append(F.sum(F.col(c)).cast("bigint").alias(f"_n_{kind}"))
+        aggs.append(
+            F.sum((F.col(c) > 0).cast("bigint")).cast("bigint").alias(f"_d_{kind}")
+        )
+    row = df.agg(*aggs)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(kind).alias("kind"),
+                F.coalesce(F.col(f"_n_{kind}"), F.lit(0)).alias("n_matches"),
+                F.coalesce(F.col(f"_d_{kind}"), F.lit(0)).alias("n_docs"),
+            )
+            for kind in PII_KINDS
+        ]
+    )
+    return (
+        row.select(F.explode(pairs).alias("_p"))
+        .select("_p.kind", "_p.n_matches", "_p.n_docs")
+        .orderBy("kind")
+    )
