@@ -1393,7 +1393,7 @@ def q_dsir_weights(spark, sf_dir):
 
     docs = _docs(spark, sf_dir)
     lam = fit_dsir_log_ratios(
-        docs, docs.filter(F.col("source") == "src0"), n_buckets=512
+        docs, target_expr=F.col("source") == "src0", n_buckets=512
     )
     return dsir_select(score_dsir(docs, lam), 100)
 

@@ -248,10 +248,10 @@ def main() -> None:
             )
         ),
     )
-    # round-5: DSIR importance scoring — fit is two B-bounded bucket
-    # aggregations (eager, included in the timing: it is part of the
-    # operator's real cost), scoring is one explode -> broadcast join
-    # -> doc-keyed sum
+    # round-5: DSIR importance scoring — fit is ONE B-bounded bucket
+    # aggregation with a conditional target count (eager, included in
+    # the timing: it is part of the operator's real cost), scoring is
+    # one explode -> broadcast join -> doc-keyed sum
     from oscar_tools_spark.operators.dsir import (
         dsir_select,
         fit_dsir_log_ratios,
@@ -260,7 +260,7 @@ def main() -> None:
 
     def _dsir():
         lam = fit_dsir_log_ratios(
-            docs, docs.filter(F.col("source") == "src0"), n_buckets=4096
+            docs, target_expr=F.col("source") == "src0", n_buckets=4096
         )
         run_noop(dsir_select(score_dsir(docs, lam), 10_000))
 

@@ -81,11 +81,14 @@ def main() -> None:
                     "context-window packing; uses n_bpe_tokens when "
                     "--bpe-model is set, else whitespace counts); 0 = off")
     ap.add_argument("--scrub-pii", action="store_true",
-                    help="additionally redact Luhn-VALIDATED credit cards and "
-                    "credential-shaped tokens (AWS/GitHub/hex keys) from kept "
-                    "turns, with per-kind hit-count lineage columns — opt-in "
-                    "layer on top of the reference-pinned scrub chain; runs "
-                    "before BPE counting so token counts see the final text")
+                    help="additionally redact credential-shaped tokens "
+                    "(AWS/GitHub/long-hex keys) from kept turns with per-kind "
+                    "hit lineage; runs before BPE counting so token counts "
+                    "see the final text. NOTE: in this job the reference "
+                    "scrub's phone rule has already replaced card-shaped "
+                    "digit runs (checksum or not), so the Luhn-validated "
+                    "credit-card layer only matters when scrub_pii_extended "
+                    "is used standalone on raw text — expect pii_cc=0 here")
     ap.add_argument("--structural-filter", action="store_true",
                     help="drop whole malformed conversations before curation "
                     "(< --min-turns turns, missing user/assistant roles); "
@@ -154,16 +157,35 @@ def main() -> None:
             )
         print(json.dumps({"validated": rep}))
 
-    if args.seen_digests or args.structural_filter:
+    if args.seen_digests or args.structural_filter or args.merge_roles:
         from pyspark.sql import functions as F
 
-        # both pre-stages join the input with derived/side frames,
-        # making the plan multi-source — where input_file_name() is
-        # illegal — so capture lineage at read time (lineage_stage
-        # keeps a pre-existing source_part column)
+        # all three pre-stages make the plan multi-source (joins) or
+        # shuffled (the merge's window+groupBy) — both places where
+        # input_file_name() is illegal or empty — so capture lineage
+        # at read time (lineage_stage keeps a pre-existing source_part)
         df = df.withColumn(
             "source_part", F.coalesce(F.input_file_name(), F.lit(""))
         )
+    if args.merge_roles:
+        from oscar_tools_spark.operators.transcripts import merge_consecutive_roles
+
+        # repair FIRST, before digesting/structural checks/curation:
+        # digests must fingerprint the repaired representation in BOTH
+        # the --emit-digests and --seen-digests batches (digesting raw
+        # turns on one side and merged blocks on the other would never
+        # match, silently re-admitting every duplicate conversation
+        # containing a same-role run), structural filtering should
+        # judge the repaired conversation, and per-turn annotations/
+        # scrubs should see the final turn boundaries. The merge
+        # regroups to (conv_id, turn_idx, role, text); source_part
+        # lineage rides through via carry_cols, other input columns
+        # don't survive a row merge
+        keep = [c for c in ("conv_id", "turn_idx", "role", "text") if c in df.columns]
+        carry = ("source_part",) if "source_part" in df.columns else ()
+        df = merge_consecutive_roles(
+            df.select(*keep, *carry), carry_cols=carry
+        ).drop("n_merged")
     if args.seen_digests:
         from oscar_tools_spark.operators.dedup import dedup_conversations_incremental
 
@@ -174,22 +196,14 @@ def main() -> None:
         df = filter_conversations(
             df, min_turns=args.min_turns, require_roles=("user", "assistant")
         )
-    if args.merge_roles:
-        from oscar_tools_spark.operators.transcripts import merge_consecutive_roles
-
-        # repair before curation so per-turn annotations/scrubs see the
-        # final turn boundaries. The merge regroups to (conv_id,
-        # turn_idx, role, text [, n_merged]); other input columns don't
-        # survive a row merge, so it requires the bare transcript shape
-        keep = [c for c in ("conv_id", "turn_idx", "role", "text") if c in df.columns]
-        df = merge_consecutive_roles(df.select(*keep)).drop("n_merged")
     if args.emit_digests:
         from oscar_tools_spark.operators.dedup import conversation_digests
 
-        if args.seen_digests or args.structural_filter:
+        if args.seen_digests or args.structural_filter or args.merge_roles:
             # the digest write is a SEPARATE action; without pinning,
             # it and the main output write would each re-execute the
-            # anti-join/structural pre-stages (two full input scans)
+            # anti-join/structural/merge pre-stages (two full input
+            # scans — for the merge, two full conversation shuffles)
             from oscar_tools_spark.plans.materialize import materialize
 
             df = materialize(df)

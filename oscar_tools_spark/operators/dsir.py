@@ -25,9 +25,12 @@ micro-nats: lam_micro = floor(lam * 1e6 + 0.5). Per-document scores
 are SUMS OF BIGINTS — exact, order-independent, hash-matchable against
 the DuckDB oracle (both engines call glibc ln on identical doubles).
 
-Scale shape: the fit is two bucket-count aggregations (explode ->
-groupBy(bucket), map-side combinable, B-bounded output) collected as
-B-row arrays (bounded driver collect, ~64 KiB at B=4096); scoring is
+Scale shape: the fit is ONE bucket-count aggregation when the target is
+a predicate-selected subset of the source (count + conditional count
+per bucket; two aggregations only for genuinely separate target
+corpora) — explode -> groupBy(bucket), map-side combinable, B-bounded
+output, collected as B-row arrays (bounded driver collect, ~64 KiB at
+B=4096); scoring is
 one explode -> broadcast equi-join against the B-row lambda table ->
 groupBy(doc) sum — a single doc-keyed shuffle, no cartesians, no
 Python in the hot path. At 10^12 turns the only full-corpus passes are
@@ -74,19 +77,52 @@ def _bucket_counts(
 
 def fit_dsir_log_ratios(
     source_df: DataFrame,
-    target_df: DataFrame,
+    target_df: DataFrame | None = None,
     text_col: str = "text",
     n_buckets: int = 4096,
     k: int = 1,
+    target_expr: Column | None = None,
 ) -> list[int]:
     """Fit the per-bucket importance log-ratios: list of B ints,
     lam_micro[b] = floor(1e6 * ln(p_target(b) / p_source(b)) + 0.5)
     under add-one smoothing. Python-int products (exact at any corpus
     size); the int/int division is correctly rounded to double, so the
-    DuckDB oracle reproduces every value bit-for-bit at test scale."""
-    ct = _bucket_counts(target_df, text_col, n_buckets, k)
-    cs = _bucket_counts(source_df, text_col, n_buckets, k)
-    T, S, B = sum(ct), sum(cs), n_buckets
+    DuckDB oracle reproduces every value bit-for-bit at test scale.
+
+    When the target is a SUBSET of the source selected by a predicate,
+    pass ``target_expr`` instead of ``target_df``: the fit then runs as
+    ONE explode -> groupBy pass with a conditional count (count + sum
+    of the predicate) instead of two full corpus explodes — at 10^12
+    turns that halves the fit cost. ``target_df`` remains for
+    genuinely separate target corpora."""
+    if (target_df is None) == (target_expr is None):
+        raise ValueError("pass exactly one of target_df / target_expr")
+    B = n_buckets
+    if target_expr is not None:
+        rows = (
+            source_df.select(
+                F.coalesce(target_expr, F.lit(False)).alias("_is_t"),
+                F.explode(word_grams_expr(F.col(text_col), k)).alias("_g"),
+            )
+            .select(
+                "_is_t", gram_bucket_expr(F.col("_g"), n_buckets).alias("_b")
+            )
+            .groupBy("_b")
+            .agg(
+                F.count(F.lit(1)).alias("_n"),
+                F.sum(F.col("_is_t").cast("bigint")).alias("_t"),
+            )
+            .collect()
+        )
+        cs = [0] * B
+        ct = [0] * B
+        for r in rows:
+            cs[r["_b"]] = r["_n"]
+            ct[r["_b"]] = r["_t"]
+    else:
+        ct = _bucket_counts(target_df, text_col, n_buckets, k)
+        cs = _bucket_counts(source_df, text_col, n_buckets, k)
+    T, S = sum(ct), sum(cs)
     return [
         math.floor(
             1e6 * math.log(((ct[b] + 1) * (S + B)) / ((cs[b] + 1) * (T + B)))

@@ -25,6 +25,12 @@ boundaries are avoided entirely):
    from the right); only validated candidates are redacted — each one
    replaced LITERALLY (no regex re-scan) via a fold.
 
+Kinds are applied in a fixed STAGE order (aws_key -> gh_token -> hex ->
+cc), each stage detecting on the previous stage's output, so per-kind
+hit counts equal actual redactions even when one kind's candidate is a
+substring of another's (e.g. a Luhn-valid digit run inside a hex
+secret).
+
 Secrets use distinctive public token formats (prefix-anchored, so no
 boundary semantics needed): AWS access-key ids (``AKIA`` + 16
 upper/digit), GitHub personal access tokens (``ghp_`` + 36 worded), and
@@ -110,34 +116,51 @@ def scrub_pii_extended(
     """Redact Luhn-valid credit cards and credential-shaped tokens from
     ``text_col`` IN PLACE, adding per-kind hit-count lineage columns
     ``{prefix}cc / {prefix}aws_key / {prefix}gh_token /
-    {prefix}hex_secret`` (counts of redacted matches, mirroring the
-    base scrub's ``rule_hits`` lineage contract). Null text passes
-    through as null with zero counts."""
+    {prefix}hex_secret`` (counts of matches ACTUALLY redacted,
+    mirroring the base scrub's ``rule_hits`` lineage contract). Null
+    text passes through as null with zero counts.
+
+    Redaction is STAGED — aws_key, then gh_token, then hex, then cc —
+    and each kind detects candidates in the OUTPUT of the previous
+    stage. This makes count == redaction by construction: a Luhn-valid
+    digit sub-run inside a hex secret (or inside a credential token)
+    disappears with the earlier, more specific redaction and is neither
+    double-redacted nor falsely counted. The one remaining ambiguity is
+    documented over-redaction: a valid card that ALSO occurs as a
+    substring of a longer shape-rejected digit run is replaced at both
+    sites (literal replace hits every occurrence) — the conservative
+    direction for a scrubber."""
     text = F.col(text_col)
-    cc = _cc_candidates(text)
-    hx = _hex_candidates(text)
-    out = df.withColumn("_cc", cc).withColumn("_hx", hx)
-    scrubbed = _fold_replace(
-        _fold_replace(F.coalesce(text, F.lit("")), F.col("_cc"), CC_TOKEN),
-        F.col("_hx"),
-        HEX_TOKEN,
-    )
-    counts: list[Column] = [
-        F.size(F.col("_cc")).cast("bigint").alias(f"{prefix}cc")
-    ]
-    for name, pattern, token in SECRET_RULES:
+    out = df.withColumn("_t0", F.coalesce(text, F.lit("")))
+    cur = "_t0"
+    counts: list[Column] = []
+    for i, (name, pattern, token) in enumerate(SECRET_RULES):
         counts.append(
             F.size(
-                F.regexp_extract_all(
-                    F.coalesce(text, F.lit("")), F.lit(pattern), F.lit(0)
-                )
+                F.regexp_extract_all(F.col(cur), F.lit(pattern), F.lit(0))
             )
             .cast("bigint")
             .alias(f"{prefix}{name}")
         )
-        scrubbed = F.regexp_replace(scrubbed, pattern, token)
+        nxt = f"_t{i + 1}"
+        out = out.withColumn(
+            nxt, F.regexp_replace(F.col(cur), pattern, token)
+        )
+        cur = nxt
+    out = out.withColumn("_hx", _hex_candidates(F.col(cur)))
     counts.append(F.size(F.col("_hx")).cast("bigint").alias(f"{prefix}hex_secret"))
-    keep = [c for c in out.columns if c not in ("_cc", "_hx", text_col)]
+    out = out.withColumn(
+        "_th", _fold_replace(F.col(cur), F.col("_hx"), HEX_TOKEN)
+    )
+    out = out.withColumn("_cc", _cc_candidates(F.col("_th")))
+    counts.insert(
+        0, F.size(F.col("_cc")).cast("bigint").alias(f"{prefix}cc")
+    )
+    scrubbed = _fold_replace(F.col("_th"), F.col("_cc"), CC_TOKEN)
+    staged = ["_t0", "_hx", "_th", "_cc"] + [
+        f"_t{i + 1}" for i in range(len(SECRET_RULES))
+    ]
+    keep = [c for c in out.columns if c not in (*staged, text_col)]
     return out.select(
         *keep,
         F.when(text.isNotNull(), scrubbed).alias(text_col),
@@ -154,7 +177,18 @@ def pii_report(
     applied internally) or already-scrubbed-with-lineage (columns
     reused). Output is |PII_KINDS| rows: bounded, driver-safe."""
     cols = [f"{prefix}{k}" for k in PII_KINDS]
-    if not set(cols) <= set(df.columns):
+    present = [c for c in cols if c in df.columns]
+    if present and len(present) < len(cols):
+        # partial lineage is unanswerable: the text is already scrubbed
+        # (re-scrubbing would silently report zeros) but the dropped
+        # kind's counts are gone — fail loudly instead
+        missing = sorted(set(cols) - set(present))
+        raise ValueError(
+            "pii_report: input has partial PII lineage (missing "
+            f"{missing}); keep all {len(cols)} lineage columns or pass "
+            "the raw unscrubbed frame"
+        )
+    if not present:
         df = scrub_pii_extended(df, text_col=text_col, prefix=prefix)
     aggs = []
     for kind, c in zip(PII_KINDS, cols):

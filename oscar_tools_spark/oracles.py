@@ -1580,12 +1580,14 @@ order by part, id
 def q_pii_extended() -> str:
     """Twin of pii.scrub_pii_extended over the driver's planted
     fixtures (Luhn-valid card %13, Luhn-INVALID shaped number %17 which
-    must SURVIVE, AWS key %19, 40-nibble hex %23). Same pipeline in
-    both engines: fragment split -> shape full-match -> Luhn over a
+    must SURVIVE, AWS key %19, 40-nibble hex %23). Same STAGED pipeline
+    in both engines — aws_key -> gh_token -> hex -> cc, each stage
+    detecting on the previous stage's output so counts == redactions —
+    with fragment split -> shape full-match -> Luhn over a
     regexp-extracted digit list (DuckDB lambda index is 1-BASED, so the
     double-every-second-from-the-right positions are i%2=0 here vs
-    Spark's 0-based i%2=1) -> literal fold-replace -> prefix-anchored
-    secret regexes with the 'g' flag (Spark regexp_replace is global by
+    Spark's 0-based i%2=1) -> literal fold-replace; DuckDB
+    regexp_replace needs the 'g' flag (Spark's is global by
     default)."""
     plant = (
         "text"
@@ -1597,11 +1599,35 @@ def q_pii_extended() -> str:
     )
     return rf"""
 with d as (select doc_id, {plant} as text from documents),
-c as (
-  select doc_id, text,
+s0 as (select doc_id, text, coalesce(text, '') as t0 from d),
+s1 as (
+  select *, regexp_replace(t0, 'AKIA[0-9A-Z]{{16}}', '<AWSKEY>', 'g') as t1,
+         cast(len(regexp_extract_all(t0, 'AKIA[0-9A-Z]{{16}}')) as bigint)
+           as pii_aws_key
+  from s0
+),
+s2 as (
+  select *, regexp_replace(t1, 'ghp_[A-Za-z0-9]{{36}}', '<GHTOKEN>', 'g') as t2,
+         cast(len(regexp_extract_all(t1, 'ghp_[A-Za-z0-9]{{36}}')) as bigint)
+           as pii_gh_token
+  from s1
+),
+s3 as (
+  select *, list_filter(string_split_regex(t2, '[^0-9a-f]+'),
+                        x -> regexp_full_match(x, '[0-9a-f]{{32,64}}')) as hx
+  from s2
+),
+s4 as (
+  select *, list_reduce(list_prepend(t2, hx),
+                        (acc, m) -> replace(acc, m, '<HEXKEY>')) as t3,
+         cast(len(hx) as bigint) as pii_hex_secret
+  from s3
+),
+s5 as (
+  select *,
     list_filter(
       list_filter(
-        list_transform(string_split_regex(coalesce(text, ''), '[^0-9 \-]+'),
+        list_transform(string_split_regex(t3, '[^0-9 \-]+'),
                        x -> trim(x, ' -')),
         x -> regexp_full_match(x, '(?:[0-9][ -]?){{12,18}}[0-9]')
       ),
@@ -1613,31 +1639,16 @@ c as (
                                        else cast(ch as int) * 2 - 9 end
                              else cast(ch as int) end
            )) % 10 = 0
-    ) as cc,
-    list_filter(string_split_regex(coalesce(text, ''), '[^0-9a-f]+'),
-                x -> regexp_full_match(x, '[0-9a-f]{{32,64}}')) as hx
-  from d
+    ) as cc
+  from s4
 )
 select doc_id,
   case when text is null then null else
-    regexp_replace(
-      regexp_replace(
-        list_reduce(
-          list_prepend(
-            list_reduce(list_prepend(coalesce(text, ''), cc),
-                        (acc, m) -> replace(acc, m, '<CC>')),
-            hx),
-          (acc, m) -> replace(acc, m, '<HEXKEY>')),
-        'AKIA[0-9A-Z]{{16}}', '<AWSKEY>', 'g'),
-      'ghp_[A-Za-z0-9]{{36}}', '<GHTOKEN>', 'g')
+    list_reduce(list_prepend(t3, cc), (acc, m) -> replace(acc, m, '<CC>'))
   end as text,
   cast(len(cc) as bigint) as pii_cc,
-  cast(len(regexp_extract_all(coalesce(text, ''), 'AKIA[0-9A-Z]{{16}}'))
-       as bigint) as pii_aws_key,
-  cast(len(regexp_extract_all(coalesce(text, ''), 'ghp_[A-Za-z0-9]{{36}}'))
-       as bigint) as pii_gh_token,
-  cast(len(hx) as bigint) as pii_hex_secret
-from c
+  pii_aws_key, pii_gh_token, pii_hex_secret
+from s5
 order by doc_id
 """
 

@@ -304,3 +304,25 @@ def test_job_scrub_pii_flag(spark, transcripts_path, tmp_path, capsys):
         # the reference phone rule fired first; the CC layer sees none
         assert "<PHONE>" in r.text and r.pii_cc == 0
         assert "4111" not in r.text
+
+
+def test_job_merge_roles_digest_symmetry(spark, transcripts_path, tmp_path, capsys):
+    """--merge-roles + incremental digests: both batches digest the
+    REPAIRED representation (review finding: emitting post-merge but
+    checking pre-merge digests could never match for any conversation
+    with a same-role run), so an identical re-crawl dedupes to zero.
+    source_part lineage must survive the merge's shuffle."""
+    from pyspark.sql import functions as F
+
+    digs = str(tmp_path / "digs")
+    out1, out2 = str(tmp_path / "o1"), str(tmp_path / "o2")
+    base = ["--no-model", "--no-resume", "--merge-roles"]
+    _run_job(capsys, ["--input", transcripts_path, "--output", out1,
+                      "--emit-digests", digs, *base])
+    out = spark.read.parquet(out1)
+    # lineage captured at read time rides through the merge
+    assert "source_part" in out.columns
+    assert out.filter(F.col("source_part") == "").count() == 0
+    _run_job(capsys, ["--input", transcripts_path, "--output", out2,
+                      "--seen-digests", digs, *base])
+    assert spark.read.parquet(out2).count() == 0

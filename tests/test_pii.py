@@ -126,3 +126,36 @@ def test_luhn_random_replay(spark):
     for i, d, valid in cases:
         assert got[i].pii_cc == (1 if valid else 0), (i, d)
         assert ("<CC>" in got[i].text) is valid, (i, d)
+
+
+def test_staged_redaction_no_cross_kind_shadowing(spark):
+    """A Luhn-valid digit run INSIDE a hex secret must disappear with
+    the hex redaction — fully redacted, pii_cc == 0 (review finding:
+    the pre-staged design replaced the cc substring first, broke the
+    hex literal match, and still counted the hex as redacted)."""
+    # 33-nibble hex run whose interior contains 13 consecutive zeros
+    # (a Luhn-valid candidate: sum 0)
+    hexrun = "abcdef0000000000000abcdefabcdefab"
+    assert len(hexrun) == 33 and _luhn_py("0" * 13)
+    df = spark.createDataFrame(
+        [(1, f"sig {hexrun} end")], "doc_id int, text string"
+    )
+    r = scrub_pii_extended(df).collect()[0]
+    assert r.text == "sig <HEXKEY> end"
+    assert r.pii_hex_secret == 1 and r.pii_cc == 0
+
+
+def test_pii_report_rejects_partial_lineage(spark):
+    """Partial lineage is unanswerable (text already scrubbed, one
+    kind's counts gone) — pii_report must fail loudly, not silently
+    report zeros or crash on duplicate columns."""
+    df = spark.createDataFrame(
+        [(1, "x 4111111111111111 y")], "doc_id int, text string"
+    )
+    partial = scrub_pii_extended(df).drop("pii_hex_secret")
+    with pytest.raises(ValueError, match="partial PII lineage"):
+        pii_report(partial)
+    # full lineage input is aggregated as-is (no re-scrub)
+    full = scrub_pii_extended(df)
+    rep = {r.kind: r for r in pii_report(full).collect()}
+    assert rep["cc"].n_matches == 1

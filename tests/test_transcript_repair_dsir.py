@@ -169,3 +169,18 @@ def test_dsir_pure_python_replay(dsir_corpus):
     }
     got = {r.doc_id: r.score_micro for r in score_dsir(dsir_corpus, lam_py).collect()}
     assert got == expected
+
+
+def test_dsir_target_expr_single_pass_matches_two_frame_fit(dsir_corpus):
+    """The single-pass conditional-count fit (target_expr) must produce
+    bit-identical lambdas to the two-frame fit."""
+    tgt = dsir_corpus.filter(F.col("source") == "wiki")
+    two = fit_dsir_log_ratios(dsir_corpus, tgt, n_buckets=128)
+    one = fit_dsir_log_ratios(
+        dsir_corpus, target_expr=F.col("source") == "wiki", n_buckets=128
+    )
+    assert one == two
+    with pytest.raises(ValueError, match="exactly one"):
+        fit_dsir_log_ratios(dsir_corpus, tgt, target_expr=F.lit(True))
+    with pytest.raises(ValueError, match="exactly one"):
+        fit_dsir_log_ratios(dsir_corpus)
