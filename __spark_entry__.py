@@ -1479,6 +1479,123 @@ def q_decontamination(spark, sf_dir):
     return k.unionAll(leak).orderBy("part", "id")
 
 
+def q_chat_template(spark, sf_dir):
+    """SFT training-text rendering: each pseudo-conversation (the same
+    deterministic documents->transcripts mapping and planted nulls as
+    q_conversation_repair) rendered to '<|role|>\\n{text}\\n' segments
+    with assistant loss-span char offsets — the chat-trainer handoff
+    format. One window + one regrouping, both keyed on the
+    conversation (single shuffle)."""
+    from oscar_tools_spark.operators.transcripts import render_chat
+
+    roles = ["user", "assistant", "assistant", "user", "tool",
+             "tool", "assistant", "user", "assistant", "assistant"]
+    r = (F.col("doc_id") % 10).cast("int")
+    t = _docs(spark, sf_dir).select(
+        F.floor(F.col("doc_id") / 10).cast("bigint").alias("conv_id"),
+        r.alias("turn_idx"),
+        F.when(F.col("doc_id") % 83 == 0, F.lit(None).cast("string"))
+        .otherwise(F.element_at(F.array(*[F.lit(x) for x in roles]), r + 1))
+        .alias("role"),
+        F.when(F.col("doc_id") % 89 == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return render_chat(t).orderBy("conv_id")
+
+
+def q_corpus_diff(spark, sf_dir):
+    """Snapshot diff (added/removed/changed/unchanged) between two
+    deterministic views of documents: old drops doc_id%10==0, new
+    drops doc_id%13==0 and rewrites text for doc_id%7==3. Digest-only
+    full-outer join — text never shuffles."""
+    from oscar_tools_spark.operators.snapshot import corpus_diff
+
+    docs = _docs(spark, sf_dir)
+    old = docs.filter(F.col("doc_id") % 10 != 0).select("doc_id", "text")
+    new = docs.filter(F.col("doc_id") % 13 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 3, F.concat(F.col("text"), F.lit(" v2"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return corpus_diff(old, new, ["doc_id"]).orderBy("doc_id")
+
+
+def q_global_shuffle(spark, sf_dir):
+    """Deterministic global training shuffle: position = rank in
+    md5('42:doc_id') order via the fixed-range prefix partitioner (no
+    single-partition sort; ≤32-row totals collect)."""
+    from oscar_tools_spark.operators.sampling import global_shuffle
+
+    return (
+        global_shuffle(_docs(spark, sf_dir), ["doc_id"])
+        .select("doc_id", "position")
+        .orderBy("doc_id")
+    )
+
+
+def q_quality_battery(spark, sf_dir):
+    """Both quality batteries in one row: C4 line cleaning joined with
+    the Gopher rule battery on doc_id (the former gopher_quality +
+    c4_clean driver rows, merged to free registry slots)."""
+    from oscar_tools_spark.functions.gopher import gopher_stats
+    from oscar_tools_spark.operators.c4_clean import c4_clean
+
+    docs = _docs(spark, sf_dir)
+    g = gopher_stats(docs).select(
+        "doc_id", "n_words", "mean_word_len", "alpha_word_frac",
+        "gopher_keep", "gopher_reasons",
+    )
+    c = c4_clean(
+        docs, min_words=30, require_terminal_punct=False, min_kept_lines=1
+    ).select("doc_id", "text", "n_kept_lines")
+    return c.join(g, "doc_id").orderBy("doc_id")
+
+
+def q_doc_assignments(spark, sf_dir):
+    """Per-doc assignment columns in one row: growth-stable 98/1/1
+    split ⨝ CCNet-style per-language quality terciles (the former
+    assign_split + quantile_buckets driver rows, merged)."""
+    from oscar_tools_spark.operators.sampling import assign_split
+    from oscar_tools_spark.operators.stats import quantile_buckets
+
+    docs = _docs(spark, sf_dir)
+    s = assign_split(docs, ["doc_id"]).select("doc_id", "split")
+    scored = docs.select(
+        "doc_id", "lang", quality_score_expr(F.col("text")).alias("quality")
+    )
+    qb = quantile_buckets(
+        scored, "lang", "quality", mode="exact", order_cols=("doc_id",)
+    ).select("doc_id", "lang", "quality", "bucket")
+    return s.join(qb, "doc_id").orderBy("doc_id")
+
+
+def q_dedup_exact_modes(spark, sf_dir):
+    """Exact dedup in both operating modes, union-tagged: full-corpus
+    first-occurrence survivors + incremental survivors against a
+    digest-table history (the former dedup_docs_exact +
+    dedup_incremental driver rows, merged)."""
+    from oscar_tools_spark.operators.dedup import (
+        corpus_digests,
+        dedup_docs_exact,
+        dedup_incremental,
+    )
+
+    docs = _docs(spark, sf_dir)
+    full = dedup_docs_exact(docs, ["doc_id"]).select(
+        "doc_id", F.lit("full").alias("mode")
+    )
+    seen = corpus_digests(docs.filter(F.col("doc_id") % 5 == 0))
+    batch = docs.filter(F.col("doc_id") % 5 != 0)
+    inc = dedup_incremental(batch, seen, ["doc_id"]).select(
+        "doc_id", F.lit("incremental").alias("mode")
+    )
+    return full.unionAll(inc).orderBy("mode", "doc_id")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_curation_pipeline(spark, "/root/testdata/sf0.001")
@@ -1495,6 +1612,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     remain as bench/pytest surfaces."""
     return {
         # -- never driver-checked before r5, newest, or changed this round
+        "chat_template": q_chat_template,
+        "corpus_diff": q_corpus_diff,
+        "global_shuffle": q_global_shuffle,
+        "quality_battery": q_quality_battery,
+        "doc_assignments": q_doc_assignments,
+        "dedup_exact_modes": q_dedup_exact_modes,
         "conversation_repair": q_conversation_repair,
         "dsir_weights": q_dsir_weights,
         "pii_extended": q_pii_extended,
@@ -1519,8 +1642,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "annotate_scrub": q_annotate_scrub,
         "remove_boilerplate": q_remove_boilerplate,
-        "dedup_docs_exact": q_dedup_docs_exact,
-        "dedup_incremental": q_dedup_incremental,
         "pack_sequences": q_pack_sequences,
         "curation_pipeline": q_curation_pipeline,
         # -- stable singles
@@ -1531,8 +1652,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_pipeline": q_url_pipeline,
         "conversation_profile": q_conversation_profile,
         "validate_transcripts": q_validate_transcripts,
-        "assign_split": q_assign_split,
-        "quantile_buckets": q_quantile_buckets,
         "minhash_dedup": q_minhash_dedup,
         "jaccard_pairs": q_jaccard_pairs,
         "update_lang_codes": q_update_lang_codes,
@@ -1542,8 +1661,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_bloom": q_decontaminate_bloom,
         "curation_funnel": q_curation_funnel,
         "sample_strategies": q_sample_strategies,
-        "gopher_quality": q_gopher_quality,
-        "c4_clean": q_c4_clean,
         "rebalance_mixture": q_rebalance_mixture,
         "events_analytics": q_events_analytics,
     }
@@ -1551,6 +1668,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "chat_template": O.q_chat_template(),
+        "corpus_diff": O.q_corpus_diff(),
+        "global_shuffle": O.q_global_shuffle(),
+        "quality_battery": O.q_quality_battery(),
+        "doc_assignments": O.q_doc_assignments(),
+        "dedup_exact_modes": O.q_dedup_exact_modes(),
         "conversation_repair": O.q_conversation_repair(),
         "dsir_weights": O.q_dsir_weights(),
         "pii_extended": O.q_pii_extended(),
@@ -1577,8 +1700,6 @@ def oracle_sql() -> dict[str, str]:
         "text_stats": O.q_text_stats(),
         "annotate_scrub": O.q_annotate_scrub(),
         "remove_boilerplate": O.q_remove_boilerplate(),
-        "dedup_docs_exact": O.q_dedup_docs_exact(),
-        "dedup_incremental": O.q_dedup_incremental(),
         "pack_sequences": O.q_pack_sequences(),
         "curation_pipeline": O.q_curation_pipeline(),
         "extract_text": O.q_extract_text(),
@@ -1588,8 +1709,6 @@ def oracle_sql() -> dict[str, str]:
         "url_pipeline": O.q_url_pipeline(),
         "conversation_profile": O.q_conversation_profile(),
         "validate_transcripts": O.q_validate_transcripts(),
-        "assign_split": O.q_assign_split(),
-        "quantile_buckets": O.q_quantile_buckets(),
         "minhash_dedup": O.q_minhash_dedup(),
         "jaccard_pairs": O.q_jaccard_pairs(),
         "update_lang_codes": O.q_update_lang_codes(),
@@ -1598,8 +1717,6 @@ def oracle_sql() -> dict[str, str]:
         "decontamination": O.q_decontamination(),
         "curation_funnel": O.q_curation_funnel(),
         "sample_strategies": O.q_sample_strategies(SAMPLE_BUDGET),
-        "gopher_quality": O.q_gopher_quality(),
-        "c4_clean": O.q_c4_clean(),
         "rebalance_mixture": O.q_rebalance_mixture(),
         "events_analytics": O.q_events_analytics(),
     }

@@ -334,3 +334,36 @@ def assign_split(
         expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
     expr = expr.otherwise(F.lit(splits[-1][0]))
     return df.withColumn(split_col, expr)
+
+
+def global_shuffle(
+    df: DataFrame,
+    key_cols: list[str],
+    seed: int = 42,
+    partitions: int = 32,
+    position_col: str = "position",
+) -> DataFrame:
+    """Deterministic global corpus shuffle: adds ``position_col`` =
+    the row's 0-based rank in md5('seed:key') order — the training-data
+    shuffle (vary ``seed`` per epoch for a fresh permutation; identical
+    inputs + seed give the identical permutation on any engine or
+    cluster size, unlike ``orderBy(rand())``).
+
+    Scale shape: the same fixed-range prefix partitioner as
+    sample_by_budget — per-range counts are a ≤``partitions``-row
+    driver collect, the rank is (range offset + within-range window
+    rank), so no single-partition global sort ever happens. To
+    materialize the shuffled layout for a trainer, write with
+    ``.repartitionByRange(partitions, position_col)`` +
+    ``.sortWithinPartitions(position_col)``.
+
+    Same determinism precondition as sample_by_budget: ``df`` is read
+    twice (totals, then the window) — materialize nondeterministic
+    inputs first.
+    """
+    keyed = _with_shuffle_key(df, key_cols, seed).withColumn("_sz", F.lit(1).cast("bigint"))
+    return (
+        _cumsum_over_key(keyed, partitions)
+        .withColumn(position_col, (F.col("_cum") - 1).cast("bigint"))
+        .drop("_sk", "_sz", "_cum", "_pid")
+    )

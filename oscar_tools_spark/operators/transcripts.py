@@ -225,6 +225,85 @@ def merge_consecutive_roles(
     )
 
 
+def render_chat(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    loss_role: str = "assistant",
+) -> DataFrame:
+    """SFT training-text rendering: one row per conversation with the
+    turns concatenated as ``<|role|>\\n{text}\\n`` segments in stable
+    ``turn_col`` order, plus the character-offset spans of the
+    ``loss_role`` turn payloads — the loss mask a chat trainer needs
+    (tokens outside assistant spans are masked out of the loss).
+
+    Output columns: ``conv_col``, ``text`` (rendered), ``n_turns``,
+    ``loss_spans`` ("start:end|start:end", half-open char offsets into
+    the rendered text, '' when the conversation has no loss turns).
+
+    Offsets are computed with a running sum of segment lengths over
+    the (conv, turn) window, so the whole render is ONE shuffle on the
+    conversation key (the groupBy reuses the window's partitioning) —
+    no post-hoc instr()/position() scans of the rendered text, which
+    would be quadratic per conversation and wrong on repeated turns.
+    Null roles/texts render as '' (coalesced) but a null role never
+    earns a loss span.
+    """
+    role0 = F.coalesce(F.col(role_col), F.lit(""))
+    text0 = F.coalesce(F.col(text_col), F.lit(""))
+    seg = F.concat(F.lit("<|"), role0, F.lit("|>\n"), text0, F.lit("\n"))
+    w = (
+        Window.partitionBy(conv_col)
+        .orderBy("_t")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    staged = df.select(
+        F.col(conv_col),
+        F.col(turn_col).alias("_t"),
+        F.col(role_col).alias("_role"),
+        seg.alias("_seg"),
+        # header '<|' + role + '|>\n' is len(role)+5 chars; payload
+        # starts right after it inside this turn's segment
+        (F.length(role0) + F.lit(5)).cast("bigint").alias("_hdr"),
+        F.length(text0).cast("bigint").alias("_body"),
+    ).withColumn("_cum", F.sum(F.length("_seg")).over(w).cast("bigint"))
+    start = F.col("_cum") - F.length("_seg") + F.col("_hdr")
+    span = F.concat(
+        start.cast("string"), F.lit(":"), (start + F.col("_body")).cast("string")
+    )
+    return staged.groupBy(conv_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("_t").alias("t"), F.col("_seg").alias("x")))
+                ),
+                lambda s: s.getField("x"),
+            ),
+            "",
+        ).alias("text"),
+        F.count(F.lit(1)).cast("bigint").alias("n_turns"),
+        # collect_list skips the NULLs the when() leaves on non-loss
+        # turns, so only loss-role spans survive, already (t, span)
+        # sortable for a stable '|' join
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("_role") == loss_role,
+                            F.struct(F.col("_t").alias("t"), span.alias("x")),
+                        )
+                    )
+                ),
+                lambda s: s.getField("x"),
+            ),
+            "|",
+        ).alias("loss_spans"),
+    )
+
+
 def truncate_to_token_budget(
     df: DataFrame,
     budget: int,

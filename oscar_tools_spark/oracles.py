@@ -1664,3 +1664,119 @@ select 'line' as level, doc_id, line_idx, label, cast(0 as bigint) as hits
 from {_sub(q_sentence_ids())}
 order by level, doc_id, line_idx
 """
+
+
+def q_chat_template() -> str:
+    """SFT-render twin of transcripts.render_chat over the same
+    deterministic pseudo-transcript mapping as q_conversation_repair
+    (planted null roles %83 / null texts %89): segments rendered
+    '<|role|>\\n{text}\\n' with coalesced nulls, loss spans from the
+    SAME running-sum arithmetic (cum - len(seg) + header), string_agg
+    skipping non-assistant NULLs == collect_list skipping when()
+    NULLs, coalesce '' for span-less conversations."""
+    pattern = ("['user','assistant','assistant','user','tool',"
+               "'tool','assistant','user','assistant','assistant']")
+    return f"""
+with t as (
+  select cast(doc_id // 10 as bigint) as conv_id,
+         cast(doc_id % 10 as int) as turn_idx,
+         case when doc_id % 83 = 0 then null
+              else ({pattern})[cast(doc_id % 10 as int) + 1] end as role,
+         case when doc_id % 89 = 0 then null else text end as text
+  from documents
+), s as (
+  select conv_id, turn_idx, role,
+         '<|' || coalesce(role, '') || '|>' || chr(10)
+           || coalesce(text, '') || chr(10) as seg,
+         cast(len(coalesce(role, '')) + 5 as bigint) as hdr,
+         cast(len(coalesce(text, '')) as bigint) as body
+  from t
+), c as (
+  select *, cast(sum(len(seg)) over (partition by conv_id order by turn_idx
+              rows between unbounded preceding and current row)
+              as bigint) as cum
+  from s
+)
+select conv_id,
+  string_agg(seg, '' order by turn_idx) as text,
+  cast(count(*) as bigint) as n_turns,
+  coalesce(string_agg(case when role = 'assistant'
+      then cast(cum - len(seg) + hdr as varchar) || ':'
+           || cast(cum - len(seg) + hdr + body as varchar) end,
+    '|' order by turn_idx), '') as loss_spans
+from c group by conv_id order by conv_id
+"""
+
+
+def q_corpus_diff(drop_old_mod: int = 10, drop_new_mod: int = 13,
+                  change_mod: int = 7, change_rem: int = 3) -> str:
+    """Snapshot-diff twin of snapshot.corpus_diff over two
+    deterministic views of documents: old = doc_id % 10 != 0 (so %10
+    docs are 'added'), new = doc_id % 13 != 0 (removals) with text
+    rewritten for doc_id % 7 == 3 ('changed'; || null-propagates in
+    both engines, so a null text mutates to the same '' digest =
+    unchanged, matching Spark concat semantics)."""
+    return f"""
+with old as (select doc_id, md5(coalesce(text, '')) as d
+             from documents where doc_id % {drop_old_mod} <> 0),
+new as (select doc_id,
+               md5(coalesce(case when doc_id % {change_mod} = {change_rem}
+                                 then text || ' v2' else text end, '')) as d
+        from documents where doc_id % {drop_new_mod} <> 0)
+select coalesce(o.doc_id, n.doc_id) as doc_id,
+  case when o.d is null then 'added'
+       when n.d is null then 'removed'
+       when o.d <> n.d then 'changed'
+       else 'unchanged' end as status
+from old o full outer join new n on o.doc_id = n.doc_id
+order by doc_id
+"""
+
+
+def q_global_shuffle(seed: int = 42) -> str:
+    """Deterministic-permutation twin of sampling.global_shuffle:
+    0-based rank in md5('seed:doc_id') order (the distributed rank is
+    range-offset + within-range window rank; the oracle's single
+    global sort is the semantic it must equal)."""
+    return f"""
+select doc_id,
+  cast(row_number() over (
+         order by md5('{seed}:' || cast(doc_id as varchar))) - 1
+       as bigint) as position
+from documents order by doc_id
+"""
+
+
+def q_quality_battery() -> str:
+    """c4_clean ⨝ gopher_stats on doc_id — one driver row covering
+    both quality batteries (the two single-battery oracles, joined
+    verbatim)."""
+    return f"""
+select c.doc_id, c.text, c.n_kept_lines, g.n_words, g.mean_word_len,
+       g.alpha_word_frac, g.gopher_keep, g.gopher_reasons
+from {_sub(q_c4_clean())} c join {_sub(q_gopher_quality())} g
+  on c.doc_id = g.doc_id
+order by c.doc_id
+"""
+
+
+def q_doc_assignments() -> str:
+    """assign_split ⨝ quantile_buckets on doc_id — the per-doc
+    assignment columns (split, quality tercile) in one row."""
+    return f"""
+select s.doc_id, s.split, q.lang, q.quality, q.bucket
+from {_sub(q_assign_split())} s join {_sub(q_quantile_buckets())} q
+  on s.doc_id = q.doc_id
+order by s.doc_id
+"""
+
+
+def q_dedup_exact_modes() -> str:
+    """Full-corpus exact dedup UNION ALL incremental exact dedup,
+    tagged by mode — both survivors lists in one hash."""
+    return f"""
+select doc_id, 'full' as mode from {_sub(q_dedup_docs_exact())}
+union all
+select doc_id, 'incremental' as mode from {_sub(q_dedup_incremental())}
+order by mode, doc_id
+"""

@@ -1,0 +1,137 @@
+"""corpus_diff (snapshot diffing), global_shuffle (deterministic
+permutation), and render_chat (SFT rendering + loss spans)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from oscar_tools_spark.operators.sampling import global_shuffle
+from oscar_tools_spark.operators.snapshot import corpus_diff, diff_summary
+from oscar_tools_spark.operators.transcripts import render_chat
+
+
+# ----------------------------------------------------------- corpus_diff
+
+
+def test_corpus_diff_statuses(spark):
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, None)],
+        "doc_id bigint, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "B!"), (4, None), (5, "e")],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r.doc_id: r.status
+        for r in corpus_diff(old, new, ["doc_id"]).collect()
+    }
+    assert got == {
+        1: "unchanged",
+        2: "changed",
+        3: "removed",
+        4: "unchanged",  # null text digests as '' on both sides
+        5: "added",
+    }
+
+
+def test_diff_summary_counts(spark):
+    old = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(10)], "doc_id bigint, text string"
+    )
+    new = spark.createDataFrame(
+        [(i, "X" if i < 3 else f"t{i}") for i in range(2, 12)],
+        "doc_id bigint, text string",
+    )
+    got = {r.status: r.n_docs for r in diff_summary(old, new, ["doc_id"]).collect()}
+    assert got == {"removed": 2, "added": 2, "changed": 1, "unchanged": 7}
+
+
+# -------------------------------------------------------- global_shuffle
+
+
+def test_global_shuffle_is_permutation_and_deterministic(spark):
+    df = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(97)], "doc_id bigint, text string"
+    )
+    out = global_shuffle(df, ["doc_id"], seed=7, partitions=8)
+    rows = out.select("doc_id", "position").collect()
+    assert sorted(r.position for r in rows) == list(range(97))
+    # deterministic across executions
+    again = {r.doc_id: r.position for r in out.collect()}
+    assert {r.doc_id: r.position for r in rows} == again
+
+
+def test_global_shuffle_partition_count_invariant(spark):
+    """The fixed-range prefix partitioner must give the SAME global
+    rank at any parallelism — the property that makes the permutation
+    reproducible across cluster sizes."""
+    df = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(60)], "doc_id bigint, text string"
+    )
+    one = {
+        r.doc_id: r.position
+        for r in global_shuffle(df, ["doc_id"], partitions=1).collect()
+    }
+    many = {
+        r.doc_id: r.position
+        for r in global_shuffle(df, ["doc_id"], partitions=16).collect()
+    }
+    assert one == many
+
+
+def test_global_shuffle_seed_changes_permutation(spark):
+    df = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(100)], "doc_id bigint, text string"
+    )
+    a = {r.doc_id: r.position for r in global_shuffle(df, ["doc_id"], seed=0).collect()}
+    b = {r.doc_id: r.position for r in global_shuffle(df, ["doc_id"], seed=1).collect()}
+    assert a != b
+    assert sorted(a.values()) == sorted(b.values())
+
+
+# ----------------------------------------------------------- render_chat
+
+
+def _render(spark, rows):
+    df = spark.createDataFrame(
+        rows, "conv_id bigint, turn_idx int, role string, text string"
+    )
+    return {r.conv_id: r for r in render_chat(df).collect()}
+
+
+def test_render_chat_text_and_spans(spark):
+    rows = [
+        (1, 0, "user", "hi"),
+        (1, 1, "assistant", "hello there"),
+        (1, 2, "user", "bye"),
+        (1, 3, "assistant", "ciao"),
+    ]
+    out = _render(spark, rows)[1]
+    assert out.text == (
+        "<|user|>\nhi\n<|assistant|>\nhello there\n"
+        "<|user|>\nbye\n<|assistant|>\nciao\n"
+    )
+    assert out.n_turns == 4
+    # every span must slice exactly the assistant turn's payload
+    spans = [tuple(map(int, s.split(":"))) for s in out.loss_spans.split("|")]
+    assert [out.text[s:e] for s, e in spans] == ["hello there", "ciao"]
+
+
+def test_render_chat_unicode_offsets_are_char_based(spark):
+    rows = [(1, 0, "user", "héllo ☃"), (1, 1, "assistant", "çava ✓")]
+    out = _render(spark, rows)[1]
+    spans = [tuple(map(int, s.split(":"))) for s in out.loss_spans.split("|")]
+    assert [out.text[s:e] for s, e in spans] == ["çava ✓"]
+
+
+def test_render_chat_nulls_and_no_assistant(spark):
+    rows = [
+        (1, 0, None, "orphan"),  # null role renders '<||>' and earns no span
+        (1, 1, "user", None),  # null text renders ''
+        (2, 0, "user", "just a user"),
+    ]
+    out = _render(spark, rows)
+    assert out[1].text == "<||>\norphan\n<|user|>\n\n"
+    assert out[1].loss_spans == ""
+    assert out[2].loss_spans == ""
