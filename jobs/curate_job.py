@@ -95,6 +95,19 @@ def main() -> None:
                     "adds one conversation-keyed shuffle ahead of the "
                     "narrow pipeline")
     ap.add_argument("--min-turns", type=int, default=2)
+    ap.add_argument("--render-chat", default=None,
+                    help="also write the curated conversations as SFT "
+                    "training rows here (one row per conversation: "
+                    "rendered '<|role|>' text + assistant loss-mask char "
+                    "spans). Reads back the COMMITTED main output, so it "
+                    "composes with resumable writes and costs one extra "
+                    "scan of the curated table")
+    ap.add_argument("--shuffle-seed", type=int, default=None,
+                    help="with --render-chat: lay the SFT rows out in a "
+                    "deterministic seeded-md5 global shuffle order "
+                    "(repartitionByRange + sortWithinPartitions on the "
+                    "rank — no single-partition sort). Same seed + input "
+                    "= same order at any cluster size; vary per epoch")
     ap.add_argument("--checkpoint-dir", default=None,
                     help="reliable-checkpoint directory (HDFS/S3). When set, "
                     "iterative operators (connected components, embedding "
@@ -281,6 +294,27 @@ def main() -> None:
         )
         total = sum(rec["rows"] for rec in manifest.values())
         print(json.dumps({"output": args.output, "buckets": len(manifest), "rows": total}))
+
+    if args.render_chat:
+        from pyspark.sql import functions as F
+
+        from oscar_tools_spark.operators.sampling import global_shuffle
+        from oscar_tools_spark.operators.transcripts import render_chat
+
+        sft = render_chat(io.read(args.output))
+        if args.shuffle_seed is not None:
+            sft = (
+                global_shuffle(sft, ["conv_id"], seed=args.shuffle_seed)
+                .repartitionByRange(F.col("position"))
+                .sortWithinPartitions("position")
+            )
+        io.write(sft, args.render_chat)
+        n_sft = io.read(args.render_chat).count()
+        print(json.dumps({
+            "render_chat": args.render_chat,
+            "conversations": n_sft,
+            "shuffled": args.shuffle_seed is not None,
+        }))
 
 
 if __name__ == "__main__":

@@ -326,3 +326,32 @@ def test_job_merge_roles_digest_symmetry(spark, transcripts_path, tmp_path, caps
     _run_job(capsys, ["--input", transcripts_path, "--output", out2,
                       "--seen-digests", digs, *base])
     assert spark.read.parquet(out2).count() == 0
+
+
+def test_job_render_chat_with_shuffle(spark, transcripts_path, tmp_path, capsys):
+    """--render-chat writes one SFT row per curated conversation with
+    loss spans that slice exactly the assistant payloads; --shuffle-seed
+    lays rows out in the deterministic global-shuffle order."""
+    out_path, sft_path = str(tmp_path / "out"), str(tmp_path / "sft")
+    rec = _run_job(
+        capsys,
+        ["--input", transcripts_path, "--output", out_path,
+         "--no-model", "--no-resume",
+         "--render-chat", sft_path, "--shuffle-seed", "5"],
+    )
+    assert rec == {"render_chat": sft_path, "conversations": rec["conversations"],
+                   "shuffled": True}
+    sft = spark.read.parquet(sft_path)
+    assert set(sft.columns) >= {"conv_id", "text", "n_turns", "loss_spans",
+                                "position"}
+    rows = sft.collect()
+    assert rec["conversations"] == len(rows) > 0
+    assert sorted(r.position for r in rows) == list(range(len(rows)))
+    for r in rows:
+        if not r.loss_spans:
+            continue
+        for span in r.loss_spans.split("|"):
+            s, e = map(int, span.split(":"))
+            assert 0 <= s <= e <= len(r.text)
+            # span payload never bleeds into the next role header
+            assert "<|" not in r.text[s:e]

@@ -272,3 +272,39 @@ def test_dsir_scoring_broadcasts_lambda_table(spark):
     assert "BroadcastExchange" in plan
     assert "BroadcastNestedLoop" not in plan
     assert plan.count("Exchange hashpartitioning") == 1, plan[:3000]
+
+
+def test_render_chat_single_shuffle(spark):
+    """The offset window and the regrouping share the conversation
+    key — the whole SFT render costs exactly ONE hash exchange."""
+    from oscar_tools_spark.operators.transcripts import render_chat
+
+    t = _docs(spark).select(
+        (F.col("doc_id") % 50).alias("conv_id"),
+        (F.col("doc_id") % 7).cast("int").alias("turn_idx"),
+        F.lit("assistant").alias("role"),
+        F.col("text"),
+    )
+    plan = _plan(render_chat(t))
+    assert plan.count("hashpartitioning") == 1, plan[:2000]
+
+
+def test_corpus_diff_shuffles_digests_not_text(spark):
+    """The full-outer join must consume (keys, md5) projections — the
+    text column may appear only under the scans' digest projection,
+    never in the exchange/join output (state is ~48 B/doc at any
+    document size)."""
+    from oscar_tools_spark.operators.snapshot import corpus_diff
+
+    docs = _docs(spark)
+    out = corpus_diff(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 3 == 0),
+        ["doc_id"],
+    )
+    plan = _plan(out)
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan[:2000]
+    # each side's exchange carries exactly (doc_id, digest)
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "text" not in line, line
