@@ -274,6 +274,28 @@ def main() -> None:
         "pii_scrub",
         lambda: run_noop(scrub_pii_extended(transcripts)),
     )
+    # round-5: SFT chat rendering over the REAL transcripts table —
+    # role-delimited text + assistant loss-span offsets from a
+    # running-sum window, one conv-keyed shuffle (plan-guarded)
+    from oscar_tools_spark.operators.transcripts import render_chat
+
+    timed(
+        "chat_render",
+        lambda: run_noop(render_chat(transcripts)),
+    )
+    # round-5: deterministic global training shuffle of the transcripts
+    # table — seeded-md5 rank via the fixed-range prefix partitioner
+    # (totals collect + one bucket-keyed window, no global sort)
+    from oscar_tools_spark.operators.sampling import global_shuffle
+
+    timed(
+        "global_shuffle",
+        lambda: run_noop(
+            global_shuffle(transcripts, ["conv_id", "turn_idx"]).select(
+                "conv_id", "turn_idx", "position"
+            )
+        ),
+    )
     # per-line langid over the transcripts table — the per-line hot path
     # (staged zip_with shape; the inline-HOF form measured 4x slower)
     timed(
