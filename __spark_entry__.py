@@ -1596,6 +1596,53 @@ def q_dedup_exact_modes(spark, sf_dir):
     return full.unionAll(inc).orderBy("mode", "doc_id")
 
 
+def q_normalize_text(spark, sf_dir):
+    """Unicode normalization (the OSCAR/CCNet pre-langid cleanup):
+    curly quotes/dashes/ellipsis folds, NBSP variants, zero-width and
+    control deletion, whitespace collapse, edge trim — one narrow
+    codegen projection. Junk is planted deterministically (%5 prepend,
+    %3 append — shared constants O.NORMALIZE_PLANTS) so every rule
+    fires on the otherwise-clean corpus."""
+    from oscar_tools_spark.operators.normalize import normalize_corpus
+
+    p1, p2 = O.NORMALIZE_PLANTS
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.when(F.col("doc_id") % 5 == 1, F.lit(p2)).otherwise(F.lit("")),
+            F.col("text"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(p1)).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return (
+        normalize_corpus(d)
+        .select("doc_id", "text", "n_chars_removed")
+        .orderBy("doc_id")
+    )
+
+
+def q_text_extraction(spark, sf_dir):
+    """Both v1/v2 text-surface reference ops level-tagged in one row:
+    extract_text doc rows (line_idx=-1) + dedup_lines line rows (the
+    former extract_text + dedup_lines driver rows, merged)."""
+    a = (
+        extract_text(_docs(spark, sf_dir).select("doc_id", "text"))
+        .select(
+            F.lit("doc").alias("level"),
+            "doc_id",
+            F.lit(-1).cast("bigint").alias("line_idx"),
+            F.col("v1_text").alias("line"),
+        )
+    )
+    b = dedup_lines(_docs(spark, sf_dir), ["doc_id"]).select(
+        F.lit("line").alias("level"),
+        "doc_id",
+        F.col("line_idx").cast("bigint").alias("line_idx"),
+        "line",
+    )
+    return a.unionAll(b).orderBy("level", "doc_id", "line_idx")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_curation_pipeline(spark, "/root/testdata/sf0.001")
@@ -1618,6 +1665,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_battery": q_quality_battery,
         "doc_assignments": q_doc_assignments,
         "dedup_exact_modes": q_dedup_exact_modes,
+        "normalize_text": q_normalize_text,
+        "text_extraction": q_text_extraction,
         "conversation_repair": q_conversation_repair,
         "dsir_weights": q_dsir_weights,
         "pii_extended": q_pii_extended,
@@ -1645,8 +1694,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "curation_pipeline": q_curation_pipeline,
         # -- stable singles
-        "extract_text": q_extract_text,
-        "dedup_lines": q_dedup_lines,
         "dedup_incremental_minhash": q_dedup_incremental_minhash,
         "dedup_convs_incremental": q_dedup_convs_incremental,
         "url_pipeline": q_url_pipeline,
@@ -1674,6 +1721,8 @@ def oracle_sql() -> dict[str, str]:
         "quality_battery": O.q_quality_battery(),
         "doc_assignments": O.q_doc_assignments(),
         "dedup_exact_modes": O.q_dedup_exact_modes(),
+        "normalize_text": O.q_normalize_text(),
+        "text_extraction": O.q_text_extraction(),
         "conversation_repair": O.q_conversation_repair(),
         "dsir_weights": O.q_dsir_weights(),
         "pii_extended": O.q_pii_extended(),
@@ -1702,8 +1751,6 @@ def oracle_sql() -> dict[str, str]:
         "remove_boilerplate": O.q_remove_boilerplate(),
         "pack_sequences": O.q_pack_sequences(),
         "curation_pipeline": O.q_curation_pipeline(),
-        "extract_text": O.q_extract_text(),
-        "dedup_lines": O.q_dedup_lines(),
         "dedup_incremental_minhash": O.q_dedup_incremental_minhash(),
         "dedup_convs_incremental": O.q_dedup_convs_incremental(),
         "url_pipeline": O.q_url_pipeline(),

@@ -95,6 +95,11 @@ def main() -> None:
                     "adds one conversation-keyed shuffle ahead of the "
                     "narrow pipeline")
     ap.add_argument("--min-turns", type=int, default=2)
+    ap.add_argument("--normalize", action="store_true",
+                    help="unicode-normalize turn text before langid/"
+                    "annotation (typographic quote/dash folds, zero-"
+                    "width/control deletion, whitespace collapse) — one "
+                    "narrow projection, adds n_chars_removed lineage")
     ap.add_argument("--render-chat", default=None,
                     help="also write the curated conversations as SFT "
                     "training rows here (one row per conversation: "
@@ -235,6 +240,13 @@ def main() -> None:
         bmodel = load_bpe(args.bpe_model)
 
     def transform(part):
+        if args.normalize:
+            from oscar_tools_spark.operators.normalize import normalize_corpus
+
+            # before langid/annotation so curly-quoted stopwords and
+            # zero-width-split words identify correctly; narrow, fuses
+            # into the same codegen stage as the annotations
+            part = normalize_corpus(part)
         out = curate(part, cfg)
         if args.scrub_pii:
             from oscar_tools_spark.operators.pii import scrub_pii_extended

@@ -1,0 +1,122 @@
+"""Unicode text normalization — the pre-langid cleanup pass.
+
+Web-extracted and transcript text arrives with typographic unicode
+(curly quotes, em/en dashes, ellipsis chars), zero-width/control junk,
+NBSP variants, and whitespace noise that degrades every downstream
+pass: langid n-gram hits miss curly-quoted stopwords, dedup digests
+split on invisible characters, and tokenizers mint junk types. OSCAR /
+CCNet normalize before language ID for exactly this reason; this
+module is that step, expressed as ONE narrow codegen projection — no
+shuffle, no UDF.
+
+Rule data lives here as module constants and the DuckDB oracle is
+GENERATED from the same constants (the repo's lexicons.py convention:
+change semantics in one place and every engine moves together).
+
+Order of operations (pinned — the oracle replays it exactly):
+  1. multi-char literal replacements (CRLF/CR -> LF, ellipsis -> ...)
+  2. one translate() pass: 1:1 folds (quotes, dashes, NBSP -> space,
+     tab -> space) and deletions (zero-widths, soft hyphen, C0/C1
+     controls except LF) — translate, not a char-class regex: a fused
+     char-class strip regex measured ~20x slower in this repo
+  3. '  +' -> ' '   (horizontal runs; tabs already folded)
+  4. ' *\\n *' -> '\\n' (edge spaces around newlines)
+  5. '\\n{3,}' -> '\\n\\n' (paragraph-preserving blank-line collapse)
+  6. btrim(text, ' \\n') (document edges)
+
+NULL text stays NULL (every step null-propagates identically in Spark
+and DuckDB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# step 1: ordered multi-char literal replaces
+MULTI_REPLACEMENTS: list[tuple[str, str]] = [
+    ("\r\n", "\n"),
+    ("\r", "\n"),
+    ("…", "..."),  # horizontal ellipsis
+]
+
+# step 2: 1:1 character folds
+CHAR_FOLDS: dict[str, str] = {
+    "‘": "'", "’": "'", "‚": "'", "′": "'",  # single quotes
+    "“": '"', "”": '"', "„": '"', "″": '"',  # double quotes
+    "–": "-", "—": "-", "−": "-",  # en/em dash, minus sign
+    " ": " ", " ": " ", " ": " ", "　": " ",  # space variants
+    "\t": " ",
+}
+
+# step 2: outright deletions (translate with no replacement)
+CHAR_DELETES: str = (
+    "​‌‍﻿­"  # zero-widths, BOM, soft hyphen
+    + "".join(chr(c) for c in range(0x00, 0x0A))  # C0 controls below LF
+    + "".join(chr(c) for c in range(0x0B, 0x20))  # C0 above LF (CR gone in step 1)
+    + "\x7f"
+)
+
+_FROM = "".join(CHAR_FOLDS) + CHAR_DELETES
+_TO = "".join(CHAR_FOLDS.values())
+
+# steps 3-5: ASCII-only regexes, identical in Java and RE2
+_COLLAPSE = [("  +", " "), (" *\n *", "\n"), ("\n\n\n+", "\n\n")]
+
+
+def normalize_text_expr(col: Column) -> Column:
+    """The full normalization as one codegen'd column expression."""
+    e = col
+    for a, b in MULTI_REPLACEMENTS:
+        e = F.replace(e, F.lit(a), F.lit(b))
+    e = F.translate(e, _FROM, _TO)
+    for pat, rep in _COLLAPSE:
+        e = F.regexp_replace(e, pat, rep)
+    return F.btrim(e, F.lit(" \n"))
+
+
+def normalize_corpus(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Replace ``text_col`` with its normalized form and add
+    ``n_chars_removed`` (original minus normalized char count —
+    per-doc lineage for how much junk the pass stripped)."""
+    norm = normalize_text_expr(F.col(text_col))
+    return df.withColumns(
+        {
+            "n_chars_removed": (
+                F.length(F.col(text_col)) - F.length(norm)
+            ).cast("bigint"),
+            text_col: norm,
+        }
+    )
+
+
+def sql_quote(s: str) -> str:
+    """Quote a string for DuckDB SQL with control chars as chr(n)
+    concatenations — printable and NUL-safe."""
+    out: list[str] = []
+    buf = ""
+    for ch in s:
+        if ord(ch) < 32 or ord(ch) == 127:
+            if buf:
+                out.append("'" + buf.replace("'", "''") + "'")
+                buf = ""
+            out.append(f"chr({ord(ch)})")
+        else:
+            buf += ch
+    if buf or not out:
+        out.append("'" + buf.replace("'", "''") + "'")
+    return "(" + " || ".join(out) + ")"
+
+
+def normalize_sql(expr: str) -> str:
+    """DuckDB twin of normalize_text_expr over SQL fragment ``expr`` —
+    generated from the SAME constants ('g' flag: DuckDB regexp_replace
+    is first-match-only by default, Spark replaces all)."""
+    q = sql_quote
+    e = expr
+    for a, b in MULTI_REPLACEMENTS:
+        e = f"replace({e}, {q(a)}, {q(b)})"
+    e = f"translate({e}, {q(_FROM)}, {q(_TO)})"
+    for pat, rep in _COLLAPSE:
+        e = f"regexp_replace({e}, {q(pat)}, {q(rep)}, 'g')"
+    return f"trim({e}, {q(' ' + chr(10))})"

@@ -1780,3 +1780,50 @@ union all
 select doc_id, 'incremental' as mode from {_sub(q_dedup_incremental())}
 order by mode, doc_id
 """
+
+
+# planted unicode junk for the normalize_text driver row (appended /
+# prepended deterministically so every normalization rule fires on the
+# otherwise-clean testdata corpus); shared verbatim with __spark_entry__
+NORMALIZE_PLANTS = (
+    " “curly”  …\r\n\r\n\r\n\tend​ ",
+    " —dash–  \x07bell\x1f ",
+)
+
+
+def q_normalize_text() -> str:
+    """Unicode-normalization twin of normalize.normalize_corpus — the
+    whole rule chain (multi replaces, translate folds/deletes, ASCII
+    collapse regexes with the 'g' flag, charset trim) is GENERATED from
+    operators/normalize.py's constants."""
+    from .operators.normalize import normalize_sql, sql_quote
+
+    p1, p2 = (sql_quote(p) for p in NORMALIZE_PLANTS)
+    return f"""
+with d as (
+  select doc_id,
+         case when doc_id % 5 = 1 then {p2} else '' end
+           || text
+           || case when doc_id % 3 = 0 then {p1} else '' end as t
+  from documents
+)
+select doc_id,
+       {normalize_sql('t')} as text,
+       cast(len(t) - len({normalize_sql('t')}) as bigint) as n_chars_removed
+from d order by doc_id
+"""
+
+
+def q_text_extraction() -> str:
+    """extract_text UNION ALL dedup_lines, level-tagged — both v1/v2
+    text-surface reference ops in one driver row (doc rows
+    line_idx=-1)."""
+    return f"""
+select 'doc' as level, doc_id, cast(-1 as bigint) as line_idx,
+       v1_text as line
+from {_sub(q_extract_text())}
+union all
+select 'line' as level, doc_id, cast(line_idx as bigint) as line_idx, line
+from {_sub(q_dedup_lines())}
+order by level, doc_id, line_idx
+"""

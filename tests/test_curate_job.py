@@ -355,3 +355,28 @@ def test_job_render_chat_with_shuffle(spark, transcripts_path, tmp_path, capsys)
             assert 0 <= s <= e <= len(r.text)
             # span payload never bleeds into the next role header
             assert "<|" not in r.text[s:e]
+
+
+def test_job_normalize_flag(spark, transcripts_path, tmp_path, capsys):
+    """--normalize folds typographic junk before annotation and keeps
+    the removed-chars lineage column."""
+    from pyspark.sql import functions as F
+
+    messy = str(tmp_path / "messy")
+    base = spark.read.parquet(transcripts_path)
+    base.withColumn(
+        "text", F.concat(F.lit("“q”​ "), F.col("text"))
+    ).write.parquet(messy)
+    out_path = str(tmp_path / "out")
+    _run_job(
+        capsys,
+        ["--input", messy, "--output", out_path,
+         "--no-model", "--no-resume", "--normalize"],
+    )
+    out = spark.read.parquet(out_path)
+    assert "n_chars_removed" in out.columns
+    assert out.filter(F.col("text").contains("“")).count() == 0
+    assert out.filter(F.col("text").contains("​")).count() == 0
+    # the planted zero-width space is always deleted (quote folds are
+    # 1:1 and don't change the length)
+    assert out.filter(F.col("n_chars_removed") >= 1).count() == out.count()

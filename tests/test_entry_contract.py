@@ -11,7 +11,7 @@ import pytest
 import __spark_entry__ as E
 
 SF = "/root/testdata/sf0.001"
-SPOT_CHECK = ["annotate_scrub", "filter_matrix", "dedup_lines", "events_analytics", "url_pipeline", "curation_pipeline"]
+SPOT_CHECK = ["annotate_scrub", "filter_matrix", "text_extraction", "normalize_text", "events_analytics", "url_pipeline", "curation_pipeline"]
 
 
 @pytest.fixture(scope="module")

@@ -1,0 +1,67 @@
+"""Unicode normalization golden fixtures (operators/normalize.py)."""
+
+from __future__ import annotations
+
+import duckdb
+
+from oscar_tools_spark.operators.normalize import (
+    normalize_corpus,
+    normalize_sql,
+    sql_quote,
+)
+
+CASES = [
+    # typographic folds
+    ("“Hello” — it’s …fine", '"Hello" - it\'s ...fine'),
+    # NBSP + tab fold, run collapse
+    ("a  b\tc   d", "a b c d"),
+    # zero-width / soft-hyphen / control deletion (LF survives)
+    ("ze​ro­width\x07!\nnext", "zerowidth!\nnext"),
+    # CRLF fold, blank-line collapse, edge trim
+    ("  line1\r\n\r\n\r\n\r\nline2  \n\n", "line1\n\nline2"),
+    # spaces around newlines
+    ("a \n  b", "a\nb"),
+    # empty and whitespace-only
+    ("", ""),
+    (" \n \n ", ""),
+]
+
+
+def test_normalize_golden_fixtures(spark):
+    df = spark.createDataFrame(
+        [(i, raw) for i, (raw, _) in enumerate(CASES)], "doc_id bigint, text string"
+    )
+    got = {r.doc_id: r for r in normalize_corpus(df).collect()}
+    for i, (raw, want) in enumerate(CASES):
+        assert got[i].text == want, (raw, got[i].text, want)
+        assert got[i].n_chars_removed == len(raw) - len(want)
+
+
+def test_normalize_null_text_stays_null(spark):
+    df = spark.createDataFrame([(1, None)], "doc_id bigint, text string")
+    row = normalize_corpus(df).first()
+    assert row.text is None and row.n_chars_removed is None
+
+
+def test_normalize_sql_twin_matches_on_fixtures():
+    """The generated DuckDB chain must agree with the expected outputs
+    char-for-char (the driver row re-proves this against Spark on the
+    full corpus)."""
+    con = duckdb.connect()
+    for raw, want in CASES:
+        got = con.sql(
+            f"select {normalize_sql(sql_quote(raw))} as t"
+        ).fetchone()[0]
+        assert got == want, (raw, got, want)
+
+
+def test_normalize_is_idempotent(spark):
+    df = spark.createDataFrame(
+        [(i, raw) for i, (raw, _) in enumerate(CASES)], "doc_id bigint, text string"
+    )
+    once = normalize_corpus(df)
+    twice = normalize_corpus(once.select("doc_id", "text"))
+    assert {(r.doc_id, r.text) for r in once.select("doc_id", "text").collect()} == {
+        (r.doc_id, r.text) for r in twice.select("doc_id", "text").collect()
+    }
+    assert all(r.n_chars_removed == 0 for r in twice.collect())
