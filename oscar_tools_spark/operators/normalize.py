@@ -52,10 +52,15 @@ CHAR_FOLDS: dict[str, str] = {
 # step 2: outright deletions (translate with no replacement)
 CHAR_DELETES: str = (
     "​‌‍﻿­"  # zero-widths, BOM, soft hyphen
-    + "".join(chr(c) for c in range(0x00, 0x0A))  # C0 controls below LF
+    + "".join(chr(c) for c in range(0x00, 0x09))  # C0 below TAB (TAB is a fold)
     + "".join(chr(c) for c in range(0x0B, 0x20))  # C0 above LF (CR gone in step 1)
     + "\x7f"
 )
+
+# the fold and delete sets must stay disjoint: a char in both would
+# pick up translate's first-occurrence rule in Spark/DuckDB but the
+# LAST mapping in a Python dict-table replay
+assert not set(CHAR_FOLDS) & set(CHAR_DELETES)
 
 _FROM = "".join(CHAR_FOLDS) + CHAR_DELETES
 _TO = "".join(CHAR_FOLDS.values())

@@ -601,3 +601,102 @@ def test_quality_prob_matches_python_reference(spark):
         # the replay sums per-element in float64 — observed divergence
         # ~2e-9, pure summation order, far below any consumer rounding
         assert abs(got[i] - want) <= 1e-7, (i, repr(t), got[i], want)
+
+
+# ---------------------------------------------------------- normalize
+
+
+def ref_normalize(text: str) -> str:
+    import re as _re
+
+    from oscar_tools_spark.operators.normalize import (
+        CHAR_DELETES,
+        CHAR_FOLDS,
+        MULTI_REPLACEMENTS,
+    )
+
+    for a, b in MULTI_REPLACEMENTS:
+        text = text.replace(a, b)
+    table = {ord(k): v for k, v in CHAR_FOLDS.items()}
+    table.update({ord(c): None for c in CHAR_DELETES})
+    text = text.translate(table)
+    text = _re.sub("  +", " ", text)
+    text = _re.sub(" *\n *", "\n", text)
+    text = _re.sub("\n\n\n+", "\n\n", text)
+    return text.strip(" \n")
+
+
+def test_normalize_matches_python_reference(spark):
+    """normalize_corpus vs an independent str.translate/re.sub replay
+    on 300 random texts salted with every junk class the operator
+    folds (typographic quotes/dashes, NBSP variants, zero-widths,
+    CR/CRLF, C0 controls)."""
+    from oscar_tools_spark.operators.normalize import normalize_corpus
+
+    rng = np.random.default_rng(41)
+    junk = list("“”‘’—–…\r\x07\x1f") + [" ", "​", "﻿", "\r\n", "  "]
+    texts = []
+    for base in random_texts(300, seed=43):
+        parts = list(base)
+        for _ in range(int(rng.integers(0, 6))):
+            pos = int(rng.integers(0, len(parts) + 1))
+            parts.insert(pos, str(rng.choice(junk)))
+        texts.append("".join(parts))
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    got = {r.doc_id: r for r in normalize_corpus(df).collect()}
+    for i, t in enumerate(texts):
+        want = ref_normalize(t)
+        assert got[i].text == want, (repr(t), repr(got[i].text), repr(want))
+        assert got[i].n_chars_removed == len(t) - len(want)
+
+
+# --------------------------------------------------------- render_chat
+
+
+def ref_render_chat(turns):
+    """turns: [(turn_idx, role, text)] -> (text, n_turns, loss_spans)."""
+    turns = sorted(turns, key=lambda x: x[0])
+    out, spans, pos = [], [], 0
+    for _, role, text in turns:
+        r, t = role or "", text or ""
+        seg = f"<|{r}|>\n{t}\n"
+        if role == "assistant":
+            s = pos + len(r) + 5
+            spans.append(f"{s}:{s + len(t)}")
+        out.append(seg)
+        pos += len(seg)
+    return "".join(out), len(turns), "|".join(spans)
+
+
+def test_render_chat_matches_python_reference(spark):
+    """render_chat vs a pure-Python renderer over 60 random
+    conversations (random role mix incl. NULLs, random unicode texts
+    incl. NULLs and empties)."""
+    from oscar_tools_spark.operators.transcripts import render_chat
+
+    rng = np.random.default_rng(47)
+    texts = random_texts(300, seed=53)
+    rows, ref = [], {}
+    roles = ["user", "assistant", "tool", None]
+    ti = 0
+    for conv in range(60):
+        n = int(rng.integers(1, 9))
+        turns = []
+        for k in range(n):
+            role = roles[int(rng.integers(0, len(roles)))]
+            text = None if rng.integers(0, 10) == 0 else texts[ti % len(texts)]
+            ti += 1
+            turns.append((k, role, text))
+            rows.append((conv, k, role, text))
+        ref[conv] = ref_render_chat(turns)
+    df = spark.createDataFrame(
+        rows, "conv_id bigint, turn_idx int, role string, text string"
+    )
+    got = {r.conv_id: r for r in render_chat(df).collect()}
+    assert set(got) == set(ref)
+    for conv, (text, n_turns, spans) in ref.items():
+        assert got[conv].text == text, conv
+        assert got[conv].n_turns == n_turns
+        assert got[conv].loss_spans == spans, conv
