@@ -1596,6 +1596,46 @@ def q_dedup_exact_modes(spark, sf_dir):
     return full.unionAll(inc).orderBy("mode", "doc_id")
 
 
+def q_window_conversations(spark, sf_dir):
+    """Sliding context windows (W=40, S=20 whitespace tokens) over the
+    deterministic pseudo-transcripts — every turn lands in every window
+    fully containing it, so conversation tails survive into training
+    examples (the complement of conversation_repair's prefix
+    truncation). One conv-keyed running-sum window + a narrow
+    explode."""
+    from oscar_tools_spark.operators.transcripts import window_conversations
+
+    roles = ["user", "assistant", "assistant", "user", "tool",
+             "tool", "assistant", "user", "assistant", "assistant"]
+    r = (F.col("doc_id") % 10).cast("int")
+    t = _docs(spark, sf_dir).select(
+        F.floor(F.col("doc_id") / 10).cast("bigint").alias("conv_id"),
+        r.alias("turn_idx"),
+        F.when(F.col("doc_id") % 83 == 0, F.lit(None).cast("string"))
+        .otherwise(F.element_at(F.array(*[F.lit(x) for x in roles]), r + 1))
+        .alias("role"),
+        F.when(F.col("doc_id") % 89 == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return (
+        window_conversations(t, window_tokens=40, stride_tokens=20)
+        .select("conv_id", "turn_idx", "role", "text", "n_tokens", "window_idx")
+        .orderBy("conv_id", "window_idx", "turn_idx")
+    )
+
+
+def q_text_stats_full(spark, sf_dir):
+    """Every per-doc text statistic in one row: token counts + quality
+    score + fingerprint joined with the Gopher repetition signals (the
+    former text_stats + repetition_stats driver rows, merged)."""
+    return (
+        q_text_stats(spark, sf_dir)
+        .join(q_repetition_stats(spark, sf_dir), "doc_id")
+        .orderBy("doc_id")
+    )
+
+
 def q_normalize_text(spark, sf_dir):
     """Unicode normalization (the OSCAR/CCNet pre-langid cleanup):
     curly quotes/dashes/ellipsis folds, NBSP variants, zero-width and
@@ -1666,6 +1706,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_assignments": q_doc_assignments,
         "dedup_exact_modes": q_dedup_exact_modes,
         "normalize_text": q_normalize_text,
+        "window_conversations": q_window_conversations,
+        "text_stats_full": q_text_stats_full,
         "text_extraction": q_text_extraction,
         "conversation_repair": q_conversation_repair,
         "dsir_weights": q_dsir_weights,
@@ -1688,7 +1730,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_per_lang_embedded": q_topk_per_lang_embedded,
         "topk_cosine_ann": q_topk_cosine_ann,
         "filter_matrix": q_filter_matrix,
-        "text_stats": q_text_stats,
         "annotate_scrub": q_annotate_scrub,
         "remove_boilerplate": q_remove_boilerplate,
         "pack_sequences": q_pack_sequences,
@@ -1703,7 +1744,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": q_jaccard_pairs,
         "update_lang_codes": q_update_lang_codes,
         "topk_cosine_ids": q_topk_cosine_ids,
-        "repetition_stats": q_repetition_stats,
         "decontamination": q_decontamination,
         "decontaminate_bloom": q_decontaminate_bloom,
         "curation_funnel": q_curation_funnel,
@@ -1722,6 +1762,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_assignments": O.q_doc_assignments(),
         "dedup_exact_modes": O.q_dedup_exact_modes(),
         "normalize_text": O.q_normalize_text(),
+        "window_conversations": O.q_window_conversations(),
+        "text_stats_full": O.q_text_stats_full(),
         "text_extraction": O.q_text_extraction(),
         "conversation_repair": O.q_conversation_repair(),
         "dsir_weights": O.q_dsir_weights(),
@@ -1746,7 +1788,6 @@ def oracle_sql() -> dict[str, str]:
         "sample_budget_modes": O.q_sample_budget_modes(SAMPLE_BUDGET),
         "topk_per_lang_embedded": O.q_topk_per_lang_embedded(),
         "filter_matrix": O.q_filter_matrix(),
-        "text_stats": O.q_text_stats(),
         "annotate_scrub": O.q_annotate_scrub(),
         "remove_boilerplate": O.q_remove_boilerplate(),
         "pack_sequences": O.q_pack_sequences(),
@@ -1760,7 +1801,6 @@ def oracle_sql() -> dict[str, str]:
         "jaccard_pairs": O.q_jaccard_pairs(),
         "update_lang_codes": O.q_update_lang_codes(),
         "topk_cosine_ids": O.q_topk_cosine_ids(),
-        "repetition_stats": O.q_repetition_stats(),
         "decontamination": O.q_decontamination(),
         "curation_funnel": O.q_curation_funnel(),
         "sample_strategies": O.q_sample_strategies(SAMPLE_BUDGET),

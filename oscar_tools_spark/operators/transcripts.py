@@ -225,6 +225,73 @@ def merge_consecutive_roles(
     )
 
 
+def window_conversations(
+    df: DataFrame,
+    window_tokens: int,
+    stride_tokens: int,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    tokens_col: str | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Sliding context windows over each conversation: turn rows are
+    replicated into every length-``window_tokens`` window (stride
+    ``stride_tokens``) that FULLY contains them — the SFT-prep
+    complement to truncate_to_token_budget, which keeps only the
+    prefix and throws the tail away. Training examples are then the
+    (conv, window_idx) groups; windows overlap by design so tail
+    context is never lost.
+
+    A turn spanning tokens [s, e) lands in windows w with
+    w*stride <= s and e <= w*stride + window_tokens, i.e.
+    w in [max(0, ceil((e - W)/S)), floor(s/S)] — at most W/S windows
+    per turn, so the blowup is the fixed overlap factor, never
+    quadratic. Turns longer than ``window_tokens`` fit no window and
+    are dropped (size them out first with gopher/structural rules).
+
+    Adds ``window_idx`` and ``n_tokens``. Scale shape: one running-sum
+    window on the conversation key, then a narrow
+    explode(sequence) — a single shuffle.
+    """
+    if stride_tokens <= 0 or window_tokens <= 0:
+        raise ValueError("window_tokens and stride_tokens must be positive")
+    if stride_tokens > window_tokens:
+        raise ValueError("stride beyond the window would skip tokens")
+    if tokens_col is not None:
+        tok = F.col(tokens_col).cast("bigint")
+    else:
+        trimmed = F.trim(F.coalesce(F.col(text_col), F.lit("")))
+        tok = F.when(trimmed == "", F.lit(0)).otherwise(
+            F.size(F.split(trimmed, r"\s+"))
+        ).cast("bigint")
+    w = (
+        Window.partitionBy(conv_col)
+        .orderBy(turn_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    W, S = int(window_tokens), int(stride_tokens)
+    cum = F.sum("n_tokens").over(w)
+    s0 = (cum - F.col("n_tokens")).alias("_s")
+    staged = df.withColumn("n_tokens", tok).select("*", s0, cum.alias("_e"))
+    # integer-only bounds; for e - W <= 0 both truncating and floor
+    # division land on a non-positive value that the greatest(0, ...)
+    # clamp absorbs, so the expression is portable across engines
+    w_lo = F.greatest(
+        F.lit(0).cast("bigint"),
+        F.floor((F.col("_e") - F.lit(W) + F.lit(S - 1)) / F.lit(S)).cast("bigint"),
+    )
+    w_hi = F.floor(F.col("_s") / F.lit(S)).cast("bigint")
+    # F.sequence(1, 0) yields [1, 0] (inferred negative step), NOT
+    # empty — guard the inverted range explicitly
+    wins = F.when(w_hi >= w_lo, F.sequence(w_lo, w_hi)).otherwise(
+        F.array().cast("array<bigint>")
+    )
+    return (
+        staged.withColumn("window_idx", F.explode(wins))
+        .drop("_s", "_e")
+    )
+
+
 def render_chat(
     df: DataFrame,
     conv_col: str = "conv_id",

@@ -1827,3 +1827,59 @@ select 'line' as level, doc_id, cast(line_idx as bigint) as line_idx, line
 from {_sub(q_dedup_lines())}
 order by level, doc_id, line_idx
 """
+
+
+def q_text_stats_full() -> str:
+    """text_stats ⨝ repetition_stats on doc_id — every per-doc text
+    statistic in one driver row."""
+    return f"""
+select t.doc_id, t.ws_tokens, t.bpe_tokens, t.stop_hits, t.quality, t.fp,
+       r.dup_2gram_frac, r.dup_3gram_frac, r.max_line_frac
+from {_sub(q_text_stats())} t join {_sub(q_repetition_stats())} r
+  on t.doc_id = r.doc_id
+order by t.doc_id
+"""
+
+
+def q_window_conversations(window_tokens: int = 40, stride_tokens: int = 20) -> str:
+    """Sliding-context-window twin of transcripts.window_conversations
+    over the q_conversation_repair pseudo-transcript mapping: identical
+    whitespace token counts, running-sum spans, and integer window
+    bounds (floor of a double division in BOTH engines; the
+    greatest(0, ...) clamp absorbs the negative-numerator case where
+    truncating and floor division disagree)."""
+    pattern = ("['user','assistant','assistant','user','tool',"
+               "'tool','assistant','user','assistant','assistant']")
+    W, S = window_tokens, stride_tokens
+    return f"""
+with t as (
+  select cast(doc_id // 10 as bigint) as conv_id,
+         cast(doc_id % 10 as int) as turn_idx,
+         case when doc_id % 83 = 0 then null
+              else ({pattern})[cast(doc_id % 10 as int) + 1] end as role,
+         case when doc_id % 89 = 0 then null else text end as text
+  from documents
+), tok as (
+  select *, cast(case when trim(coalesce(text, '')) = '' then 0
+                      else len(string_split_regex(trim(coalesce(text, '')),
+                                                  '\\s+')) end
+                 as bigint) as n_tokens
+  from t
+), c as (
+  select *, cast(sum(n_tokens) over (partition by conv_id order by turn_idx
+              rows between unbounded preceding and current row)
+              as bigint) as e
+  from tok
+), b as (
+  select *, cast(e - n_tokens as bigint) as s from c
+), r as (
+  select *, greatest(0, cast(floor((e - {W} + {S - 1}) / {S}) as bigint)) as lo,
+            cast(floor(s / {S}) as bigint) as hi
+  from b
+)
+select conv_id, turn_idx, role, text, n_tokens,
+       cast(unnest(case when hi >= lo then generate_series(lo, hi)
+                        else [] end) as bigint) as window_idx
+from r
+order by conv_id, window_idx, turn_idx
+"""

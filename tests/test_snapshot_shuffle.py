@@ -135,3 +135,71 @@ def test_render_chat_nulls_and_no_assistant(spark):
     assert out[1].text == "<||>\norphan\n<|user|>\n\n"
     assert out[1].loss_spans == ""
     assert out[2].loss_spans == ""
+
+
+# ---------------------------------------------------- window_conversations
+
+
+def test_window_conversations_containment_and_tail(spark):
+    """Every emitted (window, turn) pair is fully contained in the
+    window's token range; tail turns (dropped by prefix truncation)
+    appear in at least one window; oversized turns fit no window."""
+    import pytest
+
+    from oscar_tools_spark.operators.transcripts import window_conversations
+
+    rows = [
+        # conv 1: 6 turns x 10 tokens = 60 tokens
+        (1, k, "user" if k % 2 == 0 else "assistant", " ".join(["w"] * 10))
+        for k in range(6)
+    ] + [
+        (2, 0, "user", " ".join(["x"] * 50)),  # oversized: > window
+        (2, 1, "assistant", "short reply here"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id bigint, turn_idx int, role string, text string"
+    )
+    out = window_conversations(df, window_tokens=30, stride_tokens=10).collect()
+    W, S = 30, 10
+    # recompute spans per conversation for containment
+    spans = {}
+    for conv in (1, 2):
+        pos = 0
+        for r in sorted([x for x in rows if x[0] == conv], key=lambda x: x[1]):
+            n = len(r[3].split())
+            spans[(conv, r[1])] = (pos, pos + n)
+            pos += n
+    for r in out:
+        s, e = spans[(r.conv_id, r.turn_idx)]
+        assert r.window_idx * S <= s and e <= r.window_idx * S + W, r
+    # oversized turn emitted nowhere; its short successor still windows
+    assert not [r for r in out if (r.conv_id, r.turn_idx) == (2, 0)]
+    assert [r for r in out if (r.conv_id, r.turn_idx) == (2, 1)]
+    # conv 1's LAST turn (tokens 50..60) survives into every window
+    # containing it: [30,60), [40,70), [50,80) -> indices 3, 4, 5
+    tail = sorted(r.window_idx for r in out if (r.conv_id, r.turn_idx) == (1, 5))
+    assert tail == [3, 4, 5]
+    # overlap factor is bounded by W/S: no turn in more than 3 windows
+    from collections import Counter
+
+    c = Counter((r.conv_id, r.turn_idx) for r in out)
+    assert max(c.values()) <= W // S
+
+    with pytest.raises(ValueError):
+        window_conversations(df, window_tokens=10, stride_tokens=20)
+
+
+def test_window_conversations_tokens_col(spark):
+    from oscar_tools_spark.operators.transcripts import window_conversations
+
+    df = spark.createDataFrame(
+        [(1, 0, "u", "ignored", 5), (1, 1, "a", "ignored", 5)],
+        "conv_id bigint, turn_idx int, role string, text string, n_bpe int",
+    )
+    out = window_conversations(
+        df, window_tokens=10, stride_tokens=5, tokens_col="n_bpe"
+    ).collect()
+    got = sorted((r.turn_idx, r.window_idx) for r in out)
+    # turn0 spans [0,5): windows 0..0 plus... w_lo=ceil((5-10)/5)=0, w_hi=0
+    # turn1 spans [5,10): w_lo=ceil(0/5)=0, w_hi=1
+    assert got == [(0, 0), (1, 0), (1, 1)]
