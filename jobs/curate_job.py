@@ -80,6 +80,14 @@ def main() -> None:
                     "conversation fitting this token budget (turn-boundary "
                     "context-window packing; uses n_bpe_tokens when "
                     "--bpe-model is set, else whitespace counts); 0 = off")
+    ap.add_argument("--window-tokens", type=int, default=0,
+                    help="replicate kept turns into sliding context "
+                    "windows of this many tokens (tail-preserving "
+                    "alternative to --truncate-tokens; adds window_idx; "
+                    "uses n_bpe_tokens when --bpe-model is set); 0 = off")
+    ap.add_argument("--window-stride", type=int, default=0,
+                    help="stride between window starts (default: half "
+                    "the window)")
     ap.add_argument("--scrub-pii", action="store_true",
                     help="additionally redact credential-shaped tokens "
                     "(AWS/GitHub/long-hex keys) from kept turns with per-kind "
@@ -278,6 +286,17 @@ def main() -> None:
                 budget=args.truncate_tokens,
                 tokens_col="n_bpe_tokens" if bmodel is not None else None,
             )
+        if args.window_tokens > 0:
+            from oscar_tools_spark.operators.transcripts import (
+                window_conversations,
+            )
+
+            out = window_conversations(
+                out,
+                window_tokens=args.window_tokens,
+                stride_tokens=args.window_stride or args.window_tokens // 2,
+                tokens_col="n_bpe_tokens" if bmodel is not None else None,
+            )
         if args.partitions:
             out = repartition_conversations(out, args.partitions)
         return out
@@ -313,7 +332,15 @@ def main() -> None:
         from oscar_tools_spark.operators.sampling import global_shuffle
         from oscar_tools_spark.operators.transcripts import render_chat
 
-        sft = render_chat(io.read(args.output))
+        chat_src = io.read(args.output)
+        if "window_idx" in chat_src.columns:
+            # windowed output repeats (conv, turn) across overlapping
+            # windows — each (conv, window) pair is its own training
+            # example, so it gets its own rendered row
+            chat_src = chat_src.withColumn(
+                "conv_id", F.concat_ws("#", "conv_id", "window_idx")
+            )
+        sft = render_chat(chat_src)
         if args.shuffle_seed is not None:
             sft = (
                 global_shuffle(sft, ["conv_id"], seed=args.shuffle_seed)

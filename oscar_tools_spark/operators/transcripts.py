@@ -317,6 +317,11 @@ def render_chat(
     would be quadratic per conversation and wrong on repeated turns.
     Null roles/texts render as '' (coalesced) but a null role never
     earns a loss span.
+
+    PRECONDITION: (conv, turn) keys are non-null and unique (the
+    offset window and the array_sort regroup must agree on the turn
+    order, and null/duplicate turn keys make that order undefined) —
+    gate with validate_transcripts first, as the curate job does.
     """
     role0 = F.coalesce(F.col(role_col), F.lit(""))
     text0 = F.coalesce(F.col(text_col), F.lit(""))

@@ -380,3 +380,48 @@ def test_job_normalize_flag(spark, transcripts_path, tmp_path, capsys):
     # the planted zero-width space is always deleted (quote folds are
     # 1:1 and don't change the length)
     assert out.filter(F.col("n_chars_removed") >= 1).count() == out.count()
+
+
+def test_job_window_tokens_flag(spark, transcripts_path, tmp_path, capsys):
+    """--window-tokens replicates kept turns into overlapping context
+    windows with a window_idx column."""
+    from pyspark.sql import functions as F
+
+    out_path = str(tmp_path / "out")
+    _run_job(
+        capsys,
+        ["--input", transcripts_path, "--output", out_path,
+         "--no-model", "--no-resume", "--window-tokens", "64"],
+    )
+    out = spark.read.parquet(out_path)
+    assert {"window_idx", "n_tokens"} <= set(out.columns)
+    assert out.count() > 0
+    assert out.agg(F.min("window_idx")).first()[0] == 0
+
+
+def test_job_windowed_render_chat_keys_on_window(spark, transcripts_path, tmp_path, capsys):
+    """--window-tokens + --render-chat: each (conv, window) pair is its
+    own SFT example — windows are never merged back together."""
+    from pyspark.sql import functions as F
+
+    out_path, sft_path = str(tmp_path / "out"), str(tmp_path / "sft")
+    _run_job(
+        capsys,
+        ["--input", transcripts_path, "--output", out_path,
+         "--no-model", "--no-resume", "--window-tokens", "48",
+         "--render-chat", sft_path],
+    )
+    out = spark.read.parquet(out_path)
+    n_examples = out.select("conv_id", "window_idx").distinct().count()
+    sft = spark.read.parquet(sft_path)
+    assert sft.count() == n_examples
+    assert sft.filter(~F.col("conv_id").contains("#")).count() == 0
+    # per-example turn counts agree with the windowed table
+    per = {
+        (r.conv_id, r.window_idx): r.n
+        for r in out.groupBy("conv_id", "window_idx")
+        .agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    for r in sft.select("conv_id", "n_turns").collect():
+        conv, win = r.conv_id.rsplit("#", 1)
+        assert per[(conv, int(win))] == r.n_turns
