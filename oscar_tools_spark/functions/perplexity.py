@@ -76,22 +76,31 @@ def _score_batch(texts: pd.Series) -> np.ndarray:
     langid._score_batch; ~1e-15 relative difference vs ``score_text``
     from summation order, far below the per-row rounding any consumer
     applies)."""
+    return _score_batch_with(texts, _LOGPROB, _WORST)
+
+
+def _packed_ids(texts) -> tuple[np.ndarray, np.ndarray]:
+    """One latin-1 encode of the whole batch, NUL-separated: returns
+    (char ids, NUL-separator mask). A literal NUL in the input maps to
+    '?' (OOV), exactly what latin-1 'replace' does to unencodable
+    chars, so separators are unambiguous."""
+    joined = "\x00".join((t or "").lower().replace("\x00", "?") for t in texts)
+    b = np.frombuffer(joined.encode("latin-1", "replace"), dtype=np.uint8)
+    return _LOOKUP[b], b == 0
+
+
+def _score_batch_with(texts, logprob: np.ndarray, worst: float) -> np.ndarray:
     n = len(texts)
     if n == 0:
         return np.empty(0, dtype=np.float64)
-    # NUL separates docs; a literal NUL in the input maps to '?' (OOV),
-    # exactly what latin-1 'replace' does to unencodable chars.
-    joined = "\x00".join((t or "").lower().replace("\x00", "?") for t in texts)
-    b = np.frombuffer(joined.encode("latin-1", "replace"), dtype=np.uint8)
-    ids = _LOOKUP[b]
-    nul = b == 0
+    ids, nul = _packed_ids(texts)
     doc_of = np.cumsum(nul, dtype=np.int32)
     valid = ~nul[:-1] & ~nul[1:]  # bigram windows inside one doc
-    lp = _LOGPROB[ids[:-1][valid], ids[1:][valid]]
+    lp = logprob[ids[:-1][valid], ids[1:][valid]]
     di = doc_of[:-1][valid]
     sums = np.bincount(di, weights=lp, minlength=n)
     cnts = np.bincount(di, minlength=n)
-    out = np.full(n, _WORST)
+    out = np.full(n, worst)
     nz = cnts > 0
     out[nz] = np.exp(-(sums[nz] / cnts[nz]))
     return out
@@ -127,3 +136,65 @@ def score(df: DataFrame, text_col: str = "text", out_col: str = "perplexity") ->
 def high_perplexity_expr(ppl: Column, threshold: float = 30.0) -> Column:
     """Quality gate: True when the text looks unlike natural language."""
     return ppl > F.lit(threshold)
+
+
+def fit_char_bigram_lm(df: DataFrame, text_col: str = "text") -> np.ndarray:
+    """Fit the char-bigram LM ON A CORPUS, distributed — the in-domain
+    upgrade of the import-time seed model (KenLM users train on their
+    own corpus; this is that path for the drop-in scorer).
+
+    Shape: mapInPandas emits ONE partial-counts row set per Arrow batch
+    ((flat_idx, count) pairs from a single whole-batch bincount — at
+    most V*V=784 rows per batch, independent of batch size), a groupBy
+    sums them (map-side combinable, <=784 groups), and the driver
+    collects <=784 rows to build the V x V matrix. The corpus is
+    scanned once and only counts ever move; no sample cap, no skew
+    sensitivity (counts are commutative).
+
+    Returns the Laplace-smoothed log-prob matrix; feed it to
+    ``make_batch_scorer`` and pass that through ``perplexity_udf``'s
+    model-swap seam.
+    """
+    v = _V
+
+    def partial_counts(batches):
+        for pdf in batches:
+            texts = list(pdf[text_col])
+            if not texts:
+                continue
+            ids, nul = _packed_ids(texts)  # same packing as the scorer
+            if len(ids) < 2:
+                continue
+            keep = ~(nul[:-1] | nul[1:])  # no cross-document bigrams
+            flat = ids[:-1][keep].astype(np.int64) * v + ids[1:][keep]
+            cnt = np.bincount(flat, minlength=v * v)
+            nz = np.nonzero(cnt)[0]
+            yield pd.DataFrame(
+                {"idx": nz.astype("int64"), "cnt": cnt[nz].astype("int64")}
+            )
+
+    rows = (
+        df.select(text_col)
+        .mapInPandas(partial_counts, "idx long, cnt long")
+        .groupBy("idx")
+        .agg(F.sum("cnt").alias("cnt"))
+        .collect()
+    )
+    counts = np.ones((v, v), dtype=np.float64)  # Laplace, same as _train
+    for r in rows:
+        counts[r.idx // v, r.idx % v] += r.cnt
+    return np.log(counts / counts.sum(axis=1, keepdims=True))
+
+
+def make_batch_scorer(logprob: np.ndarray):
+    """Whole-batch scorer over an arbitrary log-prob matrix (the
+    corpus-fit twin of the built-in ``_score_batch``); pass the result
+    to ``perplexity_udf(score_batch=...)``. Returned as a closure so
+    cloudpickle ships it by value (ship-by-reference trap, see
+    perplexity_udf docstring)."""
+    worst = float(np.exp(-logprob.mean()))
+
+    def scorer(texts: pd.Series) -> np.ndarray:
+        return _score_batch_with(texts, logprob, worst)
+
+    return scorer
