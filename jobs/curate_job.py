@@ -60,6 +60,13 @@ def main() -> None:
                     "contract (duplicate (conv_id, turn_idx) identities or "
                     "null keys) — one conversation-keyed aggregation before "
                     "any curation work starts")
+    ap.add_argument("--fit-perplexity", action="store_true",
+                    help="fit the char-bigram perplexity LM on THIS "
+                    "batch (distributed: one extra narrow scan, counts-"
+                    "only shuffle) and score with it instead of the "
+                    "seed-corpus model — in-domain perplexity, the "
+                    "KenLM-style train-on-your-corpus path; lineage "
+                    "records the corpus-fit version string")
     ap.add_argument("--quality-model", default=None,
                     help=".npz artifact from quality_classifier.save_model; "
                     "when set, turns are scored post-scrub and those below "
@@ -234,6 +241,23 @@ def main() -> None:
 
             df = materialize(df)
         io.write(conversation_digests(df), args.emit_digests)
+
+    if args.fit_perplexity and not args.no_model:
+        import dataclasses
+
+        from oscar_tools_spark.functions.perplexity import (
+            fit_char_bigram_lm,
+            make_batch_scorer,
+        )
+
+        # fit AFTER the repair/dedup pre-stages so the LM sees the
+        # batch that will actually be scored
+        lm = fit_char_bigram_lm(df)
+        cfg = dataclasses.replace(
+            cfg,
+            ppl_score_batch=make_batch_scorer(lm),
+            ppl_model_version="char-bigram-lm-corpusfit-v1",
+        )
 
     qmodel = None
     if args.quality_model:

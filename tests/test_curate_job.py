@@ -425,3 +425,23 @@ def test_job_windowed_render_chat_keys_on_window(spark, transcripts_path, tmp_pa
     for r in sft.select("conv_id", "n_turns").collect():
         conv, win = r.conv_id.rsplit("#", 1)
         assert per[(conv, int(win))] == r.n_turns
+
+
+def test_job_fit_perplexity_flag(spark, transcripts_path, tmp_path, capsys):
+    """--fit-perplexity trains the LM on the batch, scores with it, and
+    records the corpus-fit version in lineage."""
+    from pyspark.sql import functions as F
+
+    out_path = str(tmp_path / "out")
+    _run_job(
+        capsys,
+        ["--input", transcripts_path, "--output", out_path,
+         "--no-resume", "--fit-perplexity"],
+    )
+    out = spark.read.parquet(out_path)
+    assert "perplexity" in out.columns
+    assert out.count() > 0
+    versions = {r.model_versions for r in out.select("model_versions").distinct().collect()}
+    assert len(versions) == 1
+    assert "char-bigram-lm-corpusfit-v1" in versions.pop()
+    assert out.filter(F.col("perplexity") <= 0).count() == 0
