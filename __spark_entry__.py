@@ -1347,6 +1347,25 @@ def q_semdedup(spark, sf_dir):
     )
 
 
+def _pseudo_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> deterministic pseudo-transcripts, the ONE Spark
+    twin of oracles.pseudo_transcripts_cte (roles from
+    O.PSEUDO_ROLES so a pattern edit moves every engine together)."""
+    r = (F.col("doc_id") % 10).cast("int")
+    return _docs(spark, sf_dir).select(
+        F.floor(F.col("doc_id") / 10).cast("bigint").alias("conv_id"),
+        r.alias("turn_idx"),
+        F.when(F.col("doc_id") % 83 == 0, F.lit(None).cast("string"))
+        .otherwise(
+            F.element_at(F.array(*[F.lit(x) for x in O.PSEUDO_ROLES]), r + 1)
+        )
+        .alias("role"),
+        F.when(F.col("doc_id") % 89 == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+
+
 def q_conversation_repair(spark, sf_dir):
     """Transcript repair chain: merge runs of consecutive same-role
     turns (streamed-chunk / retried-tool artifacts), then truncate each
@@ -1361,19 +1380,7 @@ def q_conversation_repair(spark, sf_dir):
         truncate_to_token_budget,
     )
 
-    roles = ["user", "assistant", "assistant", "user", "tool",
-             "tool", "assistant", "user", "assistant", "assistant"]
-    r = (F.col("doc_id") % 10).cast("int")
-    t = _docs(spark, sf_dir).select(
-        F.floor(F.col("doc_id") / 10).cast("bigint").alias("conv_id"),
-        r.alias("turn_idx"),
-        F.when(F.col("doc_id") % 83 == 0, F.lit(None).cast("string"))
-        .otherwise(F.element_at(F.array(*[F.lit(x) for x in roles]), r + 1))
-        .alias("role"),
-        F.when(F.col("doc_id") % 89 == 0, F.lit(None).cast("string"))
-        .otherwise(F.col("text"))
-        .alias("text"),
-    )
+    t = _pseudo_transcripts(spark, sf_dir)
     return truncate_to_token_budget(
         merge_consecutive_roles(t), budget=150
     ).orderBy("conv_id", "turn_idx")
@@ -1488,19 +1495,7 @@ def q_chat_template(spark, sf_dir):
     conversation (single shuffle)."""
     from oscar_tools_spark.operators.transcripts import render_chat
 
-    roles = ["user", "assistant", "assistant", "user", "tool",
-             "tool", "assistant", "user", "assistant", "assistant"]
-    r = (F.col("doc_id") % 10).cast("int")
-    t = _docs(spark, sf_dir).select(
-        F.floor(F.col("doc_id") / 10).cast("bigint").alias("conv_id"),
-        r.alias("turn_idx"),
-        F.when(F.col("doc_id") % 83 == 0, F.lit(None).cast("string"))
-        .otherwise(F.element_at(F.array(*[F.lit(x) for x in roles]), r + 1))
-        .alias("role"),
-        F.when(F.col("doc_id") % 89 == 0, F.lit(None).cast("string"))
-        .otherwise(F.col("text"))
-        .alias("text"),
-    )
+    t = _pseudo_transcripts(spark, sf_dir)
     return render_chat(t).orderBy("conv_id")
 
 
@@ -1605,19 +1600,7 @@ def q_window_conversations(spark, sf_dir):
     explode."""
     from oscar_tools_spark.operators.transcripts import window_conversations
 
-    roles = ["user", "assistant", "assistant", "user", "tool",
-             "tool", "assistant", "user", "assistant", "assistant"]
-    r = (F.col("doc_id") % 10).cast("int")
-    t = _docs(spark, sf_dir).select(
-        F.floor(F.col("doc_id") / 10).cast("bigint").alias("conv_id"),
-        r.alias("turn_idx"),
-        F.when(F.col("doc_id") % 83 == 0, F.lit(None).cast("string"))
-        .otherwise(F.element_at(F.array(*[F.lit(x) for x in roles]), r + 1))
-        .alias("role"),
-        F.when(F.col("doc_id") % 89 == 0, F.lit(None).cast("string"))
-        .otherwise(F.col("text"))
-        .alias("text"),
-    )
+    t = _pseudo_transcripts(spark, sf_dir)
     return (
         window_conversations(t, window_tokens=40, stride_tokens=20)
         .select("conv_id", "turn_idx", "role", "text", "n_tokens", "window_idx")

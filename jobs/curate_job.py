@@ -136,6 +136,15 @@ def main() -> None:
                     "localCheckpoint (single-host only — see "
                     "plans/materialize.py)")
     args = ap.parse_args()
+    # contradictory flag combinations fail FAST instead of silently
+    # no-opping (discovering a missing perplexity column after a
+    # multi-hour 100 TB pass is the expensive way to learn this)
+    if args.fit_perplexity and args.no_model:
+        ap.error("--fit-perplexity needs model scoring; drop --no-model")
+    if args.shuffle_seed is not None and not args.render_chat:
+        ap.error("--shuffle-seed only lays out the --render-chat output; "
+                 "add --render-chat (or use operators.sampling."
+                 "global_shuffle directly)")
 
     builder = SparkSession.builder
     if args.checkpoint_dir:
@@ -229,20 +238,21 @@ def main() -> None:
         df = filter_conversations(
             df, min_turns=args.min_turns, require_roles=("user", "assistant")
         )
+    prestaged = bool(args.seen_digests or args.structural_filter or args.merge_roles)
+    if (args.emit_digests or args.fit_perplexity) and prestaged:
+        # the digest write and the LM fit are SEPARATE actions; without
+        # pinning, each of them AND the main output write would
+        # re-execute the anti-join/structural/merge pre-stages (extra
+        # full input scans — for the merge, extra conversation shuffles)
+        from oscar_tools_spark.plans.materialize import materialize
+
+        df = materialize(df)
     if args.emit_digests:
         from oscar_tools_spark.operators.dedup import conversation_digests
 
-        if args.seen_digests or args.structural_filter or args.merge_roles:
-            # the digest write is a SEPARATE action; without pinning,
-            # it and the main output write would each re-execute the
-            # anti-join/structural/merge pre-stages (two full input
-            # scans — for the merge, two full conversation shuffles)
-            from oscar_tools_spark.plans.materialize import materialize
-
-            df = materialize(df)
         io.write(conversation_digests(df), args.emit_digests)
 
-    if args.fit_perplexity and not args.no_model:
+    if args.fit_perplexity:
         import dataclasses
 
         from oscar_tools_spark.functions.perplexity import (
@@ -250,9 +260,15 @@ def main() -> None:
             make_batch_scorer,
         )
 
-        # fit AFTER the repair/dedup pre-stages so the LM sees the
-        # batch that will actually be scored
-        lm = fit_char_bigram_lm(df)
+        # fit AFTER the repair/dedup pre-stages, and on the SAME text
+        # the scorer will see: when --normalize is on, transform()
+        # normalizes before scoring, so the fit must too
+        fit_src = df
+        if args.normalize:
+            from oscar_tools_spark.operators.normalize import normalize_corpus
+
+            fit_src = normalize_corpus(df)
+        lm = fit_char_bigram_lm(fit_src)
         cfg = dataclasses.replace(
             cfg,
             ppl_score_batch=make_batch_scorer(lm),

@@ -55,6 +55,9 @@ CHAR_DELETES: str = (
     + "".join(chr(c) for c in range(0x00, 0x09))  # C0 below TAB (TAB is a fold)
     + "".join(chr(c) for c in range(0x0B, 0x20))  # C0 above LF (CR gone in step 1)
     + "\x7f"
+    + "".join(chr(c) for c in range(0x80, 0xA0))  # C1 (NEL & friends from
+    # mis-decoded Windows-1252 crawls — invisible chars that would
+    # split dedup digests)
 )
 
 # the fold and delete sets must stay disjoint: a char in both would
@@ -83,7 +86,10 @@ def normalize_text_expr(col: Column) -> Column:
 def normalize_corpus(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Replace ``text_col`` with its normalized form and add
     ``n_chars_removed`` (original minus normalized char count —
-    per-doc lineage for how much junk the pass stripped)."""
+    per-doc lineage for how much junk the pass stripped). NOTE: the
+    count is a NET delta and can be negative — the '…' -> '...' fold
+    expands text by 2 chars per ellipsis; treat nonzero (not >0) as
+    "this doc was touched"."""
     norm = normalize_text_expr(F.col(text_col))
     return df.withColumns(
         {
@@ -101,7 +107,7 @@ def sql_quote(s: str) -> str:
     out: list[str] = []
     buf = ""
     for ch in s:
-        if ord(ch) < 32 or ord(ch) == 127:
+        if ord(ch) < 32 or 0x7F <= ord(ch) < 0xA0:  # C0, DEL, C1
             if buf:
                 out.append("'" + buf.replace("'", "''") + "'")
                 buf = ""

@@ -87,12 +87,18 @@ def _range_pid(partitions: int):
     return F.floor(prefix * partitions / F.lit(_HEX_SPACE)).cast("int")
 
 
-def _cumsum_over_key(df: DataFrame, partitions: int) -> DataFrame:
+def _cumsum_over_key(
+    df: DataFrame, partitions: int, tiebreak_cols: tuple[str, ...] = ()
+) -> DataFrame:
     """Attach ``_cum`` = inclusive cumulative sum of ``_sz`` in global
     ``_sk`` order, without a single-partition window.
 
     ``df`` must carry ``_sk`` (md5 hex) and ``_sz`` (bigint). Adds
     ``_pid``. The per-range totals collect is ≤ ``partitions`` rows.
+    ``tiebreak_cols`` extend the window ordering past ``_sk`` so an
+    md5 collision between two DISTINCT keys still orders
+    deterministically (rows with fully identical key tuples have no
+    identity to order by — callers must document that precondition).
     """
     parted = df.withColumn("_pid", _range_pid(partitions))
     totals = {
@@ -112,7 +118,7 @@ def _cumsum_over_key(df: DataFrame, partitions: int) -> DataFrame:
         if offsets
         else F.lit(0)
     )
-    w = Window.partitionBy("_pid").orderBy("_sk").rowsBetween(
+    w = Window.partitionBy("_pid").orderBy("_sk", *tiebreak_cols).rowsBetween(
         Window.unboundedPreceding, 0
     )
     return parted.withColumn("_cum", F.sum("_sz").over(w) + offset_col)
@@ -359,11 +365,15 @@ def global_shuffle(
 
     Same determinism precondition as sample_by_budget: ``df`` is read
     twice (totals, then the window) — materialize nondeterministic
-    inputs first.
+    inputs first. ``key_cols`` tuples must additionally be UNIQUE and
+    non-null: the rank order falls back to the raw keys on an md5
+    collision, but two rows with the SAME key tuple have no identity
+    to order by, so their relative positions are arbitrary per
+    execution (dedup first; validate_transcripts flags dup keys).
     """
     keyed = _with_shuffle_key(df, key_cols, seed).withColumn("_sz", F.lit(1).cast("bigint"))
     return (
-        _cumsum_over_key(keyed, partitions)
+        _cumsum_over_key(keyed, partitions, tiebreak_cols=tuple(key_cols))
         .withColumn(position_col, (F.col("_cum") - 1).cast("bigint"))
         .drop("_sk", "_sz", "_cum", "_pid")
     )

@@ -225,6 +225,23 @@ def merge_consecutive_roles(
     )
 
 
+def _token_count_expr(tokens_col: str | None, text_col: str):
+    """ONE token-count definition for every budget/window stage: the
+    precomputed column (null-coalesced to 0 — a null count behaves
+    like a null text, not like a silent row drop) or whitespace word
+    counts of ``text_col``. truncate_to_token_budget and
+    window_conversations compose in the curate job, so they must count
+    identically by construction, not by parallel-edit discipline."""
+    if tokens_col is not None:
+        return F.coalesce(F.col(tokens_col).cast("bigint"), F.lit(0))
+    trimmed = F.trim(F.coalesce(F.col(text_col), F.lit("")))
+    return (
+        F.when(trimmed == "", F.lit(0))
+        .otherwise(F.size(F.split(trimmed, r"\s+")))
+        .cast("bigint")
+    )
+
+
 def window_conversations(
     df: DataFrame,
     window_tokens: int,
@@ -257,13 +274,7 @@ def window_conversations(
         raise ValueError("window_tokens and stride_tokens must be positive")
     if stride_tokens > window_tokens:
         raise ValueError("stride beyond the window would skip tokens")
-    if tokens_col is not None:
-        tok = F.col(tokens_col).cast("bigint")
-    else:
-        trimmed = F.trim(F.coalesce(F.col(text_col), F.lit("")))
-        tok = F.when(trimmed == "", F.lit(0)).otherwise(
-            F.size(F.split(trimmed, r"\s+"))
-        ).cast("bigint")
+    tok = _token_count_expr(tokens_col, text_col)
     w = (
         Window.partitionBy(conv_col)
         .orderBy(turn_col)
@@ -399,15 +410,7 @@ def truncate_to_token_budget(
     including this turn). Scale shape: one running-sum window keyed on
     the conversation — a single shuffle, no joins, map-side prunable.
     """
-    if tokens_col is not None:
-        tok = F.col(tokens_col).cast("bigint")
-    else:
-        # whitespace tokenization: split on ASCII-ws runs; size() of
-        # the trimmed split is 1 for '' so gate on non-empty
-        trimmed = F.trim(F.coalesce(F.col(text_col), F.lit("")))
-        tok = F.when(trimmed == "", F.lit(0)).otherwise(
-            F.size(F.split(trimmed, r"\s+"))
-        ).cast("bigint")
+    tok = _token_count_expr(tokens_col, text_col)
     w = (
         Window.partitionBy(conv_col)
         .orderBy(turn_col)

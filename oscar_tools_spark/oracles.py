@@ -1452,6 +1452,26 @@ order by s.lang
 """
 
 
+
+# ONE definition of the documents -> pseudo-transcripts mapping every
+# transcript-shaped oracle shares (conv = doc_id//10, 10-slot role
+# pattern, planted null roles %83 / null texts %89); __spark_entry__
+# builds the Spark side from PSEUDO_ROLES so both engines move together
+PSEUDO_ROLES = ["user", "assistant", "assistant", "user", "tool",
+                "tool", "assistant", "user", "assistant", "assistant"]
+
+
+def pseudo_transcripts_cte() -> str:
+    pattern = "[" + ",".join(f"'{r}'" for r in PSEUDO_ROLES) + "]"
+    return f"""
+  select cast(doc_id // 10 as bigint) as conv_id,
+         cast(doc_id % 10 as int) as turn_idx,
+         case when doc_id % 83 = 0 then null
+              else ({pattern})[cast(doc_id % 10 as int) + 1] end as role,
+         case when doc_id % 89 = 0 then null else text end as text
+  from documents"""
+
+
 def q_conversation_repair(budget: int = 150) -> str:
     """Transcript-repair twin of transcripts.merge_consecutive_roles +
     truncate_to_token_budget over the deterministic pseudo-transcript
@@ -1461,16 +1481,8 @@ def q_conversation_repair(budget: int = 150) -> str:
     ordered array_join (both skip nulls; coalesce '' for all-null
     runs), max(role) == run role (runs are role-homogeneous),
     whitespace token counts, prefix cum-sum budget with keep-first."""
-    pattern = ("['user','assistant','assistant','user','tool',"
-               "'tool','assistant','user','assistant','assistant']")
     return f"""
-with t as (
-  select cast(doc_id // 10 as bigint) as conv_id,
-         cast(doc_id % 10 as int) as turn_idx,
-         case when doc_id % 83 = 0 then null
-              else ({pattern})[cast(doc_id % 10 as int) + 1] end as role,
-         case when doc_id % 89 = 0 then null else text end as text
-  from documents
+with t as ({pseudo_transcripts_cte()}
 ), runs as (
   select *, case when row_number() over (partition by conv_id
                                          order by turn_idx) = 1
@@ -1674,16 +1686,8 @@ def q_chat_template() -> str:
     SAME running-sum arithmetic (cum - len(seg) + header), string_agg
     skipping non-assistant NULLs == collect_list skipping when()
     NULLs, coalesce '' for span-less conversations."""
-    pattern = ("['user','assistant','assistant','user','tool',"
-               "'tool','assistant','user','assistant','assistant']")
     return f"""
-with t as (
-  select cast(doc_id // 10 as bigint) as conv_id,
-         cast(doc_id % 10 as int) as turn_idx,
-         case when doc_id % 83 = 0 then null
-              else ({pattern})[cast(doc_id % 10 as int) + 1] end as role,
-         case when doc_id % 89 = 0 then null else text end as text
-  from documents
+with t as ({pseudo_transcripts_cte()}
 ), s as (
   select conv_id, turn_idx, role,
          '<|' || coalesce(role, '') || '|>' || chr(10)
@@ -1848,17 +1852,9 @@ def q_window_conversations(window_tokens: int = 40, stride_tokens: int = 20) -> 
     bounds (floor of a double division in BOTH engines; the
     greatest(0, ...) clamp absorbs the negative-numerator case where
     truncating and floor division disagree)."""
-    pattern = ("['user','assistant','assistant','user','tool',"
-               "'tool','assistant','user','assistant','assistant']")
     W, S = window_tokens, stride_tokens
     return f"""
-with t as (
-  select cast(doc_id // 10 as bigint) as conv_id,
-         cast(doc_id % 10 as int) as turn_idx,
-         case when doc_id % 83 = 0 then null
-              else ({pattern})[cast(doc_id % 10 as int) + 1] end as role,
-         case when doc_id % 89 = 0 then null else text end as text
-  from documents
+with t as ({pseudo_transcripts_cte()}
 ), tok as (
   select *, cast(case when trim(coalesce(text, '')) = '' then 0
                       else len(string_split_regex(trim(coalesce(text, '')),

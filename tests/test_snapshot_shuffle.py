@@ -193,13 +193,18 @@ def test_window_conversations_tokens_col(spark):
     from oscar_tools_spark.operators.transcripts import window_conversations
 
     df = spark.createDataFrame(
-        [(1, 0, "u", "ignored", 5), (1, 1, "a", "ignored", 5)],
+        [(1, 0, "u", "ignored", 5), (1, 1, "a", "ignored", 5),
+         (1, 2, "u", "ignored", None)],  # null count == 0 tokens, kept
         "conv_id bigint, turn_idx int, role string, text string, n_bpe int",
     )
     out = window_conversations(
         df, window_tokens=10, stride_tokens=5, tokens_col="n_bpe"
     ).collect()
     got = sorted((r.turn_idx, r.window_idx) for r in out)
-    # turn0 spans [0,5): windows 0..0 plus... w_lo=ceil((5-10)/5)=0, w_hi=0
+    # turn0 spans [0,5): w_lo=ceil((5-10)/5)=0, w_hi=0
     # turn1 spans [5,10): w_lo=ceil(0/5)=0, w_hi=1
-    assert got == [(0, 0), (1, 0), (1, 1)]
+    # turn2 (null count) spans [10,10): zero-width at the boundary fits
+    # windows 0..2 — KEPT, mirroring how a null text counts as 0 in
+    # whitespace mode
+    assert got == [(0, 0), (1, 0), (1, 1), (2, 0), (2, 1), (2, 2)]
+    assert all(r.n_tokens == 0 for r in out if r.turn_idx == 2)
