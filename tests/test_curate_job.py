@@ -445,3 +445,19 @@ def test_job_fit_perplexity_flag(spark, transcripts_path, tmp_path, capsys):
     assert len(versions) == 1
     assert "char-bigram-lm-corpusfit-v1" in versions.pop()
     assert out.filter(F.col("perplexity") <= 0).count() == 0
+
+
+def test_job_windowed_resumable_buckets(spark, transcripts_path, tmp_path, capsys):
+    """--window-tokens under the default resumable path: windowing is
+    conversation-local, so bucketed passes commit windowed rows and a
+    rerun resumes to the identical output."""
+    out_path = str(tmp_path / "out")
+    argv = ["--input", transcripts_path, "--output", out_path,
+            "--no-model", "--buckets", "3", "--window-tokens", "64"]
+    first = _run_job(capsys, argv)
+    out = spark.read.parquet(out_path)
+    assert "window_idx" in out.columns
+    assert out.count() == first["rows"] > 0
+    second = _run_job(capsys, argv)  # manifest: everything done
+    assert second["rows"] == first["rows"]
+    assert spark.read.parquet(out_path).count() == first["rows"]
