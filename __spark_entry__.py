@@ -1619,6 +1619,45 @@ def q_text_stats_full(spark, sf_dir):
     )
 
 
+def q_tool_profile(spark, sf_dir):
+    """Per-tool agent-transcript analytics (calls, conversations,
+    payload volume, answered-by-assistant rate) over the pseudo-
+    transcripts with a planted tool column on tool-role turns."""
+    from oscar_tools_spark.operators.transcripts import tool_profile
+
+    t = _pseudo_transcripts(spark, sf_dir).withColumn(
+        "tool",
+        F.when(
+            F.col("role") == "tool",
+            F.concat(
+                F.lit("t"),
+                ((F.col("conv_id") * 10 + F.col("turn_idx")) % 4).cast("string"),
+            ),
+        ),
+    )
+    return tool_profile(t).orderBy("tool")
+
+
+def q_shingle_dedup(spark, sf_dir):
+    """MinHash-LSH survivors + thresholded n-gram Jaccard pairs,
+    section-tagged in one row (the former minhash_dedup +
+    jaccard_pairs driver rows, merged — both ride the shared shingle
+    machinery; -1/0.0 sentinels keep numerics non-nullable)."""
+    a = dedup_minhash_lsh(_docs(spark, sf_dir), "doc_id").select(
+        F.lit("minhash_survivor").alias("section"),
+        F.col("doc_id").alias("id_a"),
+        F.lit(-1).cast("bigint").alias("id_b"),
+        F.lit(0.0).cast("double").alias("val"),
+    )
+    b = jaccard_pairs(_docs(spark, sf_dir), "doc_id", threshold=0.5).select(
+        F.lit("jaccard_pair").alias("section"),
+        F.col("key_a").alias("id_a"),
+        F.col("key_b").alias("id_b"),
+        F.col("jaccard").alias("val"),
+    )
+    return a.unionAll(b).orderBy("section", "id_a", "id_b")
+
+
 def q_normalize_text(spark, sf_dir):
     """Unicode normalization (the OSCAR/CCNet pre-langid cleanup):
     curly quotes/dashes/ellipsis folds, NBSP variants, zero-width and
@@ -1689,6 +1728,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_assignments": q_doc_assignments,
         "dedup_exact_modes": q_dedup_exact_modes,
         "normalize_text": q_normalize_text,
+        "tool_profile": q_tool_profile,
+        "shingle_dedup": q_shingle_dedup,
         "window_conversations": q_window_conversations,
         "text_stats_full": q_text_stats_full,
         "text_extraction": q_text_extraction,
@@ -1723,8 +1764,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_pipeline": q_url_pipeline,
         "conversation_profile": q_conversation_profile,
         "validate_transcripts": q_validate_transcripts,
-        "minhash_dedup": q_minhash_dedup,
-        "jaccard_pairs": q_jaccard_pairs,
         "update_lang_codes": q_update_lang_codes,
         "topk_cosine_ids": q_topk_cosine_ids,
         "decontamination": q_decontamination,
@@ -1745,6 +1784,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_assignments": O.q_doc_assignments(),
         "dedup_exact_modes": O.q_dedup_exact_modes(),
         "normalize_text": O.q_normalize_text(),
+        "tool_profile": O.q_tool_profile(),
+        "shingle_dedup": O.q_shingle_dedup(),
         "window_conversations": O.q_window_conversations(),
         "text_stats_full": O.q_text_stats_full(),
         "text_extraction": O.q_text_extraction(),
@@ -1780,8 +1821,6 @@ def oracle_sql() -> dict[str, str]:
         "url_pipeline": O.q_url_pipeline(),
         "conversation_profile": O.q_conversation_profile(),
         "validate_transcripts": O.q_validate_transcripts(),
-        "minhash_dedup": O.q_minhash_dedup(),
-        "jaccard_pairs": O.q_jaccard_pairs(),
         "update_lang_codes": O.q_update_lang_codes(),
         "topk_cosine_ids": O.q_topk_cosine_ids(),
         "decontamination": O.q_decontamination(),

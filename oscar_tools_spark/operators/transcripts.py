@@ -426,3 +426,46 @@ def truncate_to_token_budget(
     if keep_first:
         keep = keep | (F.col("_rn") == 1)
     return out.filter(keep).drop("_rn")
+
+
+def tool_profile(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    tool_col: str = "tool",
+    answer_role: str = "assistant",
+) -> DataFrame:
+    """Per-tool usage analytics over agent transcripts: one row per
+    distinct non-null ``tool_col`` value with ``n_calls``, ``n_convs``,
+    ``total_chars`` (tool-turn payload volume), and ``n_answered`` —
+    tool turns immediately followed by an ``answer_role`` turn, the
+    cheap structural proxy for "the agent consumed this tool's output"
+    (a tool turn followed by another tool turn or nothing is a dangling
+    call worth investigating at corpus scale).
+
+    Scale shape: one lead() window on the conversation key, then an
+    aggregation on the tool key — the tool-keyed shuffle carries only
+    the (tool, flags, length) projection of tool turns.
+    """
+    w = Window.partitionBy(conv_col).orderBy(turn_col)
+    staged = df.withColumn("_next_role", F.lead(role_col).over(w))
+    return (
+        staged.filter(F.col(tool_col).isNotNull())
+        .groupBy(tool_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_calls"),
+            F.count_distinct(F.col(conv_col)).alias("n_convs"),
+            F.sum(F.length(F.coalesce(F.col(text_col), F.lit(""))))
+            .cast("bigint")
+            .alias("total_chars"),
+            F.sum(
+                F.when(F.col("_next_role") == answer_role, F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("bigint")
+            .alias("n_answered"),
+        )
+    )

@@ -1879,3 +1879,45 @@ select conv_id, turn_idx, role, text, n_tokens,
 from r
 order by conv_id, window_idx, turn_idx
 """
+
+
+def q_tool_profile() -> str:
+    """Per-tool analytics twin of transcripts.tool_profile over the
+    pseudo-transcripts with a planted tool column on tool-role turns
+    (tool name = 't' || doc_id % 4; doc_id = conv*10 + turn)."""
+    return f"""
+with t as ({pseudo_transcripts_cte()}
+), t2 as (
+  select *, case when role = 'tool'
+      then 't' || cast((conv_id * 10 + turn_idx) % 4 as varchar) end as tool
+  from t
+), l as (
+  select *, lead(role) over (partition by conv_id order by turn_idx) as nr
+  from t2
+)
+select tool,
+       cast(count(*) as bigint) as n_calls,
+       cast(count(distinct conv_id) as bigint) as n_convs,
+       cast(sum(len(coalesce(text, ''))) as bigint) as total_chars,
+       cast(sum(case when nr = 'assistant' then 1 else 0 end) as bigint)
+         as n_answered
+from l where tool is not null
+group by tool order by tool
+"""
+
+
+def q_shingle_dedup() -> str:
+    """MinHash-LSH survivors UNION ALL thresholded Jaccard pairs,
+    section-tagged (the former minhash_dedup + jaccard_pairs rows;
+    -1/0.0 sentinels keep the numeric columns non-nullable for the
+    cross-engine hash)."""
+    return f"""
+select 'minhash_survivor' as section, doc_id as id_a,
+       cast(-1 as bigint) as id_b, cast(0.0 as double) as val
+from {_sub(q_minhash_dedup())}
+union all
+select 'jaccard_pair' as section, key_a as id_a, key_b as id_b,
+       jaccard as val
+from {_sub(q_jaccard_pairs())}
+order by section, id_a, id_b
+"""

@@ -463,3 +463,30 @@ def test_validate_transcripts_report(spark):
     assert r.n_dup_turn_keys == 1
     # c is gapped; d is all-null-turn: both violations
     assert r.n_noncontiguous_convs == 2
+
+
+def test_tool_profile_answered_and_dangling(spark):
+    """Per-tool analytics: answered = tool turn immediately followed by
+    an assistant turn; dangling calls (tool->tool, tool->end) are not
+    answered; null tools don't profile."""
+    from oscar_tools_spark.operators.transcripts import tool_profile
+
+    rows = [
+        (1, 0, "user", "q", None),
+        (1, 1, "tool", "result a", "search"),
+        (1, 2, "assistant", "answer", None),   # search answered
+        (1, 3, "tool", "result b", "calc"),
+        (1, 4, "tool", "retry b!", "calc"),    # calc->tool: dangling
+        (1, 5, "assistant", "done", None),     # second calc answered
+        (2, 0, "tool", "tail", "search"),      # conv ends: dangling
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id bigint, turn_idx int, role string, text string, tool string"
+    )
+    got = {r.tool: r for r in tool_profile(df).collect()}
+    assert set(got) == {"search", "calc"}
+    assert (got["search"].n_calls, got["search"].n_convs,
+            got["search"].n_answered) == (2, 2, 1)
+    assert (got["calc"].n_calls, got["calc"].n_convs,
+            got["calc"].n_answered) == (2, 1, 1)
+    assert got["search"].total_chars == len("result a") + len("tail")
