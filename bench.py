@@ -274,6 +274,19 @@ def main() -> None:
         "pii_scrub",
         lambda: run_noop(scrub_pii_extended(transcripts)),
     )
+    # round-5: unicode normalization of every turn — the pre-langid
+    # cleanup as ONE narrow codegen projection (translate folds +
+    # ASCII collapse), no shuffle
+    from oscar_tools_spark.operators.normalize import normalize_corpus
+
+    timed(
+        "normalize",
+        lambda: run_noop(
+            normalize_corpus(transcripts).select(
+                "conv_id", "turn_idx", "text", "n_chars_removed"
+            )
+        ),
+    )
     # round-5: SFT chat rendering over the REAL transcripts table —
     # role-delimited text + assistant loss-span offsets from a
     # running-sum window, one conv-keyed shuffle (plan-guarded)
