@@ -1745,7 +1745,7 @@ def q_global_shuffle(seed: int = 42) -> str:
     return f"""
 select doc_id,
   cast(row_number() over (
-         order by md5('{seed}:' || cast(doc_id as varchar))) - 1
+         order by md5('{seed}:' || cast(doc_id as varchar)), doc_id) - 1
        as bigint) as position
 from documents order by doc_id
 """
