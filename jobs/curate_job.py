@@ -145,6 +145,13 @@ def main() -> None:
         ap.error("--shuffle-seed only lays out the --render-chat output; "
                  "add --render-chat (or use operators.sampling."
                  "global_shuffle directly)")
+    if args.window_stride and not args.window_tokens:
+        ap.error("--window-stride does nothing without --window-tokens")
+    if args.window_tokens and not (
+        0 < (args.window_stride or args.window_tokens // 2) <= args.window_tokens
+    ):
+        ap.error("need 0 < stride <= window (a 1-token window has no "
+                 "valid default stride — pass --window-stride 1)")
 
     builder = SparkSession.builder
     if args.checkpoint_dir:
@@ -252,7 +259,19 @@ def main() -> None:
 
         io.write(conversation_digests(df), args.emit_digests)
 
-    if args.fit_perplexity:
+    def _resume_is_complete() -> bool:
+        """True when every bucket is already committed — a resume
+        no-op must not pay the LM fit's full corpus scan."""
+        if args.no_resume:
+            return False
+        import os
+
+        from oscar_tools_spark.plans.checkpoint import load_manifest
+
+        done = load_manifest(os.path.join(args.output, "_manifest.jsonl"))
+        return len(done) >= args.buckets
+
+    if args.fit_perplexity and not _resume_is_complete():
         import dataclasses
 
         from oscar_tools_spark.functions.perplexity import (
@@ -261,13 +280,30 @@ def main() -> None:
         )
 
         # fit AFTER the repair/dedup pre-stages, and on the SAME text
-        # the scorer will see: when --normalize is on, transform()
-        # normalizes before scoring, so the fit must too
+        # the scorer will see: transform() normalizes and C4-cleans
+        # before scoring, so the fit replays those stages (always on
+        # the FULL batch, never the todo buckets — a resume must score
+        # with the identical LM the first pass used)
         fit_src = df
         if args.normalize:
             from oscar_tools_spark.operators.normalize import normalize_corpus
 
-            fit_src = normalize_corpus(df)
+            fit_src = normalize_corpus(fit_src)
+        if args.c4_clean:
+            from oscar_tools_spark.operators.c4_clean import c4_clean
+
+            fit_src = c4_clean(
+                fit_src,
+                min_words=cfg.c4_min_words,
+                require_terminal_punct=cfg.c4_require_terminal_punct,
+                min_kept_lines=1,
+            )
+        if args.gopher:
+            from pyspark.sql import functions as F
+
+            from oscar_tools_spark.functions.gopher import gopher_keep_expr
+
+            fit_src = fit_src.filter(gopher_keep_expr(F.col("text")))
         lm = fit_char_bigram_lm(fit_src)
         cfg = dataclasses.replace(
             cfg,
@@ -349,19 +385,29 @@ def main() -> None:
 
         # collected as side-observers of the write job itself (zero
         # extra scans) and recorded per manifest line — the north-rule
-        # per-partition metrics next to the lineage columns
+        # per-partition metrics next to the lineage columns. With
+        # --window-tokens the written rows are (turn, window) PAIRS
+        # (up to W/S copies per turn), so the metric names say so —
+        # 'kept_turns' would silently overcount by the overlap factor
+        unit = "rows" if args.window_tokens > 0 else "turns"
         metrics = {
-            "kept_turns": F.count(F.lit(1)),
+            f"kept_{unit}": F.count(F.lit(1)),
             # coalesce: sum over an empty pass is null, which would
             # serialize as a JSON null in the manifest
-            "scrubbed_turns": F.coalesce(
+            f"scrubbed_{unit}": F.coalesce(
                 F.sum((F.size(F.col("rule_hits")) > 0).cast("bigint")),
                 F.lit(0),
             ),
         }
+        from oscar_tools_spark.plans.pipeline import model_versions_for
+
         manifest = run_resumable(
             df, transform, args.output, n_buckets=args.buckets,
             observe_metrics=metrics,
+            # manifest lines must attribute scores to the model that
+            # actually produced them (corpus-fit vs seed), same as the
+            # per-row lineage column
+            model_versions=model_versions_for(cfg),
         )
         total = sum(rec["rows"] for rec in manifest.values())
         print(json.dumps({"output": args.output, "buckets": len(manifest), "rows": total}))

@@ -38,6 +38,9 @@ MULTI_REPLACEMENTS: list[tuple[str, str]] = [
     ("\r\n", "\n"),
     ("\r", "\n"),
     ("…", "..."),  # horizontal ellipsis
+    # U+0085 is cp1252 '…' read as a C1 codepoint (NEL) — in web crawls
+    # the mojibake reading dominates actual NEL line separators
+    ("\x85", "..."),
 ]
 
 # step 2: 1:1 character folds
@@ -47,6 +50,12 @@ CHAR_FOLDS: dict[str, str] = {
     "–": "-", "—": "-", "−": "-",  # en/em dash, minus sign
     " ": " ", " ": " ", " ": " ", "　": " ",  # space variants
     "\t": " ",
+    # cp1252 punctuation mis-decoded as C1 codepoints (0x91-0x94
+    # quotes, 0x82/0x84 low quotes, 0x96/0x97 dashes): FOLD like their
+    # correctly-decoded twins — deleting them would glue words together
+    "\x91": "'", "\x92": "'", "\x82": "'",
+    "\x93": '"', "\x94": '"', "\x84": '"',
+    "\x96": "-", "\x97": "-",
 }
 
 # step 2: outright deletions (translate with no replacement)
@@ -55,7 +64,10 @@ CHAR_DELETES: str = (
     + "".join(chr(c) for c in range(0x00, 0x09))  # C0 below TAB (TAB is a fold)
     + "".join(chr(c) for c in range(0x0B, 0x20))  # C0 above LF (CR gone in step 1)
     + "\x7f"
-    + "".join(chr(c) for c in range(0x80, 0xA0))  # C1 (NEL & friends from
+    + "".join(
+        chr(c) for c in range(0x80, 0xA0)
+        if chr(c) not in CHAR_FOLDS and c != 0x85  # 0x85 is a MULTI fold
+    )  # remaining C1 (from
     # mis-decoded Windows-1252 crawls — invisible chars that would
     # split dedup digests)
 )

@@ -265,6 +265,11 @@ def window_conversations(
     per turn, so the blowup is the fixed overlap factor, never
     quadratic. Turns longer than ``window_tokens`` fit no window and
     are dropped (size them out first with gopher/structural rules).
+    The window index is additionally capped at the LAST window that
+    reaches the conversation's end (ceil((total - W)/S), floor 0):
+    windows past it would be strict suffix-subsets of that one —
+    duplicate training examples with strictly less context. A
+    conversation that fits in one window emits exactly window 0.
 
     Adds ``window_idx`` and ``n_tokens``. Scale shape: one running-sum
     window on the conversation key, then a narrow
@@ -283,15 +288,27 @@ def window_conversations(
     W, S = int(window_tokens), int(stride_tokens)
     cum = F.sum("n_tokens").over(w)
     s0 = (cum - F.col("n_tokens")).alias("_s")
-    staged = df.withColumn("n_tokens", tok).select("*", s0, cum.alias("_e"))
-    # integer-only bounds; for e - W <= 0 both truncating and floor
-    # division land on a non-positive value that the greatest(0, ...)
-    # clamp absorbs, so the expression is portable across engines
-    w_lo = F.greatest(
-        F.lit(0).cast("bigint"),
-        F.floor((F.col("_e") - F.lit(W) + F.lit(S - 1)) / F.lit(S)).cast("bigint"),
+    # total tokens of the conversation: same partition key, full
+    # frame — shares the window exchange
+    total = F.sum("n_tokens").over(Window.partitionBy(conv_col))
+    staged = df.withColumn("n_tokens", tok).select(
+        "*", s0, cum.alias("_e"), total.alias("_tot")
     )
-    w_hi = F.floor(F.col("_s") / F.lit(S)).cast("bigint")
+
+    # integer-only bounds; for a non-positive numerator both truncating
+    # and floor division land on a non-positive value that the
+    # greatest(0, ...) clamp absorbs, so the expression is portable
+    def _ceil_div_clamped(num):
+        return F.greatest(
+            F.lit(0).cast("bigint"),
+            F.floor((num + F.lit(S - 1)) / F.lit(S)).cast("bigint"),
+        )
+
+    w_lo = _ceil_div_clamped(F.col("_e") - F.lit(W))
+    last_window = _ceil_div_clamped(F.col("_tot") - F.lit(W))
+    w_hi = F.least(
+        F.floor(F.col("_s") / F.lit(S)).cast("bigint"), last_window
+    )
     # F.sequence(1, 0) yields [1, 0] (inferred negative step), NOT
     # empty — guard the inverted range explicitly
     wins = F.when(w_hi >= w_lo, F.sequence(w_lo, w_hi)).otherwise(
@@ -299,7 +316,7 @@ def window_conversations(
     )
     return (
         staged.withColumn("window_idx", F.explode(wins))
-        .drop("_s", "_e")
+        .drop("_s", "_e", "_tot")
     )
 
 

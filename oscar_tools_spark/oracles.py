@@ -1867,10 +1867,14 @@ with t as ({pseudo_transcripts_cte()}
               as bigint) as e
   from tok
 ), b as (
-  select *, cast(e - n_tokens as bigint) as s from c
+  select *, cast(e - n_tokens as bigint) as s,
+         cast(sum(n_tokens) over (partition by conv_id) as bigint) as tot
+  from c
 ), r as (
   select *, greatest(0, cast(floor((e - {W} + {S - 1}) / {S}) as bigint)) as lo,
-            cast(floor(s / {S}) as bigint) as hi
+            least(cast(floor(s / {S}) as bigint),
+                  greatest(0, cast(floor((tot - {W} + {S - 1}) / {S})
+                                   as bigint))) as hi
   from b
 )
 select conv_id, turn_idx, role, text, n_tokens,

@@ -429,14 +429,18 @@ def test_job_windowed_render_chat_keys_on_window(spark, transcripts_path, tmp_pa
 
 def test_job_fit_perplexity_flag(spark, transcripts_path, tmp_path, capsys):
     """--fit-perplexity trains the LM on the batch, scores with it, and
-    records the corpus-fit version in lineage."""
+    records the corpus-fit version in BOTH the row lineage and the
+    resumable manifest (which previously misattributed to the seed
+    model)."""
+    import json as _json
+
     from pyspark.sql import functions as F
 
     out_path = str(tmp_path / "out")
     _run_job(
         capsys,
         ["--input", transcripts_path, "--output", out_path,
-         "--no-resume", "--fit-perplexity"],
+         "--buckets", "2", "--fit-perplexity"],
     )
     out = spark.read.parquet(out_path)
     assert "perplexity" in out.columns
@@ -445,6 +449,9 @@ def test_job_fit_perplexity_flag(spark, transcripts_path, tmp_path, capsys):
     assert len(versions) == 1
     assert "char-bigram-lm-corpusfit-v1" in versions.pop()
     assert out.filter(F.col("perplexity") <= 0).count() == 0
+    with open(out_path + "/_manifest.jsonl") as f:
+        recs = [_json.loads(l) for l in f if l.strip()]
+    assert all("corpusfit" in r["model_versions"] for r in recs)
 
 
 def test_job_windowed_resumable_buckets(spark, transcripts_path, tmp_path, capsys):

@@ -21,6 +21,10 @@ CASES = [
     ("  line1\r\n\r\n\r\n\r\nline2  \n\n", "line1\n\nline2"),
     # spaces around newlines
     ("a \n  b", "a\nb"),
+    # cp1252 punctuation mis-decoded as C1 codepoints: folded, never
+    # deleted (deleting would glue 'don't' into 'dont'); other C1
+    # controls (NEL handled as mojibake ellipsis, 0x9F deleted)
+    ("don\x92t \x93quote\x94 a\x96b wait\x85 x\x9fy", "don't \"quote\" a-b wait... xy"),
     # empty and whitespace-only
     ("", ""),
     (" \n \n ", ""),

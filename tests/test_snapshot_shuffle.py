@@ -175,10 +175,13 @@ def test_window_conversations_containment_and_tail(spark):
     # oversized turn emitted nowhere; its short successor still windows
     assert not [r for r in out if (r.conv_id, r.turn_idx) == (2, 0)]
     assert [r for r in out if (r.conv_id, r.turn_idx) == (2, 1)]
-    # conv 1's LAST turn (tokens 50..60) survives into every window
-    # containing it: [30,60), [40,70), [50,80) -> indices 3, 4, 5
+    # conv 1's LAST turn (tokens 50..60) survives into window 3
+    # ([30,60)) ONLY: windows 4/5 would be strict suffix-subsets of it
+    # (duplicate examples with less context) and are capped away
     tail = sorted(r.window_idx for r in out if (r.conv_id, r.turn_idx) == (1, 5))
-    assert tail == [3, 4, 5]
+    assert tail == [3]
+    # no window index anywhere exceeds the per-conv cap ceil((T-W)/S)
+    assert max(r.window_idx for r in out if r.conv_id == 1) == 3
     # overlap factor is bounded by W/S: no turn in more than 3 windows
     from collections import Counter
 
@@ -201,10 +204,8 @@ def test_window_conversations_tokens_col(spark):
         df, window_tokens=10, stride_tokens=5, tokens_col="n_bpe"
     ).collect()
     got = sorted((r.turn_idx, r.window_idx) for r in out)
-    # turn0 spans [0,5): w_lo=ceil((5-10)/5)=0, w_hi=0
-    # turn1 spans [5,10): w_lo=ceil(0/5)=0, w_hi=1
-    # turn2 (null count) spans [10,10): zero-width at the boundary fits
-    # windows 0..2 — KEPT, mirroring how a null text counts as 0 in
-    # whitespace mode
-    assert got == [(0, 0), (1, 0), (1, 1), (2, 0), (2, 1), (2, 2)]
+    # T=10 fits in ONE window (cap ceil((10-10)/5)=0): every turn —
+    # including the null-count zero-width turn2, KEPT with 0 tokens
+    # like a null text in whitespace mode — lands in window 0 only
+    assert got == [(0, 0), (1, 0), (2, 0)]
     assert all(r.n_tokens == 0 for r in out if r.turn_idx == 2)
