@@ -700,3 +700,55 @@ def test_render_chat_matches_python_reference(spark):
         assert got[conv].text == text, conv
         assert got[conv].n_turns == n_turns
         assert got[conv].loss_spans == spans, conv
+
+
+# ------------------------------------------------- window_conversations
+
+
+def ref_window_conversations(turns, W, S):
+    """turns: [(turn_idx, n_tokens)] -> set of (turn_idx, window_idx)."""
+    import math
+
+    turns = sorted(turns)
+    total = sum(n for _, n in turns)
+    last = max(0, math.ceil((total - W) / S))
+    out, pos = set(), 0
+    for idx, n in turns:
+        s, e = pos, pos + n
+        pos = e
+        lo, hi = max(0, math.ceil((e - W) / S)), min(s // S, last)
+        for w in range(lo, hi + 1):
+            out.add((idx, w))
+    return out
+
+
+def test_window_conversations_matches_python_reference(spark):
+    """Spark window membership == a pure-Python replay over 40 random
+    conversations (random token counts incl. zeros and oversized
+    turns), for three (W, S) shapes incl. stride == window."""
+    from oscar_tools_spark.operators.transcripts import window_conversations
+
+    rng = np.random.default_rng(59)
+    convs = {
+        c: [(k, int(rng.integers(0, 40))) for k in range(int(rng.integers(1, 12)))]
+        for c in range(40)
+    }
+    rows = [
+        (c, k, "u", " ".join(["w"] * n) if n else "")
+        for c, turns in convs.items()
+        for k, n in turns
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id bigint, turn_idx int, role string, text string"
+    )
+    for W, S in [(30, 10), (25, 25), (64, 16)]:
+        got = {
+            (r.conv_id, r.turn_idx, r.window_idx)
+            for r in window_conversations(df, W, S).collect()
+        }
+        want = {
+            (c, idx, w)
+            for c, turns in convs.items()
+            for idx, w in ref_window_conversations(turns, W, S)
+        }
+        assert got == want, (W, S, len(got), len(want))
