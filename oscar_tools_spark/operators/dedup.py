@@ -461,6 +461,24 @@ def dedup_conversations_incremental(
     return df.join(winner, conv_col, "left_semi")
 
 
+def dedup_conversations(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    order_cols: tuple[str, ...] = ("turn_idx",),
+    text_col: str = "text",
+) -> DataFrame:
+    """Full-corpus exact dedup at CONVERSATION granularity: keep the
+    smallest ``conv_col`` per full-text digest, conversations intact
+    (the no-history twin of :func:`dedup_conversations_incremental` —
+    same digest scheme, so its survivors compose with incremental
+    state from :func:`conversation_digests`)."""
+    digs = conversation_digests(df, conv_col, order_cols, text_col)
+    winner = (
+        digs.groupBy("digest").agg(F.min(conv_col).alias(conv_col)).select(conv_col)
+    )
+    return df.join(winner, conv_col, "left_semi")
+
+
 def dedup_incremental_minhash(
     new_df: DataFrame,
     seen_bands: DataFrame,

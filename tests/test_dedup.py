@@ -692,3 +692,33 @@ def test_digest_version_guard(spark):
     )
     with _pytest.raises(ValueError, match="conv-oldscheme-v1"):
         dedup_conversations_incremental(batch, stale)
+
+
+def test_dedup_conversations_full_corpus(spark):
+    """Whole-conversation exact dedup: duplicate conversations collapse
+    to the smallest conv_id, turn-structure distinctions survive
+    (["a","b"] != ["a\\nb"]), and conversations stay intact."""
+    from oscar_tools_spark.operators.dedup import (
+        dedup_conversations,
+        dedup_conversations_incremental,
+    )
+
+    rows = [
+        (1, 0, "a"), (1, 1, "b"),
+        (2, 0, "a"), (2, 1, "b"),      # dup of conv 1
+        (3, 0, "a\nb"),                # NOT a dup (different structure)
+        (4, 0, None), (4, 1, "x"),
+        (5, 0, None), (5, 1, "x"),     # dup of conv 4 (null == null text)
+    ]
+    df = spark.createDataFrame(rows, "conv_id bigint, turn_idx int, text string")
+    out = dedup_conversations(df)
+    got = sorted({r.conv_id for r in out.collect()})
+    assert got == [1, 3, 4]
+    assert out.filter("conv_id = 1").count() == 2  # intact
+    # composes with the incremental path: empty-history incremental
+    # dedup gives the same survivors
+    from oscar_tools_spark.operators.dedup import conversation_digests
+
+    empty_state = conversation_digests(df.limit(0))
+    inc = dedup_conversations_incremental(df, empty_state)
+    assert sorted({r.conv_id for r in inc.collect()}) == got
