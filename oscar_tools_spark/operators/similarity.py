@@ -392,3 +392,45 @@ def topk_cosine_lsh(
         cond = cond | F.col(sig_col)[b].isin(keys)
     candidates = staged.filter(cond).drop(sig_col)
     return topk_cosine(candidates, query_vec, key_col, vec_col, k)
+
+
+def diversity_sample(
+    df: DataFrame,
+    per_cluster: int,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_clusters: int = 64,
+    seed: int = 42,
+    sample_size: int = 10_000,
+) -> DataFrame:
+    """Cluster-balanced subset selection: k-means-cluster the embedding
+    space (the reusable IVF quantizer) and keep at most ``per_cluster``
+    rows per cell, chosen by a deterministic seeded-md5 draw. Uniform
+    sampling preserves the corpus's mode imbalance; capping per cell
+    flattens it — the embedding-space analog of per-language mixture
+    rebalancing, and the cheap version of prototypicality-ranked
+    selection (swap the hash draw for a distance-to-centroid rank via
+    the same assignment column if ranked selection is wanted).
+
+    Adds ``cluster``. Scale shape: bounded driver-side centroid fit,
+    ONE Arrow matmul pass for assignment, one window on the (small)
+    cluster key for the cap — no joins, no collect of data rows.
+    """
+    from pyspark.sql import Window
+
+    from ..operators.sampling import uniform_hash32
+
+    cents = ivf_centroids(
+        df, dim, vec_col, key_col, n_centroids=n_clusters, sample_size=sample_size
+    )
+    assign = ivf_assign_udf(cents, n_assign=1)
+    out = df.withColumn("cluster", assign(F.col(vec_col)).getItem(0))
+    w = Window.partitionBy("cluster").orderBy(
+        uniform_hash32([key_col], seed), F.col(key_col)
+    )
+    return (
+        out.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= F.lit(int(per_cluster)))
+        .drop("_rn")
+    )

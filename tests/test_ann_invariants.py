@@ -121,3 +121,37 @@ def test_ivf_multi_assign_returns_sorted_cells(spark):
         sims = cent @ v
         want = list(np.argsort(-sims)[:3])
         assert list(r.cells) == [int(c) for c in want]
+
+
+def test_diversity_sample_caps_clusters_deterministically(spark):
+    """Cluster-balanced selection: per-cluster cap enforced, output
+    deterministic across runs, n_clusters=1 degenerates to a plain
+    deterministic cap of the whole corpus."""
+    import numpy as np
+
+    from oscar_tools_spark.operators.similarity import diversity_sample
+
+    rng = np.random.default_rng(3)
+    # two dense modes (80 + 80) and a sparse mode (8)
+    modes = [rng.normal(m, 0.05, size=(n, 8)) for m, n in [(0, 80), (5, 80), (-5, 8)]]
+    vecs = np.vstack(modes)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+    out = diversity_sample(df, per_cluster=10, dim=8, n_clusters=8)
+    got = out.groupBy("cluster").count().collect()
+    assert all(r["count"] <= 10 for r in got)
+    # flattening, not uniform thinning: the sparse mode's retention
+    # rate beats the dense modes' (cells follow density, caps bite
+    # where it's dense; exact full-survival depends on how k-means
+    # splits the sparse mode, so assert the rate ordering)
+    kept = {r.vec_id for r in out.select("vec_id").collect()}
+    sparse_frac = len(kept & set(range(160, 168))) / 8
+    dense_frac = len(kept & set(range(160))) / 160
+    assert sparse_frac > dense_frac
+    assert len(kept) < 168 / 2
+    again = {r.vec_id for r in diversity_sample(df, per_cluster=10, dim=8, n_clusters=8).select("vec_id").collect()}
+    assert kept == again
+
+    one = diversity_sample(df, per_cluster=12, dim=8, n_clusters=1)
+    assert one.count() == 12
