@@ -105,15 +105,18 @@ def main() -> None:
     only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
     only_set = set(only.split(",")) if only else None
 
-    def timed(name, fn):
+    def timed(name, fn, reps: int = 2):
         if only_set is not None and name not in only_set:
             return
         fn()  # warm run: codegen + JIT, excluded from the measurement
-        # min of two measured runs: this shared VM shows rare 3-10x
+        # min of N measured runs: this shared VM shows rare 3-10x
         # noise spikes (neighbor contention, GC alignment) that would
-        # otherwise be recorded as the operator's cost forever
+        # otherwise be recorded as the operator's cost forever — the
+        # two headline pipelines (they set turns/sec) get an extra rep
+        # because a loud window has been observed swallowing both of
+        # two consecutive runs
         best = float("inf")
-        for _ in range(2):
+        for _ in range(reps):
             t0 = time.perf_counter()
             fn()
             best = min(best, time.perf_counter() - t0)
@@ -125,6 +128,7 @@ def main() -> None:
         lambda: run_noop(
             curate(transcripts, CurationConfig(exclude=frozenset({"adult", "noisy"})))
         ),
+        reps=3,
     )
     # q2: pure-expression pipeline (no Python anywhere)
     timed(
@@ -139,6 +143,7 @@ def main() -> None:
                 ),
             )
         ),
+        reps=3,
     )
     # q3-q6: operator families over driver testdata
     timed("dedup_lines", lambda: run_noop(dedup_lines(docs, ["doc_id"])))
