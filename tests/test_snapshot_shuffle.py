@@ -209,3 +209,46 @@ def test_window_conversations_tokens_col(spark):
     # like a null text in whitespace mode — lands in window 0 only
     assert got == [(0, 0), (1, 0), (2, 0)]
     assert all(r.n_tokens == 0 for r in out if r.turn_idx == 2)
+
+
+def test_snapshot_diff_drives_incremental_recuration(spark):
+    """The incremental-crawl composition: corpus_diff between two
+    snapshots selects exactly the added+changed docs for re-processing;
+    unchanged docs reuse the previous output; removed docs drop. The
+    reassembled corpus equals processing the new snapshot from
+    scratch."""
+    from pyspark.sql import functions as F
+
+    from oscar_tools_spark.operators.normalize import normalize_corpus
+
+    old = spark.createDataFrame(
+        [(i, f"doc “{i}”  text") for i in range(20)], "doc_id bigint, text string"
+    )
+    new = spark.createDataFrame(
+        [(i, f"doc “{i}”  text" if i % 3 else f"doc {i} v2…") for i in range(2, 24)],
+        "doc_id bigint, text string",
+    )
+    from oscar_tools_spark.operators.snapshot import corpus_diff
+
+    diff = corpus_diff(old, new, ["doc_id"])
+    todo = diff.filter(F.col("status").isin("added", "changed")).select("doc_id")
+    # process = the normalize stage (stands in for the full pipeline)
+    old_out = normalize_corpus(old).select("doc_id", "text")
+    incr = (
+        normalize_corpus(new.join(todo, "doc_id", "left_semi"))
+        .select("doc_id", "text")
+        .unionAll(
+            old_out.join(
+                diff.filter(F.col("status") == "unchanged").select("doc_id"),
+                "doc_id",
+                "left_semi",
+            )
+        )
+    )
+    full = normalize_corpus(new).select("doc_id", "text")
+    assert {(r.doc_id, r.text) for r in incr.collect()} == {
+        (r.doc_id, r.text) for r in full.collect()
+    }
+    # and the work actually shrank: todo is the changed+added subset
+    n_todo = todo.count()
+    assert 0 < n_todo < new.count()
