@@ -455,8 +455,16 @@ def dedup_conversations_incremental(
         "digest",
         "left_anti",
     )
-    winner = fresh.groupBy("digest").agg(F.min(conv_col).alias(conv_col)).select(
-        conv_col
+    return _keep_digest_winners(df, fresh, conv_col)
+
+
+def _keep_digest_winners(df: DataFrame, digs: DataFrame, conv_col: str) -> DataFrame:
+    """ONE definition of the conversation-dedup winner rule (smallest
+    ``conv_col`` per digest, semi-join back to intact turn rows) —
+    shared by the full-corpus and incremental paths so a tie-break
+    change can never diverge them (their survivors must compose)."""
+    winner = (
+        digs.groupBy("digest").agg(F.min(conv_col).alias(conv_col)).select(conv_col)
     )
     return df.join(winner, conv_col, "left_semi")
 
@@ -470,13 +478,10 @@ def dedup_conversations(
     """Full-corpus exact dedup at CONVERSATION granularity: keep the
     smallest ``conv_col`` per full-text digest, conversations intact
     (the no-history twin of :func:`dedup_conversations_incremental` —
-    same digest scheme, so its survivors compose with incremental
-    state from :func:`conversation_digests`)."""
+    same digest scheme and winner rule, so its survivors compose with
+    incremental state from :func:`conversation_digests`)."""
     digs = conversation_digests(df, conv_col, order_cols, text_col)
-    winner = (
-        digs.groupBy("digest").agg(F.min(conv_col).alias(conv_col)).select(conv_col)
-    )
-    return df.join(winner, conv_col, "left_semi")
+    return _keep_digest_winners(df, digs, conv_col)
 
 
 def dedup_incremental_minhash(

@@ -413,24 +413,37 @@ def diversity_sample(
     selection (swap the hash draw for a distance-to-centroid rank via
     the same assignment column if ranked selection is wanted).
 
-    Adds ``cluster``. Scale shape: bounded driver-side centroid fit,
-    ONE Arrow matmul pass for assignment, one window on the (small)
-    cluster key for the cap — no joins, no collect of data rows.
+    Adds ``cluster``. Scale shape: a BOUNDED driver-side centroid fit
+    (ivf_centroids collects ``sample_size`` rows — fixed, not
+    data-proportional — and runs one eager job at plan-construction
+    time), ONE Arrow matmul pass for assignment, then a salted
+    two-phase cap: phase 1 ranks within (cluster, salt) — parallelism
+    ``n_clusters * n_salts``, never a whole dense cell on one task —
+    and phase 2 re-ranks the surviving ≤ ``n_salts * per_cluster``
+    candidates per cluster. Exact: each cluster's true top
+    ``per_cluster`` rows by draw order each sit inside their own
+    salt's top ``per_cluster``, so phase 1 never evicts a winner.
     """
     from pyspark.sql import Window
 
     from ..operators.sampling import uniform_hash32
 
+    if per_cluster <= 0:
+        raise ValueError("per_cluster must be positive")
+    n_salts = 16
     cents = ivf_centroids(
         df, dim, vec_col, key_col, n_centroids=n_clusters, sample_size=sample_size
     )
     assign = ivf_assign_udf(cents, n_assign=1)
     out = df.withColumn("cluster", assign(F.col(vec_col)).getItem(0))
-    w = Window.partitionBy("cluster").orderBy(
-        uniform_hash32([key_col], seed), F.col(key_col)
-    )
+    draw = uniform_hash32([key_col], seed)
+    salt = F.pmod(F.xxhash64(F.col(key_col), F.lit(seed)), F.lit(n_salts))
+    w1 = Window.partitionBy("cluster", salt).orderBy(draw, F.col(key_col))
+    w2 = Window.partitionBy("cluster").orderBy(draw, F.col(key_col))
     return (
-        out.withColumn("_rn", F.row_number().over(w))
+        out.withColumn("_rn", F.row_number().over(w1))
+        .filter(F.col("_rn") <= F.lit(int(per_cluster)))
+        .withColumn("_rn", F.row_number().over(w2))
         .filter(F.col("_rn") <= F.lit(int(per_cluster)))
         .drop("_rn")
     )

@@ -149,9 +149,24 @@ def test_diversity_sample_caps_clusters_deterministically(spark):
     sparse_frac = len(kept & set(range(160, 168))) / 8
     dense_frac = len(kept & set(range(160))) / 160
     assert sparse_frac > dense_frac
-    assert len(kept) < 168 / 2
     again = {r.vec_id for r in diversity_sample(df, per_cluster=10, dim=8, n_clusters=8).select("vec_id").collect()}
     assert kept == again
 
+    # n_clusters=1: the salted two-phase cap must equal the plain
+    # global top-k by the same draw (exactness of the salting)
     one = diversity_sample(df, per_cluster=12, dim=8, n_clusters=1)
     assert one.count() == 12
+    from oscar_tools_spark.operators.sampling import uniform_hash32
+
+    want = {
+        r.vec_id
+        for r in df.orderBy(uniform_hash32(["vec_id"], 42), "vec_id")
+        .limit(12)
+        .collect()
+    }
+    assert {r.vec_id for r in one.collect()} == want
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        diversity_sample(df, per_cluster=0, dim=8)
