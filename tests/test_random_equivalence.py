@@ -752,3 +752,83 @@ def test_window_conversations_matches_python_reference(spark):
             for idx, w in ref_window_conversations(turns, W, S)
         }
         assert got == want, (W, S, len(got), len(want))
+
+
+# ----------------------------------------------------- corpus snapshot diff
+
+
+def test_corpus_diff_matches_python_reference(spark):
+    """corpus_diff vs a dict-based pure-Python diff over random
+    snapshot pairs (random drops/mutations/nulls on both sides)."""
+    from oscar_tools_spark.operators.snapshot import corpus_diff
+
+    rng = np.random.default_rng(61)
+    texts = random_texts(120, seed=67)
+    old = {i: texts[i] if rng.integers(0, 10) else None for i in range(100)
+           if rng.integers(0, 5)}
+    new = {}
+    for i in range(110):
+        r = rng.integers(0, 5)
+        if r == 0:
+            continue  # absent from new
+        base = texts[i % len(texts)] if i not in old or old[i] is None else old[i]
+        new[i] = None if rng.integers(0, 10) == 0 else (
+            base + "!" if r == 1 else base
+        )
+    want = {}
+    for k in set(old) | set(new):
+        if k not in old:
+            want[k] = "added"
+        elif k not in new:
+            want[k] = "removed"
+        elif (old[k] or "") != (new[k] or ""):
+            want[k] = "changed"
+        else:
+            want[k] = "unchanged"
+    odf = spark.createDataFrame(list(old.items()), "doc_id bigint, text string")
+    ndf = spark.createDataFrame(list(new.items()), "doc_id bigint, text string")
+    got = {r.doc_id: r.status for r in corpus_diff(odf, ndf, ["doc_id"]).collect()}
+    assert got == want
+
+
+# ------------------------------------------------------------ tool_profile
+
+
+def test_tool_profile_matches_python_reference(spark):
+    """tool_profile vs a pure-Python per-tool aggregation over random
+    conversations (random roles/tools/null texts)."""
+    from collections import defaultdict
+
+    from oscar_tools_spark.operators.transcripts import tool_profile
+
+    rng = np.random.default_rng(71)
+    texts = random_texts(200, seed=73)
+    rows = []
+    for conv in range(50):
+        n = int(rng.integers(1, 10))
+        for k in range(n):
+            role = ["user", "assistant", "tool", None][int(rng.integers(0, 4))]
+            tool = f"t{int(rng.integers(0, 5))}" if role == "tool" and rng.integers(0, 4) else None
+            text = None if rng.integers(0, 8) == 0 else texts[(conv * 13 + k) % len(texts)]
+            rows.append((conv, k, role, text, tool))
+    want = defaultdict(lambda: [0, set(), 0, 0])  # calls, convs, chars, answered
+    by_conv = defaultdict(list)
+    for c, k, role, text, tool in rows:
+        by_conv[c].append((k, role, text, tool))
+    for c, turns in by_conv.items():
+        turns.sort()
+        for i, (k, role, text, tool) in enumerate(turns):
+            if tool is None:
+                continue
+            w = want[tool]
+            w[0] += 1
+            w[1].add(c)
+            w[2] += len(text or "")
+            if i + 1 < len(turns) and turns[i + 1][1] == "assistant":
+                w[3] += 1
+    df = spark.createDataFrame(
+        rows, "conv_id bigint, turn_idx int, role string, text string, tool string"
+    )
+    got = {r.tool: (r.n_calls, r.n_convs, r.total_chars, r.n_answered)
+           for r in tool_profile(df).collect()}
+    assert got == {t: (w[0], len(w[1]), w[2], w[3]) for t, w in want.items()}
