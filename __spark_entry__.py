@@ -717,7 +717,14 @@ def q_bpe_tokens(spark, sf_dir):
         .select(
             "doc_id",
             "n_bpe_tokens",
-            F.slice("token_ids", 1, 8).alias("token_prefix"),
+            # String, not array<int>: the driver canonicalizer sorts raw
+            # object columns and pandas cannot factorize list cells.
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.slice("token_ids", 1, 8), lambda x: x.cast("string")
+                ),
+            ).alias("token_prefix"),
         )
         .orderBy("doc_id")
     )

@@ -25,7 +25,11 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    """Mirror the DRIVER's canonicalizer: sort on the RAW columns first
+    (so array/map/struct outputs crash here exactly like they crash in
+    the driver — see CORRECTNESS_r05 bpe_tokens), then coerce dtypes."""
     df = df[sorted(df.columns)].copy()
+    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
     for c in df.columns:
         if df[c].dtype == object:
             df[c] = df[c].astype(str)

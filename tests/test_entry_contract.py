@@ -70,6 +70,38 @@ def test_every_query_has_callable_and_oracle_alignment():
     assert len(order) <= 50, order[50:]
 
 
+def test_no_complex_output_columns(spark):
+    """Driver-sortability contract: the driver's correctness harness
+    sorts the RAW pandas frame before hashing, and pandas cannot
+    factorize list/dict cells — so no queries() output column may be
+    ArrayType / MapType / StructType (CORRECTNESS_r05 bpe_tokens ERROR).
+    Schema-only check: builds each lazy plan, never executes it."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    bad = []
+    for name, fn in E.queries().items():
+        schema = fn(spark, SF).schema
+        for field in schema.fields:
+            if isinstance(field.dataType, (ArrayType, MapType, StructType)):
+                bad.append(f"{name}.{field.name}: {field.dataType.simpleString()}")
+    assert not bad, f"complex-typed output columns break the driver canonicalizer: {bad}"
+
+
+def test_local_gate_reproduces_driver_unsortable_failure():
+    """scripts/check_oracles.normalize must fail on an array-typed
+    column the same way the driver does (sort raw first), so the local
+    gate can never again mask a driver-side canonicalizer crash."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
+    from check_oracles import normalize as gate_normalize
+
+    df = pd.DataFrame({"doc_id": [2, 1], "token_prefix": [[1, 2], [3]]})
+    with pytest.raises(TypeError):
+        gate_normalize(df)
+
+
 @pytest.mark.parametrize("name", SPOT_CHECK)
 def test_query_matches_oracle(spark, duck, name):
     got = normalize(E.queries()[name](spark, SF).toPandas())
