@@ -958,18 +958,42 @@ def q_doc_embedding_join(spark, sf_dir):
     )
 
 
+def _planted_embeddings(spark, sf_dir):
+    """Embeddings plus deterministic EXACT-clone near-dups — the ONE
+    Spark twin of oracles.planted_embeddings_cte (constants shared so
+    an edit moves both engines together). The testdata embeddings have
+    no natural pairs above ~0.51 cosine, so without planting the dedup
+    queries would verify nothing; exact clones sit at cosine 1.0 (far
+    from the 0.98 threshold — float-stable across engines) and land on
+    both sides of the key order so lowest-key-wins is exercised."""
+    base = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    hi = base.filter(F.col("vec_id") % O.PLANT_HI_MOD == 0).select(
+        (F.col("vec_id") + O.PLANT_HI_OFFSET).alias("vec_id"), "embedding"
+    )
+    lo = base.filter(F.col("vec_id") % O.PLANT_LO_MOD == O.PLANT_LO_REM).select(
+        (-F.col("vec_id") - 1).alias("vec_id"), "embedding"
+    )
+    return base.unionByName(hi).unionByName(lo)
+
+
 def q_dedup_embedding(spark, sf_dir):
     """Embedding-cosine near-dup survivors via banded hyperplane LSH —
     the scale path (no all-pairs join; the O(n²) brute force remains in
-    dedup.py only as the test baseline). Rows-only check: pairwise
-    float cosines are not bit-portable across engines; survivor-set
-    equality vs brute force is asserted in pytest instead."""
+    dedup.py only as the test baseline). Value-checked against a DuckDB
+    brute-force survivor-set oracle on the planted-clone fixture
+    (_planted_embeddings): exact clones collide in every band, so LSH
+    recall on the planted pairs is 1.0 by construction and the
+    approximate survivor set equals brute force."""
     from oscar_tools_spark.operators.dedup import dedup_embedding_lsh
 
     _ensure_shipped(spark)
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _planted_embeddings(spark, sf_dir)
     return (
-        dedup_embedding_lsh(emb, "vec_id", dim=64, threshold=0.98)
+        dedup_embedding_lsh(
+            emb, "vec_id", dim=64, threshold=O.EMB_DEDUP_THRESHOLD
+        )
         .select("vec_id")
         .orderBy("vec_id")
     )
@@ -1339,16 +1363,23 @@ def q_corpus_profile(spark, sf_dir):
 
 def q_semdedup(spark, sf_dir):
     """SemDeDup (Abbas et al. 2023): k-means-clustered embedding space,
-    within-cluster cosine near-dup removal, lowest key survives
-    (rows-only: float centroids; brute-force equivalence at
-    n_clusters=1 and cartesian-free plan are pytest-gated in
-    tests/test_textstats_similarity.py)."""
+    within-cluster cosine near-dup removal, lowest key survives.
+    Value-checked against the same DuckDB brute-force survivor-set
+    oracle as q_dedup_embedding: on the planted-clone fixture exact
+    clones share a k-means cell deterministically (identical vectors →
+    identical assignment) and nothing else crosses the threshold, so
+    within-cell dedup equals global brute force. n_clusters=1
+    brute-force equivalence and the cartesian-free plan remain
+    pytest-gated in tests/test_textstats_similarity.py."""
     from oscar_tools_spark.operators.dedup import semdedup
 
     _ensure_shipped(spark)
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _planted_embeddings(spark, sf_dir)
     return (
-        semdedup(emb, "vec_id", dim=64, n_clusters=8, threshold=0.98)
+        semdedup(
+            emb, "vec_id", dim=64, n_clusters=8,
+            threshold=O.EMB_DEDUP_THRESHOLD,
+        )
         .select("vec_id")
         .orderBy("vec_id")
     )
@@ -1808,9 +1839,14 @@ def oracle_sql() -> dict[str, str]:
         "corpus_profile": O.q_corpus_profile(),
         "upsample_mixture": O.q_upsample_mixture(),
         "simhash_hamming_dedup": O.q_simhash_hamming_dedup(),
-        # dedup_embedding / media_features / model_scores / semdedup /
-        # topk_cosine_ann: rows-only (float cosines, binary payloads,
-        # trained-model floats, k-means centroids, and hyperplane sign
+        # dedup_embedding / semdedup: value-checked survivor-set
+        # oracles on the planted-clone fixture (exact clones — the
+        # float decision is stable and the approximate paths have
+        # recall 1.0 on them by construction).
+        "dedup_embedding": O.q_dedup_embedding(),
+        "semdedup": O.q_semdedup(),
+        # media_features / model_scores / topk_cosine_ann: rows-only
+        # (binary payloads, trained-model floats, and hyperplane sign
         # bits are not SQL-oracle-able) — deliberately no oracle
         # entries; each has pytest invariants and (for the scorers)
         # pure-Python replay fuzz.

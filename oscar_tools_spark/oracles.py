@@ -859,6 +859,65 @@ from __base group by lang order by lang
 """
 
 
+# Planted-clone geometry for the embedding-dedup value oracles.  The
+# testdata embeddings have NO natural near-dup pairs (max pairwise
+# cosine ~0.51 at every sf), so both Spark queries and both oracles
+# plant EXACT vector clones — cosine exactly 1.0, miles from the 0.98
+# threshold, so the float decision is stable across engines AND the
+# approximate paths (LSH bands / k-means cells) have guaranteed recall
+# 1.0 on them (identical vectors -> identical signatures / cells).
+# Clones land on BOTH sides of the key order so the lowest-key-wins
+# rule is genuinely exercised: HI clones (orig + offset) are removed,
+# LO clones (-orig - 1) evict their ORIGINALS; ids hit by both moduli
+# form 3-cliques where only the negative clone survives.
+PLANT_HI_MOD = 7
+PLANT_LO_MOD = 11
+PLANT_LO_REM = 3
+PLANT_HI_OFFSET = 100_000
+EMB_DEDUP_THRESHOLD = 0.98
+
+
+def planted_embeddings_cte() -> str:
+    """CTE body for the planted-clone embedding table (see constants
+    above; the Spark twin is __spark_entry__._planted_embeddings)."""
+    return f"""emb as (
+  select vec_id, embedding from embeddings
+  union all
+  select vec_id + {PLANT_HI_OFFSET} as vec_id, embedding
+  from embeddings where vec_id % {PLANT_HI_MOD} = 0
+  union all
+  select -vec_id - 1 as vec_id, embedding
+  from embeddings where vec_id % {PLANT_LO_MOD} = {PLANT_LO_REM}
+)"""
+
+
+def q_dedup_embedding() -> str:
+    """Brute-force cosine near-dup survivors over the planted-clone
+    table: a key survives iff NO smaller key sits at cosine >=
+    threshold. This is the exact semantics of both Spark scale paths
+    (dedup_embedding_lsh's band-join and semdedup's within-cell join),
+    which on this fixture have provably perfect recall (exact clones
+    collide in every band and share every k-means cell), so the
+    approximate survivors equal the brute-force survivors."""
+    return f"""
+with {planted_embeddings_cte()},
+dup as (
+  select distinct a.vec_id
+  from emb a join emb b on b.vec_id < a.vec_id
+  where list_cosine_similarity(a.embedding, b.embedding) >= {EMB_DEDUP_THRESHOLD}
+)
+select vec_id from emb where vec_id not in (select vec_id from dup)
+order by vec_id
+"""
+
+
+def q_semdedup() -> str:
+    """SemDeDup survivors on the planted fixture == brute force (exact
+    clones share a k-means cell deterministically; nothing else crosses
+    the threshold), so the same survivor-set oracle applies."""
+    return q_dedup_embedding()
+
+
 def q_topk_cosine_ids(k: int = 10) -> str:
     """Top-k by cosine to the vec_id=0 embedding; ids only (float scores
     are engine-sensitive; the id set is not, away from ties)."""
