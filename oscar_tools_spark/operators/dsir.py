@@ -89,6 +89,18 @@ def fit_dsir_log_ratios(
     size); the int/int division is correctly rounded to double, so the
     DuckDB oracle reproduces every value bit-for-bit at test scale.
 
+    Oracle-parity bound (NOT an operator bound): the DuckDB twin
+    rounds each bigint product to double BEFORE dividing, so its last
+    bit can diverge once (ct+1)*(S+B) or (cs+1)*(T+B) exceeds 2^53
+    (~billions of grams). THIS side stays exact at any corpus size —
+    Python bigint products and a correctly-rounded final division —
+    so past 2^53 it is the oracle's rounding that drifts, not the fit;
+    a runtime assert here would break the operator at exactly the
+    10^12-gram scale it targets, hence documentation instead. If
+    cross-engine bit-parity at that scale ever matters, compute
+    exp(ln(ct+1)+ln(S+B)-ln(cs+1)-ln(T+B)) identically on both sides
+    (costs ~2 ulp of accuracy everywhere to buy agreement).
+
     When the target is a SUBSET of the source selected by a predicate,
     pass ``target_expr`` instead of ``target_df``: the fit then runs as
     ONE explode -> groupBy pass with a conditional count (count + sum

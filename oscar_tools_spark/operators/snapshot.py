@@ -34,11 +34,22 @@ def corpus_diff(
     keys, so a null-keyed doc would show up once per side as a
     spurious added+removed pair) — run transcripts.validate_transcripts
     first; null TEXT is fine (coalesced into the digest, matching the
-    dedup family's null handling).
+    dedup family's null handling). Duplicate key tuples WITHIN a
+    snapshot are reduced to one row (the MIN digest per key) before the
+    join — without that, an m-dup key in old joined to an n-dup key in
+    new fans out m·n contradictory status rows. The min-digest
+    canonicalization means "changed" is judged between each side's
+    lexicographically-smallest text version; dedup first if another
+    winner rule matters. The groupBy is shuffle-free extra cost: it
+    lands on the same keys the full-outer join shuffles on anyway, and
+    map-side partial aggregation shrinks what moves.
     """
-    dig = lambda df, name: df.select(  # noqa: E731
-        *key_cols,
-        F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias(name),
+    dig = lambda df, name: (  # noqa: E731
+        df.groupBy(*key_cols).agg(
+            F.min(
+                F.md5(F.coalesce(F.col(text_col), F.lit("")))
+            ).alias(name)
+        )
     )
     j = dig(old, "_old").join(dig(new, "_new"), on=key_cols, how="full_outer")
     status = (

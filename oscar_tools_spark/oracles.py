@@ -1780,12 +1780,14 @@ def q_corpus_diff(drop_old_mod: int = 10, drop_new_mod: int = 13,
     both engines, so a null text mutates to the same '' digest =
     unchanged, matching Spark concat semantics)."""
     return f"""
-with old as (select doc_id, md5(coalesce(text, '')) as d
-             from documents where doc_id % {drop_old_mod} <> 0),
+with old as (select doc_id, min(md5(coalesce(text, ''))) as d
+             from documents where doc_id % {drop_old_mod} <> 0
+             group by doc_id),
 new as (select doc_id,
-               md5(coalesce(case when doc_id % {change_mod} = {change_rem}
-                                 then text || ' v2' else text end, '')) as d
-        from documents where doc_id % {drop_new_mod} <> 0)
+               min(md5(coalesce(case when doc_id % {change_mod} = {change_rem}
+                                     then text || ' v2' else text end, ''))) as d
+        from documents where doc_id % {drop_new_mod} <> 0
+        group by doc_id)
 select coalesce(o.doc_id, n.doc_id) as doc_id,
   case when o.d is null then 'added'
        when n.d is null then 'removed'
