@@ -8,14 +8,18 @@ Two tiers of "decode":
   format + dimensions (PNG/JPEG/GIF/BMP) and sample rate/channels
   (WAV) straight from the payload bytes in pure Python; no image
   library needed. :func:`extract_media_headers` runs it distributed.
-* **Pixel/sample decoding is STUBBED** (no PIL/ffmpeg in this
-  container): ``decode_fn=None`` in :func:`extract_features` uses a
-  deterministic fake embedding (a pure function of the payload bytes)
-  so the Spark-side plumbing — schema, batch iteration, partition
-  sizing, UDF signatures — is real and tested; swapping in PIL/ffmpeg
-  means passing a real ``decode_fn`` and nothing else changes. Passing
-  ``decode_fn=RAISE`` surfaces the NotImplementedError contract
-  explicitly.
+* **Pixel decoding has ONE real path** — :func:`decode_png_gray8`
+  fully decodes 8-bit non-interlaced grayscale PNGs in pure Python
+  (zlib inflate + all five scanline unfilters), and
+  :func:`gray_png_features` runs it as a real ``decode_fn`` through
+  :func:`extract_features`. Everything else (color PNG, JPEG pixels,
+  audio samples) still needs PIL/ffmpeg, absent in this container:
+  ``decode_fn=None`` uses a deterministic fake embedding (a pure
+  function of the payload bytes) so the Spark-side plumbing — schema,
+  batch iteration, partition sizing, UDF signatures — is real and
+  tested; swapping in PIL/ffmpeg means passing a real ``decode_fn``
+  and nothing else changes. Passing ``decode_fn=RAISE`` surfaces the
+  NotImplementedError contract explicitly.
 
 Scale notes: media rows are large -> keep
 ``spark.sql.execution.arrow.maxRecordsPerBatch`` small for these
@@ -177,6 +181,182 @@ def extract_media_headers(df: DataFrame, batch_rows: int = 256) -> DataFrame:
                 )
 
     return df.mapInPandas(op, HEADER_SCHEMA)
+
+
+# --- REAL pixel decode: 8-bit non-interlaced grayscale PNG ----------
+# One genuinely real decode path through the seam, pure stdlib (zlib):
+# enough to prove the decode_fn contract end-to-end on actual image
+# bytes in this container. Other color types / bit depths / interlace
+# still need PIL and stay behind RAISE.
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    import zlib
+
+    return (
+        len(body).to_bytes(4, "big")
+        + tag
+        + body
+        + zlib.crc32(tag + body).to_bytes(4, "big")
+    )
+
+
+def encode_png_gray8(pixels: np.ndarray) -> bytes:
+    """REAL, spec-valid PNG writer for an (h, w) uint8 grayscale array
+    — correct CRCs, zlib IDAT, one filter byte per scanline. Each row's
+    filter type cycles 0..4 (None/Sub/Up/Average/Paeth) so a round-trip
+    through :func:`decode_png_gray8` exercises every unfilter branch,
+    not just the trivial one."""
+    import zlib
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim != 2:
+        raise ValueError("expected (h, w) uint8 array")
+    h, w = px.shape
+    raw = bytearray()
+    prior = np.zeros(w, dtype=np.int16)
+    for y in range(h):
+        row = px[y].astype(np.int16)
+        left = np.concatenate(([0], row[:-1]))
+        upleft = np.concatenate(([0], prior[:-1]))
+        f = y % 5
+        if f == 0:
+            enc = row
+        elif f == 1:
+            enc = row - left
+        elif f == 2:
+            enc = row - prior
+        elif f == 3:
+            enc = row - (left + prior) // 2
+        else:
+            pred = np.array(
+                [_paeth(int(a), int(b), int(c)) for a, b, c in zip(left, prior, upleft)],
+                dtype=np.int16,
+            )
+            enc = row - pred
+        raw.append(f)
+        raw.extend((enc % 256).astype(np.uint8).tobytes())
+        prior = row
+    ihdr = (
+        w.to_bytes(4, "big")
+        + h.to_bytes(4, "big")
+        + bytes([8, 0, 0, 0, 0])  # bit depth 8, grayscale, no interlace
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png_gray8(payload: bytes) -> np.ndarray:
+    """REAL pure-Python PNG pixel decode for 8-bit non-interlaced
+    grayscale (color type 0): chunk walk, concatenated-IDAT zlib
+    inflate, per-scanline unfiltering (all five filter types). Raises
+    ValueError on anything else — callers decide whether corrupt/
+    unsupported media is data (fall back) or a bug (propagate).
+    Sequential in x by spec (Sub/Average/Paeth predict from the
+    RECONSTRUCTED left neighbor) — fine for thumbnail-scale payloads;
+    real image corpora decode via a library decode_fn."""
+    b = payload or b""
+    if b[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    import zlib
+
+    i, w, h, idat = 8, None, None, bytearray()
+    while i + 8 <= len(b):
+        ln = int.from_bytes(b[i : i + 4], "big")
+        tag = b[i + 4 : i + 8]
+        body = b[i + 8 : i + 8 + ln]
+        if tag == b"IHDR":
+            w = int.from_bytes(body[0:4], "big")
+            h = int.from_bytes(body[4:8], "big")
+            depth, color, interlace = body[8], body[9], body[12]
+            if (depth, color, interlace) != (8, 0, 0):
+                raise ValueError(
+                    "only 8-bit non-interlaced grayscale supported"
+                )
+        elif tag == b"IDAT":
+            idat.extend(body)
+        elif tag == b"IEND":
+            break
+        i += 12 + ln  # length + tag + body + crc
+    if w is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != h * (w + 1):
+        raise ValueError("scanline size mismatch")
+    out = np.zeros((h, w), dtype=np.uint8)
+    for y in range(h):
+        line = raw[y * (w + 1) : (y + 1) * (w + 1)]
+        f, data = line[0], line[1:]
+        prior = out[y - 1] if y else np.zeros(w, dtype=np.uint8)
+        if f == 0:
+            out[y] = np.frombuffer(data, dtype=np.uint8)
+        elif f == 2:
+            out[y] = (
+                np.frombuffer(data, dtype=np.uint8).astype(np.int16)
+                + prior
+            ) % 256
+        else:
+            row = out[y]
+            for x in range(w):
+                left = int(row[x - 1]) if x else 0
+                up = int(prior[x])
+                upleft = int(prior[x - 1]) if x and y else 0
+                if f == 1:
+                    pred = left
+                elif f == 3:
+                    pred = (left + up) // 2
+                elif f == 4:
+                    pred = _paeth(left, up, upleft)
+                else:
+                    raise ValueError(f"bad filter type {f}")
+                row[x] = (data[x] + pred) % 256
+    return out
+
+
+def gray_png_features(payload: bytes, kind: str) -> np.ndarray:
+    """A REAL decode_fn for :func:`extract_features`: decodes gray8
+    PNGs and emits FEATURE_DIM deterministic pixel statistics (mean,
+    std, extremes, quartiles, row/col-gradient energy, an 8-bin
+    histogram); payloads that are not decodable gray8 PNGs fall back
+    to the byte-hash fake — corrupt media is data, not a job failure."""
+    import zlib
+
+    try:
+        px = decode_png_gray8(payload).astype(np.float32)
+    except (ValueError, zlib.error):
+        return _fake_decode(payload, kind)
+    flat = px.ravel()
+    q1, q2, q3 = np.percentile(flat, [25, 50, 75])
+    gx = float(np.abs(np.diff(px, axis=1)).mean()) if px.shape[1] > 1 else 0.0
+    gy = float(np.abs(np.diff(px, axis=0)).mean()) if px.shape[0] > 1 else 0.0
+    hist = np.histogram(flat, bins=8, range=(0, 256))[0] / max(flat.size, 1)
+    feats = [
+        flat.mean() / 255.0,
+        flat.std() / 255.0,
+        flat.min() / 255.0,
+        flat.max() / 255.0,
+        q1 / 255.0,
+        q2 / 255.0,
+        q3 / 255.0,
+        gx / 255.0,
+        gy / 255.0,
+        *hist[:FEATURE_DIM - 9],
+    ]
+    return np.asarray(feats[:FEATURE_DIM], dtype=np.float32)
 
 
 def RAISE(payload: bytes, kind: str) -> np.ndarray:  # noqa: N802
