@@ -1677,10 +1677,14 @@ def q_tool_profile(spark, sf_dir):
 
 
 def q_shingle_dedup(spark, sf_dir):
-    """MinHash-LSH survivors + thresholded n-gram Jaccard pairs,
-    section-tagged in one row (the former minhash_dedup +
-    jaccard_pairs driver rows, merged — both ride the shared shingle
-    machinery; -1/0.0 sentinels keep numerics non-nullable)."""
+    """MinHash-LSH survivors + thresholded n-gram Jaccard pairs +
+    winnowing fingerprints (Schleimer et al. 2003, the MOSS scheme),
+    section-tagged in one row — all three ride the shared word/gram
+    machinery; -1/0.0 sentinels keep numerics non-nullable. The winnow
+    section is value-checked against the packed-key DuckDB twin
+    (exact bigint arithmetic, same rightmost-min rule)."""
+    from oscar_tools_spark.operators.fingerprint import winnow_fingerprints
+
     a = dedup_minhash_lsh(_docs(spark, sf_dir), "doc_id").select(
         F.lit("minhash_survivor").alias("section"),
         F.col("doc_id").alias("id_a"),
@@ -1693,7 +1697,15 @@ def q_shingle_dedup(spark, sf_dir):
         F.col("key_b").alias("id_b"),
         F.col("jaccard").alias("val"),
     )
-    return a.unionAll(b).orderBy("section", "id_a", "id_b")
+    c = winnow_fingerprints(
+        _docs(spark, sf_dir), "doc_id", k=O.WINNOW_K, window=O.WINNOW_W
+    ).select(
+        F.lit("winnow_fp").alias("section"),
+        F.col("doc_id").alias("id_a"),
+        F.col("fp_pos").alias("id_b"),
+        F.col("fp_hash").cast("double").alias("val"),
+    )
+    return a.unionAll(b).unionAll(c).orderBy("section", "id_a", "id_b")
 
 
 def q_normalize_text(spark, sf_dir):

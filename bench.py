@@ -298,6 +298,23 @@ def main() -> None:
         timed("c4_clean", lambda: run_noop(E.q_c4_clean(spark, sf_dir)))
         timed("pack_sequences", lambda: run_noop(E.q_pack_sequences(spark, sf_dir)))
         timed("vocab_stats", lambda: run_noop(E.q_vocab_stats(spark, sf_dir)))
+        # round-6: winnowing fingerprints (MOSS scheme) over the full
+        # transcripts table — posexplode + three Windows on ONE
+        # conv-keyed exchange, lag-dedupe instead of a distinct shuffle
+        from oscar_tools_spark.operators.fingerprint import winnow_fingerprints
+
+        timed(
+            "winnow_fp",
+            lambda: run_noop(
+                winnow_fingerprints(
+                    transcripts.withColumn(
+                        "_tid",
+                        F.concat_ws(":", "conv_id", "turn_idx"),
+                    ),
+                    "_tid",
+                )
+            ),
+        )
         # round-4: incremental (batch-vs-history) near-dup — history
         # participates through its band table only; two banded anti-joins
         timed(

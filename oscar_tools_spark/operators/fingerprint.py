@@ -1,0 +1,158 @@
+"""Winnowing document fingerprints.
+
+Public method: Schleimer, Wilkerson, Aiken — "Winnowing: Local
+Algorithms for Document Fingerprinting" (SIGMOD 2003), the MOSS
+algorithm; the same scheme The Stack used for near-dup detection over
+source code. Guarantees: any shared substring of at least
+``window + k - 1`` words produces at least one SHARED fingerprint
+between the two documents, while storing only ~2/(window+1) of all
+gram hashes — a local, deterministic sketch (no randomness, no model).
+
+Semantics (robust winnowing): slide a ``window``-length window over
+the word-k-gram hash sequence; in each window select the minimum
+hash, breaking ties by the RIGHTMOST position; the fingerprint set is
+the distinct (position, hash) selections.
+
+Spark shape: the rightmost-min-per-window rule folds into ONE window
+aggregate by packing (hash, position) into a single bigint key
+``hash * POS_CAP - pos`` — minimizing it picks the smallest hash and,
+among equal hashes, the largest position. One posexplode, one
+doc-keyed window (the per-doc count rides the same exchange), one
+distinct. No joins, no Python.
+
+The DuckDB oracle twin (oracles.q_shingle_dedup winnow section) is
+generated from the same constants: 32-bit md5 gram hashes and the
+same packed-key arithmetic, exact in bigints in both engines
+(hash < 2^32, pos < 2^21 -> key < 2^53).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .vocab import word_grams_expr
+
+# positions-per-document capacity of the packed (hash, pos) key.
+# hash < 2^32 and pos < 2^21 keep hash * CAP - pos < 2^53: exact in
+# bigint arithmetic in both engines AND below the double-precision
+# cliff, so no engine can round it. Docs beyond 2^21 grams (~10 MB of
+# text) have their tail positions dropped from fingerprinting — at
+# that size the prefix sketch is already saturated; split such docs
+# upstream if full coverage matters.
+WINNOW_POS_CAP = 1 << 21
+
+
+def gram_hash_expr(gram) -> F.Column:
+    """32-bit md5 gram hash — the established cross-engine parity
+    pattern (== ('0x'||substr(md5(g),1,8))::bigint in DuckDB)."""
+    return F.conv(F.substring(F.md5(gram), 1, 8), 16, 10).cast("bigint")
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    key_col: str,
+    text_col: str = "text",
+    k: int = 5,
+    window: int = 4,
+) -> DataFrame:
+    """(key, fp_pos, fp_hash) winnowing fingerprints per document.
+
+    ``k``: words per gram (MOSS's noise threshold — matches shorter
+    than k words are never detected). ``window``: winnowing window in
+    grams; any match of at least ``window + k - 1`` words is
+    GUARANTEED to surface (the scheme's coverage property), and the
+    expected fingerprint density is 2/(window+1).
+
+    Plan: posexplode -> one doc-keyed Window (min packed key per
+    frame + per-doc gram count on the same exchange) -> distinct.
+    The distinct shuffles (doc, pos, hash) triples — fingerprints,
+    not text.
+    """
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    grams = df.select(
+        F.col(key_col),
+        F.posexplode(word_grams_expr(F.col(text_col), k)).alias(
+            "_pos", "_g"
+        ),
+    ).filter(F.col("_pos") < WINNOW_POS_CAP)
+    keyed = grams.select(
+        key_col,
+        "_pos",
+        (gram_hash_expr(F.col("_g")) * WINNOW_POS_CAP - F.col("_pos")).alias(
+            "_key"
+        ),
+    )
+    by_doc = Window.partitionBy(key_col)
+    frame = (
+        Window.partitionBy(key_col)
+        .orderBy("_pos")
+        .rowsBetween(0, window - 1)
+    )
+    sel = keyed.select(
+        F.col(key_col),
+        "_pos",
+        F.min("_key").over(frame).alias("_wkey"),
+        F.count(F.lit(1)).over(by_doc).alias("_n"),
+    ).filter(
+        # window starts run [0, n-window]; a doc with fewer than
+        # `window` grams degenerates to one whole-doc window at pos 0
+        F.col("_pos") <= F.greatest(F.col("_n") - window, F.lit(0))
+    )
+    # dedupe repeated selections WITHOUT a second shuffle: if windows
+    # j and j+d (d >= 2) select the same (hash, pos), every window
+    # between them must too (the shared position lies in all of them
+    # and nothing in between can be smaller, or j/j+d would not have
+    # picked it) — so duplicate selections are CONTIGUOUS in window-
+    # start order and a lag() != test on the existing doc exchange
+    # replaces what .distinct() would do with a full extra shuffle of
+    # the fingerprint set
+    run = Window.partitionBy(key_col).orderBy("_pos")
+    first = sel.withColumn("_prev", F.lag("_wkey").over(run)).filter(
+        F.col("_prev").isNull() | (F.col("_prev") != F.col("_wkey"))
+    )
+    pos = F.pmod(-F.col("_wkey"), F.lit(WINNOW_POS_CAP))
+    return first.select(
+        F.col(key_col),
+        pos.alias("fp_pos"),
+        F.expr(
+            f"(_wkey + pmod(-_wkey, {WINNOW_POS_CAP})) div {WINNOW_POS_CAP}"
+        ).alias("fp_hash"),
+    )
+
+
+def winnow_overlap(
+    fps: DataFrame,
+    key_col: str,
+    min_shared: int = 2,
+    max_fp_df: int | None = None,
+) -> DataFrame:
+    """Document pairs sharing >= ``min_shared`` distinct fingerprint
+    hashes — the overlap-detection join over winnow_fingerprints
+    output. Banded by construction: the join key is the fingerprint
+    hash, so only docs sharing a fingerprint ever meet (no all-pairs).
+
+    ``max_fp_df`` drops fingerprints present in more than that many
+    docs before pairing — the same hot-key cap as jaccard's
+    max_shingle_df: a boilerplate fingerprint shared by 10^6 docs
+    would otherwise contribute 10^12 pairs.
+    """
+    f = fps.select(F.col(key_col).alias("_k"), "fp_hash").distinct()
+    if max_fp_df is not None:
+        ok = (
+            f.groupBy("fp_hash")
+            .count()
+            .filter(F.col("count") <= max_fp_df)
+            .select("fp_hash")
+        )
+        f = f.join(ok, "fp_hash")
+    a = f.select(F.col("_k").alias("key_a"), "fp_hash")
+    b = f.select(F.col("_k").alias("key_b"), "fp_hash")
+    return (
+        a.join(b, "fp_hash")
+        .filter(F.col("key_a") > F.col("key_b"))
+        .groupBy("key_a", "key_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
+    )

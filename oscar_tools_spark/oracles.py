@@ -1971,11 +1971,50 @@ group by tool order by tool
 """
 
 
+# winnowing fingerprint geometry — shared with __spark_entry__ and
+# operators/fingerprint.py so all three move together
+WINNOW_K = 4
+WINNOW_W = 4
+
+
+def q_winnow_fp(k: int = WINNOW_K, w: int = WINNOW_W) -> str:
+    """Winnowing fingerprints twin of fingerprint.winnow_fingerprints
+    (Schleimer et al. 2003, rightmost-min rule): identical 32-bit md5
+    gram hashes and the same packed bigint key hash*CAP - pos, so the
+    per-window min picks the same (hash, position) in both engines —
+    exact integer arithmetic throughout (key < 2^53)."""
+    from .operators.fingerprint import WINNOW_POS_CAP as C
+
+    gram = " || ' ' || ".join(f"__w[i + {j}]" for j in range(k))
+    return f"""
+with __wtab as (select doc_id, list_filter({WORDS_SQL}, x -> x <> '') as __w
+                from documents),
+g as (
+  select doc_id, i - 1 as pos,
+         ('0x' || substr(md5({gram}), 1, 8))::bigint * {C} - (i - 1) as key
+  from (select doc_id, unnest(range(1, len(__w) - {k} + 2)) as i, __w
+        from __wtab)
+),
+wm as (
+  select doc_id, pos,
+         count(*) over (partition by doc_id) as n,
+         min(key) over (partition by doc_id order by pos
+                        rows between current row and {w - 1} following) as wkey
+  from g
+)
+select distinct doc_id,
+       ((-wkey) % {C} + {C}) % {C} as fp_pos,
+       (wkey + ((-wkey) % {C} + {C}) % {C}) // {C} as fp_hash
+from wm where pos <= greatest(n - {w}, 0)
+"""
+
+
 def q_shingle_dedup() -> str:
-    """MinHash-LSH survivors UNION ALL thresholded Jaccard pairs,
-    section-tagged (the former minhash_dedup + jaccard_pairs rows;
-    -1/0.0 sentinels keep the numeric columns non-nullable for the
-    cross-engine hash)."""
+    """MinHash-LSH survivors UNION ALL thresholded Jaccard pairs UNION
+    ALL winnowing fingerprints, section-tagged (the former
+    minhash_dedup + jaccard_pairs rows plus the round-6 winnow family —
+    all three ride the shared word/gram machinery; -1/0.0 sentinels
+    keep the numeric columns non-nullable for the cross-engine hash)."""
     return f"""
 select 'minhash_survivor' as section, doc_id as id_a,
        cast(-1 as bigint) as id_b, cast(0.0 as double) as val
@@ -1984,5 +2023,9 @@ union all
 select 'jaccard_pair' as section, key_a as id_a, key_b as id_b,
        jaccard as val
 from {_sub(q_jaccard_pairs())}
+union all
+select 'winnow_fp' as section, doc_id as id_a, fp_pos as id_b,
+       cast(fp_hash as double) as val
+from {_sub(q_winnow_fp())}
 order by section, id_a, id_b
 """

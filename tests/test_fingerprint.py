@@ -1,0 +1,132 @@
+"""Winnowing fingerprints vs a direct pure-Python reference, plus the
+scheme's own guarantees (coverage, density, shared-substring
+detection)."""
+
+from __future__ import annotations
+
+import hashlib
+import random
+import re
+
+import pytest
+
+from oscar_tools_spark.operators.fingerprint import (
+    WINNOW_POS_CAP,
+    winnow_fingerprints,
+    winnow_overlap,
+)
+
+WORDS = ["alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
+         "golf", "hotel", "india", "juliet", "kilo", "lima"]
+
+
+def _norm_words(text: str) -> list[str]:
+    t = re.sub(r"\s+", " ", re.sub(r"[^a-z0-9\s]", " ", text.lower())).strip()
+    return t.split(" ") if t else []
+
+
+def _gram_hashes(text: str, k: int) -> list[int]:
+    w = _norm_words(text)
+    return [
+        int(hashlib.md5(" ".join(w[i : i + k]).encode()).hexdigest()[:8], 16)
+        for i in range(len(w) - k + 1)
+    ]
+
+
+def winnow_reference(text: str, k: int, window: int) -> set[tuple[int, int]]:
+    """Direct transcription of robust winnowing: per window, the
+    rightmost minimum hash; fingerprints = distinct (pos, hash)."""
+    h = _gram_hashes(text, k)
+    n = len(h)
+    if n == 0:
+        return set()
+    out = set()
+    for j in range(max(n - window, 0) + 1):
+        win = h[j : j + window]
+        m = min(win)
+        pos = j + max(i for i, v in enumerate(win) if v == m)
+        out.add((pos, m))
+    return out
+
+
+@pytest.mark.parametrize("k,window", [(1, 1), (2, 3), (5, 4), (3, 8)])
+def test_winnow_matches_reference(spark, k, window):
+    rng = random.Random(99)
+    rows = []
+    for i in range(40):
+        n = rng.randint(0, 60)
+        text = " ".join(rng.choice(WORDS) for _ in range(n))
+        if i % 7 == 0:
+            text += "!! Punctuation, and   WHITESPACE\tnoise."
+        rows.append((i, text))
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got: dict[int, set] = {}
+    for r in winnow_fingerprints(df, "doc_id", k=k, window=window).collect():
+        got.setdefault(r.doc_id, set()).add((r.fp_pos, r.fp_hash))
+    for i, text in rows:
+        assert got.get(i, set()) == winnow_reference(text, k, window), (
+            f"doc {i} k={k} w={window}"
+        )
+
+
+def test_winnow_coverage_and_density():
+    """Scheme guarantees, checked on the reference (the Spark twin is
+    equal by the test above): every window contributes a fingerprint
+    (max gap between selected positions < window) and density is near
+    2/(window+1)."""
+    rng = random.Random(5)
+    text = " ".join(rng.choice(WORDS) for _ in range(4000))
+    k, window = 3, 6
+    fps = winnow_reference(text, k, window)
+    positions = sorted(p for p, _ in fps)
+    gaps = [b - a for a, b in zip(positions, positions[1:])]
+    assert max(gaps) <= window  # coverage: no window unfingerprinted
+    n_grams = len(_gram_hashes(text, k))
+    density = len(fps) / n_grams
+    assert 1.2 / (window + 1) < density < 3.0 / (window + 1)
+
+
+def test_winnow_shared_substring_guarantee(spark):
+    """Any shared run of >= window + k - 1 words yields a shared
+    fingerprint, so winnow_overlap finds the planted pair."""
+    rng = random.Random(17)
+    k, window = 4, 5
+    shared = " ".join(rng.choice(WORDS) for _ in range(window + k - 1))
+    mk = lambda: " ".join(rng.choice(WORDS) for _ in range(30))  # noqa: E731
+    rows = [
+        (0, mk() + " " + shared + " " + mk()),
+        (1, mk() + " " + shared + " " + mk()),
+        (2, mk()),
+        (3, mk()),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    fps = winnow_fingerprints(df, "doc_id", k=k, window=window)
+    pairs = {
+        (r.key_a, r.key_b)
+        for r in winnow_overlap(fps, "doc_id", min_shared=1).collect()
+    }
+    assert (1, 0) in pairs
+
+
+def test_winnow_overlap_hot_key_cap(spark):
+    """max_fp_df drops corpus-wide boilerplate fingerprints before the
+    pair join."""
+    boiler = "all rights reserved contact the webmaster for details"
+    rows = [(i, boiler) for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    fps = winnow_fingerprints(df, "doc_id", k=3, window=2)
+    uncapped = winnow_overlap(fps, "doc_id", min_shared=1).count()
+    capped = winnow_overlap(fps, "doc_id", min_shared=1, max_fp_df=2).count()
+    assert uncapped == 15  # all 6-choose-2 pairs share the boilerplate
+    assert capped == 0  # every fingerprint sits in all 6 docs -> dropped
+
+
+def test_winnow_pos_cap_and_empty(spark):
+    df = spark.createDataFrame(
+        [(1, ""), (2, None), (3, "one two")],
+        "doc_id bigint, text string",
+    )
+    rows = winnow_fingerprints(df, "doc_id", k=5, window=4).collect()
+    # docs shorter than k words contribute no grams at all
+    assert rows == []
+    assert WINNOW_POS_CAP == 1 << 21
