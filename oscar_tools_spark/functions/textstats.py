@@ -88,12 +88,11 @@ def dup_ngram_frac_expr(text: Column, k: int = 3) -> Column:
     """
     from ..operators.dedup import word_shingles_expr
 
-    norm = F.trim(
-        F.regexp_replace(
-            F.regexp_replace(F.lower(text), r"[^a-z0-9\s]", " "), r"\s+", " "
-        )
-    )
-    n = F.size(F.split(norm, " "))
+    # word count via extraction (see vocab.norm_text_expr for why the
+    # regexp_replace chain is avoided); the no-words case keeps n=1 to
+    # preserve the old split('') = [''] arithmetic
+    extracted = F.regexp_extract_all(F.lower(text), F.lit("[a-z0-9]+"), 0)
+    n = F.when(F.size(extracted) == 0, F.lit(1)).otherwise(F.size(extracted))
     total = n - F.lit(k - 1)
     distinct = F.size(word_shingles_expr(text, k))
     return F.when(

@@ -107,13 +107,14 @@ def word_shingles_expr(text: Column, k: int = 3) -> Column:
     pure ``[a-z0-9 ]``. Short-text fallback (fewer than k words -> the
     whole normalized text as one shingle) matches the DuckDB oracle's
     ``len(__w) > 0`` branch, including the empty-string shingle for
-    empty/whitespace-only docs.
+    empty/whitespace-only docs. Normalization itself goes through
+    vocab.norm_text_expr (extract-words-then-join) — the
+    regexp_replace char-class chain it replaces measured ~90x slower
+    on transcripts-scale input.
     """
-    norm = F.trim(
-        F.regexp_replace(
-            F.regexp_replace(F.lower(text), r"[^a-z0-9\s]", " "), r"\s+", " "
-        )
-    )
+    from .vocab import norm_text_expr
+
+    norm = norm_text_expr(text)
     pat = r"\b(?=(" + " ".join([r"[a-z0-9]+"] * k) + r"))"
     grams = F.regexp_extract_all(norm, F.lit(pat), 1)
     n = F.size(F.split(norm, " "))
@@ -570,22 +571,21 @@ def simhash_table(
         # emit dead signature bits (and >= 63 would overflow the signed
         # int64 packing). Widen the substring before widening bits.
         raise ValueError(f"bits must be in [1, 32], got {bits}")
-    # coalesce: a null-text doc must still emit a signature row (split
-    # of NULL is NULL -> explode drops the doc -> the inner join in
+    # coalesce: a null-text doc must still emit a signature row (a NULL
+    # word list -> explode drops the doc -> the inner join in
     # dedup_simhash would erase it). Null hashes like the empty doc:
-    # split('') = [''] -> one '' token, same as empty text.
-    words = F.array_distinct(
-        F.split(
-            F.trim(
-                F.regexp_replace(
-                    F.lower(F.coalesce(F.col(text_col), F.lit(""))),
-                    r"[^a-z0-9\s]",
-                    " ",
-                )
-            ),
-            r"\s+",
-        )
+    # the no-words case keeps one '' token, preserving the old
+    # split('') = [''] behavior. Word extraction replaces the
+    # regexp_replace char-class chain (~90x slower at transcripts
+    # scale — see vocab.norm_text_expr).
+    extracted = F.regexp_extract_all(
+        F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+        F.lit("[a-z0-9]+"),
+        0,
     )
+    words = F.when(
+        F.size(extracted) == 0, F.array(F.lit(""))
+    ).otherwise(F.array_distinct(extracted))
     exploded = _ensure_parallelism(df).select(*key_cols, F.explode(words).alias("_w"))
     hashed = exploded.withColumn(
         "_h", F.conv(F.substring(F.md5(F.col("_w")), 1, 8), 16, 10).cast("bigint")

