@@ -1338,18 +1338,30 @@ def q_dedup_substring_modes(spark, sf_dir):
 
 
 def q_upsample_mixture(spark, sf_dir):
-    """Fractional-epoch UPSAMPLING mix (the Pile/GPT-3 shape): repeat
-    rows so group totals follow the 4:2:2:1:1 lang targets with the
-    most-overrepresented group kept exactly once. Anchor selection and
-    the per-group (base, threshold) pairs are exact integer arithmetic
-    (Python ints driver-side, hugeint in the DuckDB twin)."""
-    from oscar_tools_spark.operators.packing import upsample_to_mixture
+    """Fractional-epoch UPSAMPLING mix (the Pile/GPT-3 shape) in two
+    mode-tagged sections: fixed 4:2:2:1:1 lang targets, and
+    TEMPERATURE-derived targets (share^0.5 micro-weights — the XLM-R
+    flattening). Anchor selection and the per-group (base, threshold)
+    pairs are exact integer arithmetic in both modes (Python ints
+    driver-side, hugeint in the DuckDB twin); the temperature targets'
+    one float op is frozen at 1e6 precision like DSIR."""
+    from oscar_tools_spark.operators.packing import (
+        temperature_targets,
+        upsample_to_mixture,
+    )
     from oscar_tools_spark.oracles import UPSAMPLE_TARGETS
 
     docs = _docs(spark, sf_dir).select("doc_id", "lang")
-    return upsample_to_mixture(
+    fixed = upsample_to_mixture(
         docs, "lang", UPSAMPLE_TARGETS, key_cols=["doc_id"]
-    ).orderBy("lang", "doc_id", "copy_idx")
+    ).withColumn("mode", F.lit("fixed"))
+    temp = upsample_to_mixture(
+        docs,
+        "lang",
+        temperature_targets(docs, "lang", alpha=0.5),
+        key_cols=["doc_id"],
+    ).withColumn("mode", F.lit("temperature"))
+    return fixed.unionAll(temp).orderBy("mode", "lang", "doc_id", "copy_idx")
 
 
 def q_corpus_profile(spark, sf_dir):
@@ -1590,9 +1602,14 @@ def q_quality_battery(spark, sf_dir):
 
 def q_doc_assignments(spark, sf_dir):
     """Per-doc assignment columns in one row: growth-stable 98/1/1
-    split ⨝ CCNet-style per-language quality terciles (the former
-    assign_split + quantile_buckets driver rows, merged)."""
-    from oscar_tools_spark.operators.sampling import assign_split
+    split ⨝ CCNet-style per-language quality terciles ⨝ leakage-safe
+    split (the draw keys on the near-dup component representative so
+    a duplicate cluster can never straddle train/test)."""
+    from oscar_tools_spark.operators.dedup import jaccard_pairs
+    from oscar_tools_spark.operators.sampling import (
+        assign_split,
+        assign_split_safe,
+    )
     from oscar_tools_spark.operators.stats import quantile_buckets
 
     docs = _docs(spark, sf_dir)
@@ -1603,7 +1620,13 @@ def q_doc_assignments(spark, sf_dir):
     qb = quantile_buckets(
         scored, "lang", "quality", mode="exact", order_cols=("doc_id",)
     ).select("doc_id", "lang", "quality", "bucket")
-    return s.join(qb, "doc_id").orderBy("doc_id")
+    safe = assign_split_safe(
+        docs.select("doc_id", "text"),
+        "doc_id",
+        jaccard_pairs(docs, "doc_id", threshold=0.5),
+        split_col="split_safe",
+    ).select("doc_id", "split_safe")
+    return s.join(qb, "doc_id").join(safe, "doc_id").orderBy("doc_id")
 
 
 def q_dedup_exact_modes(spark, sf_dir):

@@ -198,6 +198,40 @@ def rebalance_to_mixture(
     )
 
 
+def temperature_targets(
+    df: DataFrame,
+    group_col: str,
+    alpha: float = 0.5,
+    micro: int = 1_000_000,
+) -> dict[str, int]:
+    """Temperature-flattened mixture targets — the multilingual-LM
+    standard (XLM-R / mT5 sampling: p_g ∝ share_g^alpha): returns
+    integer micro-weights t_g = max(1, floor(micro * (n_g/N)^alpha +
+    0.5)) ready to feed :func:`upsample_to_mixture` /
+    :func:`rebalance_to_mixture` (only ratios matter there). alpha=1
+    reproduces the natural distribution, alpha=0 is uniform; 0.3-0.7
+    is the usual flattening band.
+
+    Driver-side over the bounded per-group count table (|groups|
+    rows). The single float op per group — pow on an exactly-rounded
+    double share — is frozen at 1e6 precision, the same libm-parity
+    pattern as DSIR's log-ratios, so the DuckDB twin reproduces every
+    target; everything downstream is the mixture family's exact
+    integer arithmetic."""
+    import math
+
+    rows = df.groupBy(group_col).count().collect()
+    if not rows:
+        raise ValueError("no rows to derive temperature targets from")
+    total = sum(int(r["count"]) for r in rows)
+    return {
+        r[group_col]: max(
+            1, math.floor(micro * (int(r["count"]) / total) ** alpha + 0.5)
+        )
+        for r in rows
+    }
+
+
 def upsample_to_mixture(
     df: DataFrame,
     group_col: str,

@@ -342,6 +342,46 @@ def assign_split(
     return df.withColumn(split_col, expr)
 
 
+def assign_split_safe(
+    df: DataFrame,
+    key_col: str,
+    pairs: DataFrame,
+    splits: tuple[tuple[str, int], ...] = (("train", 98), ("val", 1), ("test", 1)),
+    seed: int = 42,
+    split_col: str = "split",
+    pair_a: str = "key_a",
+    pair_b: str = "key_b",
+) -> DataFrame:
+    """Leakage-safe splitting: hash the near-duplicate COMPONENT
+    representative instead of the document key, so every member of a
+    duplicate cluster lands in the same split.
+
+    Plain :func:`assign_split` hashes each key independently — two
+    near-identical documents can straddle train/test, and the held-out
+    metric silently measures memorization of the training copy. Here
+    ``pairs`` (any near-dup pair frame: jaccard_pairs, winnow_overlap,
+    minhash candidates) is closed into components
+    (components.connected_components, O(log n) rounds) and the split
+    draw keys on the component's min-key representative; documents in
+    no pair keep their own key, so for them the assignment is
+    IDENTICAL to assign_split (same draw, same seed) and adding new
+    pairs never reshuffles untouched documents.
+
+    Scale shape: the component frame only contains keys that appear in
+    a pair (a tiny fraction of the corpus); the join back is an equi-
+    join on the key, and the split rule stays one narrow projection.
+    """
+    from .components import connected_components
+
+    comp = connected_components(pairs, pair_a, pair_b).withColumnRenamed(
+        "node", key_col
+    )
+    rep = df.join(comp, key_col, "left").withColumn(
+        "_rep", F.coalesce(F.col("component"), F.col(key_col))
+    ).drop("component")
+    return assign_split(rep, ["_rep"], splits, seed, split_col).drop("_rep")
+
+
 def global_shuffle(
     df: DataFrame,
     key_cols: list[str],

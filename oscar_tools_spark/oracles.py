@@ -1464,24 +1464,18 @@ def q_dedup_substring_modes(gram_k: int = 20) -> str:
 UPSAMPLE_TARGETS = {"en": 4, "de": 2, "es": 2, "fr": 1, "zh": 1}
 
 
-def q_upsample_mixture(seed: int = 42) -> str:
-    """Twin of packing.upsample_to_mixture over (lang, doc_id): anchor
-    group (max n/t, tie = smallest lang, integer cross-compare via the
-    weight-LCM trick) repeats once; every other group repeats
-    floor(f_g) times + 1 when the uniform hash draw falls below the
-    hugeint-exact fractional threshold — the same arbitrary-precision
-    arithmetic the Spark side runs driver-side in Python ints."""
-    lcm = 4  # lcm of UPSAMPLE_TARGETS weights {4, 2, 1}
-    t_case = "case g " + " ".join(
-        f"when '{g}' then {w}" for g, w in sorted(UPSAMPLE_TARGETS.items())
-    ) + " end"
-    langs = ", ".join(f"'{g}'" for g in sorted(UPSAMPLE_TARGETS))
+def _upsample_replay_sql(w_cte: str, seed: int, src_filter: str = "") -> str:
+    """Shared hugeint quota replay given a `w(g, n, t)` CTE body:
+    exact not-exists argmax anchor (cross-multiplied — works for ANY
+    integer targets, data-derived included), floor/threshold quotas,
+    hash-draw extra copy."""
     return f"""
-with c as (select lang as g, cast(count(*) as hugeint) as n
-           from documents where lang in ({langs}) group by lang),
-w as (select g, n, cast({t_case} as hugeint) as t from c),
-a as (select g as gh, n as nh, t as th from w
-      order by n * {lcm} / t desc, g limit 1),
+with {w_cte},
+a as (select w1.g as gh, w1.n as nh, w1.t as th from w w1
+      where not exists (
+        select 1 from w w2
+        where w2.n * w1.t > w1.n * w2.t
+           or (w2.n * w1.t = w1.n * w2.t and w2.g < w1.g))),
 q as (select w.g,
              (w.t * a.nh) // (a.th * w.n) as base,
              (((w.t * a.nh) % (a.th * w.n)) * 4294967296::hugeint)
@@ -1491,9 +1485,56 @@ r as (select d.doc_id, d.lang,
              q.base + case when ('0x' || substr(md5(
                '{seed}:' || d.lang || ':' || cast(d.doc_id as varchar)
              ), 1, 8))::bigint < q.thr then 1 else 0 end as copies
-      from documents d join q on q.g = d.lang)
+      from documents d join q on q.g = d.lang{src_filter})
 select doc_id, lang, unnest(range(1, cast(copies as bigint) + 1)) as copy_idx
-from r order by lang, doc_id, copy_idx
+from r
+"""
+
+
+def q_upsample_fixed(seed: int = 42) -> str:
+    """Twin of packing.upsample_to_mixture over (lang, doc_id) with the
+    fixed 4:2:2:1:1 targets — hugeint replay of the Python-int quota
+    arithmetic."""
+    t_case = "case g " + " ".join(
+        f"when '{g}' then {w}" for g, w in sorted(UPSAMPLE_TARGETS.items())
+    ) + " end"
+    langs = ", ".join(f"'{g}'" for g in sorted(UPSAMPLE_TARGETS))
+    w_cte = (
+        f"c as (select lang as g, cast(count(*) as hugeint) as n\n"
+        f"           from documents where lang in ({langs}) group by lang),\n"
+        f"w as (select g, n, cast({t_case} as hugeint) as t from c)"
+    )
+    return _upsample_replay_sql(w_cte, seed)
+
+
+def q_upsample_temperature(
+    seed: int = 42, alpha: float = 0.5, micro: int = 1_000_000
+) -> str:
+    """Twin of temperature_targets + upsample_to_mixture: targets are
+    DATA-DERIVED micro-weights floor(micro * share^alpha + 0.5) — the
+    one float op (libm pow on an exactly-rounded double share) is
+    frozen at 1e6 precision like DSIR's log-ratios; the quota replay
+    downstream is exact hugeint."""
+    w_cte = (
+        "c as (select lang as g, cast(count(*) as hugeint) as n\n"
+        "           from documents group by lang),\n"
+        "tot as (select cast(count(*) as double) as n_tot from documents),\n"
+        f"w as (select g, n, greatest(cast(floor({micro} * pow(\n"
+        f"           cast(n as double) / tot.n_tot, {alpha}) + 0.5) as hugeint),\n"
+        f"           1::hugeint) as t from c, tot)"
+    )
+    return _upsample_replay_sql(w_cte, seed)
+
+
+def q_upsample_mixture(seed: int = 42) -> str:
+    """Fixed-target UNION ALL temperature-target upsampling, mode-
+    tagged — both quota replays in one hash."""
+    return f"""
+select doc_id, lang, copy_idx, 'fixed' as mode from {_sub(q_upsample_fixed(seed))}
+union all
+select doc_id, lang, copy_idx, 'temperature' as mode
+from {_sub(q_upsample_temperature(seed))}
+order by mode, lang, doc_id, copy_idx
 """
 
 
@@ -1825,13 +1866,48 @@ order by c.doc_id
 """
 
 
-def q_doc_assignments() -> str:
-    """assign_split ⨝ quantile_buckets on doc_id — the per-doc
-    assignment columns (split, quality tercile) in one row."""
+def q_split_safe(seed: int = 42, threshold: float = 0.5, k: int = 3) -> str:
+    """Twin of sampling.assign_split_safe: the split draw keys on the
+    near-dup component representative (min key via the recursive
+    closure of the Jaccard pair graph) so duplicate clusters can never
+    straddle train/test; unpaired docs key on themselves and match
+    plain assign_split exactly."""
+    pairs = q_jaccard_pairs(threshold, k)
     return f"""
-select s.doc_id, s.split, q.lang, q.quality, q.bucket
-from {_sub(q_assign_split())} s join {_sub(q_quantile_buckets())} q
-  on s.doc_id = q.doc_id
+with recursive pairs as ({pairs}),
+edges as (
+  select key_a as u, key_b as v from pairs
+  union
+  select key_b as u, key_a as v from pairs
+),
+reach (u, label) as (
+  select u, u from edges
+  union
+  select e.u, r.label from edges e join reach r on e.v = r.u
+),
+comp as (select u as node, min(label) as component from reach group by u),
+rep as (select d.doc_id, coalesce(c.component, d.doc_id) as r
+        from documents d left join comp c on c.node = d.doc_id),
+h as (select doc_id,
+  ('0x' || substr(md5('{seed}:' || cast(r as varchar)), 1, 8))::bigint as hv
+  from rep)
+select doc_id,
+  case when hv * 100 < 4294967296 * 98 then 'train'
+       when hv * 100 < 4294967296 * 99 then 'val'
+       else 'test' end as split_safe
+from h
+"""
+
+
+def q_doc_assignments() -> str:
+    """assign_split ⨝ quantile_buckets ⨝ leakage-safe split on doc_id
+    — the per-doc assignment columns (split, quality tercile,
+    component-keyed split_safe) in one row."""
+    return f"""
+select s.doc_id, s.split, q.lang, q.quality, q.bucket, f.split_safe
+from {_sub(q_assign_split())} s
+join {_sub(q_quantile_buckets())} q on s.doc_id = q.doc_id
+join {_sub(q_split_safe())} f on s.doc_id = f.doc_id
 order by s.doc_id
 """
 

@@ -200,3 +200,26 @@ def test_rebalance_approximate_mode(spark):
     out2 = rebalance_to_mixture(df.repartition(7), "lang", targets,
                                 key_cols=["doc_id"], exact=False)
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, out2.collect()))
+
+
+def test_temperature_targets_flattening(spark):
+    """alpha=1 reproduces natural shares, alpha=0 is uniform, and
+    intermediate alpha strictly narrows the majority/minority ratio."""
+    from pyspark.sql import functions as F
+
+    from oscar_tools_spark.operators.packing import temperature_targets
+
+    rows = [("en",)] * 800 + [("fr",)] * 150 + [("de",)] * 50
+    df = spark.createDataFrame(rows, "lang string")
+    nat = temperature_targets(df, "lang", alpha=1.0)
+    assert nat == {"en": 800_000, "fr": 150_000, "de": 50_000}
+    uni = temperature_targets(df, "lang", alpha=0.0)
+    assert uni == {"en": 1_000_000, "fr": 1_000_000, "de": 1_000_000}
+    half = temperature_targets(df, "lang", alpha=0.5)
+    assert half["en"] / half["de"] < nat["en"] / nat["de"]
+    assert half["en"] > half["fr"] > half["de"]  # order preserved
+    # targets are valid upsample inputs: positive ints even for a
+    # vanishing minority group
+    tiny = spark.createDataFrame([("en",)] * 10**6 + [("xx",)], "lang string")
+    t = temperature_targets(tiny, "lang", alpha=0.5)
+    assert t["xx"] >= 1

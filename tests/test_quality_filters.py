@@ -490,3 +490,39 @@ def test_tool_profile_answered_and_dangling(spark):
     assert (got["calc"].n_calls, got["calc"].n_convs,
             got["calc"].n_answered) == (2, 1, 1)
     assert got["search"].total_chars == len("result a") + len("tail")
+
+
+def test_assign_split_safe_keeps_near_dup_clusters_together(spark):
+    """Leakage-safe splitting: every member of a near-dup component
+    gets the SAME split (keyed on the component representative), while
+    docs in no pair keep their plain assign_split assignment exactly
+    (same draw, same seed — adding pairs never reshuffles untouched
+    docs)."""
+    from pyspark.sql import functions as F
+
+    from oscar_tools_spark.operators.sampling import (
+        assign_split,
+        assign_split_safe,
+    )
+
+    df = spark.range(2000).select(F.col("id").alias("doc_id"))
+    # planted clusters: {0,1,2} (chained pairs) and {10, 1500}
+    pairs = spark.createDataFrame(
+        [(1, 0), (2, 1), (1500, 10)], "key_a bigint, key_b bigint"
+    )
+    safe = {
+        r.doc_id: r.split
+        for r in assign_split_safe(df, "doc_id", pairs).collect()
+    }
+    plain = {
+        r.doc_id: r.split for r in assign_split(df, ["doc_id"]).collect()
+    }
+    assert len(safe) == 2000
+    # cluster members share a split, and it's the representative's own
+    assert safe[0] == safe[1] == safe[2] == plain[0]
+    assert safe[10] == safe[1500] == plain[10]
+    # everything unpaired is bit-identical to the plain assignment
+    clustered = {0, 1, 2, 10, 1500}
+    assert {k: v for k, v in safe.items() if k not in clustered} == {
+        k: v for k, v in plain.items() if k not in clustered
+    }
