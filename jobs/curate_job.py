@@ -128,6 +128,14 @@ def main() -> None:
                     "(repartitionByRange + sortWithinPartitions on the "
                     "rank — no single-partition sort). Same seed + input "
                     "= same order at any cluster size; vary per epoch")
+    ap.add_argument("--assign-split", default=None, metavar="SPEC",
+                    help="add a growth-stable split column, e.g. "
+                    "'train:98,val:1,test:1' — keyed on conv_id so every "
+                    "turn of a conversation lands in the same split "
+                    "(leakage-safe at conversation granularity); new "
+                    "conversations never move existing ones between splits")
+    ap.add_argument("--split-seed", type=int, default=42,
+                    help="seed for --assign-split (default 42)")
     ap.add_argument("--checkpoint-dir", default=None,
                     help="reliable-checkpoint directory (HDFS/S3). When set, "
                     "iterative operators (connected components, embedding "
@@ -147,6 +155,20 @@ def main() -> None:
                  "global_shuffle directly)")
     if args.window_stride and not args.window_tokens:
         ap.error("--window-stride does nothing without --window-tokens")
+    split_spec: tuple[tuple[str, int], ...] = ()
+    if args.assign_split:
+        try:
+            split_spec = tuple(
+                (name, int(w))
+                for name, w in (
+                    part.split(":") for part in args.assign_split.split(",")
+                )
+            )
+        except ValueError:
+            ap.error("--assign-split wants 'name:weight,name:weight,...'")
+        if len(split_spec) < 2 or any(w <= 0 for _, w in split_spec):
+            ap.error("--assign-split needs >= 2 splits with positive "
+                     "integer weights")
     if args.window_tokens and not (
         0 < (args.window_stride or args.window_tokens // 2) <= args.window_tokens
     ):
@@ -332,6 +354,15 @@ def main() -> None:
             # into the same codegen stage as the annotations
             part = normalize_corpus(part)
         out = curate(part, cfg)
+        if split_spec:
+            from oscar_tools_spark.operators.sampling import assign_split
+
+            # conv-keyed: every turn of a conversation shares the split,
+            # and the hash is a pure function of (seed, conv_id) —
+            # bucket-safe under resumable writes and growth-stable
+            out = assign_split(
+                out, ["conv_id"], splits=split_spec, seed=args.split_seed
+            )
         if args.scrub_pii:
             from oscar_tools_spark.operators.pii import scrub_pii_extended
 

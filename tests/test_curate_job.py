@@ -468,3 +468,42 @@ def test_job_windowed_resumable_buckets(spark, transcripts_path, tmp_path, capsy
     second = _run_job(capsys, argv)  # manifest: everything done
     assert second["rows"] == first["rows"]
     assert spark.read.parquet(out_path).count() == first["rows"]
+
+
+def test_job_assign_split_flag(spark, transcripts_path, tmp_path, capsys):
+    """--assign-split adds a conv-keyed split column: every turn of a
+    conversation shares one split, proportions track the weights, and
+    the assignment is a pure function of (seed, conv_id)."""
+    from pyspark.sql import functions as F
+
+    out_path = str(tmp_path / "out")
+    _run_job(
+        capsys,
+        ["--input", transcripts_path, "--output", out_path,
+         "--no-model", "--no-resume",
+         "--assign-split", "train:8,val:1,test:1"],
+    )
+    out = spark.read.parquet(out_path)
+    assert "split" in out.columns
+    per_conv = (
+        out.groupBy("conv_id")
+        .agg(F.countDistinct("split").alias("k"), F.first("split").alias("s"))
+        .collect()
+    )
+    assert per_conv and all(r.k == 1 for r in per_conv)
+    shares = {r.s for r in per_conv}
+    assert shares <= {"train", "val", "test"}
+    n_train = sum(1 for r in per_conv if r.s == "train")
+    assert n_train >= 0.6 * len(per_conv)  # 8/10 weight dominates
+
+
+def test_job_assign_split_rejects_bad_spec(transcripts_path, tmp_path, capsys):
+    import pytest
+
+    for bad in ("train:98", "train:0,val:1", "train:x,val:1"):
+        with pytest.raises(SystemExit):
+            _run_job(
+                capsys,
+                ["--input", transcripts_path, "--output", str(tmp_path / "o"),
+                 "--no-model", "--no-resume", "--assign-split", bad],
+            )
