@@ -719,11 +719,10 @@ def q_bpe_tokens(spark, sf_dir):
             "n_bpe_tokens",
             # String, not array<int>: the driver canonicalizer sorts raw
             # object columns and pandas cannot factorize list cells.
+            # Plain array cast, not a transform() lambda — HOFs fall out
+            # of whole-stage codegen (see word_shingles_expr).
             F.concat_ws(
-                ",",
-                F.transform(
-                    F.slice("token_ids", 1, 8), lambda x: x.cast("string")
-                ),
+                ",", F.slice("token_ids", 1, 8).cast("array<string>")
             ).alias("token_prefix"),
         )
         .orderBy("doc_id")

@@ -34,3 +34,15 @@ def mix_params(i: int) -> tuple[int, int]:
     a = (int.from_bytes(d[:4], "big") % (_A_BOUND - 1)) + 1  # 1 .. 2^30-1
     b = int.from_bytes(d[4:8], "big") % MINHASH_PRIME
     return a, b
+
+
+def md5_hash32_expr(col):
+    """First 8 md5 hex digits of a string column as a bigint — the
+    repo's ONE 32-bit content-hash idiom, equal to
+    ``('0x' || substr(md5(x), 1, 8))::bigint`` in every DuckDB oracle.
+    Import this instead of re-spelling the conv/substring/md5 chain:
+    the seeded-draw twin (sampling.uniform_hash32) records how the
+    copy-pasted version of this idiom nearly drifted per call site."""
+    from pyspark.sql import functions as F
+
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")

@@ -111,4 +111,6 @@ def fingerprint_expr(text: Column) -> Column:
     normalized = F.regexp_replace(
         F.regexp_replace(F.lower(text), r"[^a-z0-9\s]", ""), r"\s+", " "
     )
-    return F.conv(F.substring(F.md5(F.trim(normalized)), 1, 8), 16, 10).cast("bigint")
+    from .hashing import md5_hash32_expr
+
+    return md5_hash32_expr(F.trim(normalized))

@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.hashing import md5_hash32_expr
+
 def _ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Repartition when the input has fewer partitions than cores.
 
@@ -154,7 +156,7 @@ def minhash_signatures(
         F.explode(word_shingles_expr(F.col(text_col), shingle_k)).alias("_s"),
     )
     hashed = sh.withColumn(
-        "_h", F.conv(F.substring(F.md5(F.col("_s")), 1, 8), 16, 10).cast("bigint")
+        "_h", md5_hash32_expr(F.col("_s"))
     )
     aggs = []
     for i in range(num_hashes):
@@ -588,7 +590,7 @@ def simhash_table(
     ).otherwise(F.array_distinct(extracted))
     exploded = _ensure_parallelism(df).select(*key_cols, F.explode(words).alias("_w"))
     hashed = exploded.withColumn(
-        "_h", F.conv(F.substring(F.md5(F.col("_w")), 1, 8), 16, 10).cast("bigint")
+        "_h", md5_hash32_expr(F.col("_w"))
     )
     votes = hashed.groupBy(*key_cols).agg(
         *[

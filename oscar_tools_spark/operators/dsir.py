@@ -44,6 +44,7 @@ import math
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.hashing import md5_hash32_expr
 from .vocab import word_grams_expr
 
 
@@ -52,7 +53,7 @@ def gram_bucket_expr(gram: Column, n_buckets: int) -> Column:
     cross-engine idiom (DuckDB: ('0x'||substr(md5(g),1,8))::bigint %
     B)."""
     return (
-        F.conv(F.substring(F.md5(gram), 1, 8), 16, 10).cast("bigint")
+        md5_hash32_expr(gram)
         % F.lit(int(n_buckets))
     )
 

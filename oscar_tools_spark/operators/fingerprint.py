@@ -46,7 +46,9 @@ WINNOW_POS_CAP = 1 << 21
 def gram_hash_expr(gram) -> F.Column:
     """32-bit md5 gram hash — the established cross-engine parity
     pattern (== ('0x'||substr(md5(g),1,8))::bigint in DuckDB)."""
-    return F.conv(F.substring(F.md5(gram), 1, 8), 16, 10).cast("bigint")
+    from ..functions.hashing import md5_hash32_expr
+
+    return md5_hash32_expr(gram)
 
 
 def winnow_fingerprints(

@@ -280,6 +280,11 @@ def decode_png_gray8(payload: bytes) -> np.ndarray:
         tag = b[i + 4 : i + 8]
         body = b[i + 8 : i + 8 + ln]
         if tag == b"IHDR":
+            if len(body) < 13:
+                # truncated mid-download: data, not a job failure —
+                # must raise ValueError (not IndexError) so callers'
+                # fallback path catches it
+                raise ValueError("truncated IHDR")
             w = int.from_bytes(body[0:4], "big")
             h = int.from_bytes(body[4:8], "big")
             depth, color, interlace = body[8], body[9], body[12]
@@ -287,6 +292,11 @@ def decode_png_gray8(payload: bytes) -> np.ndarray:
                 raise ValueError(
                     "only 8-bit non-interlaced grayscale supported"
                 )
+            if w < 1 or h < 1:
+                # zero-dim images are spec-invalid; rejecting here also
+                # keeps downstream pixel statistics total (no empty
+                # arrays reaching np.percentile)
+                raise ValueError("degenerate image dimensions")
         elif tag == b"IDAT":
             idat.extend(body)
         elif tag == b"IEND":

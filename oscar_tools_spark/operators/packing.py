@@ -220,7 +220,16 @@ def temperature_targets(
     integer arithmetic."""
     import math
 
-    rows = df.groupBy(group_col).count().collect()
+    # null groups are excluded from BOTH the targets and the share
+    # denominator: downstream upsample/rebalance drops null-group rows
+    # anyway (isin never matches NULL), and counting them here would
+    # silently deflate every share vs the DuckDB twin
+    rows = (
+        df.filter(F.col(group_col).isNotNull())
+        .groupBy(group_col)
+        .count()
+        .collect()
+    )
     if not rows:
         raise ValueError("no rows to derive temperature targets from")
     total = sum(int(r["count"]) for r in rows)

@@ -1516,9 +1516,13 @@ def q_upsample_temperature(
     frozen at 1e6 precision like DSIR's log-ratios; the quota replay
     downstream is exact hugeint."""
     w_cte = (
+        # null-lang rows excluded on BOTH sides (temperature_targets
+        # filters isNotNull; the downstream isin drop never matches
+        # NULL) so anchor/share arithmetic can't diverge on them
         "c as (select lang as g, cast(count(*) as hugeint) as n\n"
-        "           from documents group by lang),\n"
-        "tot as (select cast(count(*) as double) as n_tot from documents),\n"
+        "           from documents where lang is not null group by lang),\n"
+        "tot as (select cast(count(*) as double) as n_tot\n"
+        "        from documents where lang is not null),\n"
         f"w as (select g, n, greatest(cast(floor({micro} * pow(\n"
         f"           cast(n as double) / tot.n_tot, {alpha}) + 0.5) as hugeint),\n"
         f"           1::hugeint) as t from c, tot)"
@@ -2070,6 +2074,9 @@ g as (
          ('0x' || substr(md5({gram}), 1, 8))::bigint * {C} - (i - 1) as key
   from (select doc_id, unnest(range(1, len(__w) - {k} + 2)) as i, __w
         from __wtab)
+  where i - 1 < {C}  -- the Spark twin's WINNOW_POS_CAP tail drop: a
+                     -- pos >= CAP would bleed into the hash field of
+                     -- the packed key and decode to garbage
 ),
 wm as (
   select doc_id, pos,

@@ -72,7 +72,9 @@ def test_no_complex_output_columns(spark):
     sorts the RAW pandas frame before hashing, and pandas cannot
     factorize list/dict cells — so no queries() output column may be
     ArrayType / MapType / StructType (CORRECTNESS_r05 bpe_tokens ERROR).
-    Schema-only check: builds each lazy plan, never executes it."""
+    Only schemas are asserted, but BUILDING some queries is not free:
+    several run driver-side prep jobs (BPE training, k-means centroid
+    fits, temperature-target counts) before returning their frame."""
     from pyspark.sql.types import ArrayType, MapType, StructType
 
     bad = []

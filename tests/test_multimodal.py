@@ -215,3 +215,44 @@ def test_gray_png_features_through_spark_seam(spark):
             np.testing.assert_allclose(want, _fake_decode(payload, "image"), rtol=1e-6)
         else:  # real path: mean feature is the actual pixel mean
             assert 0.0 <= want[0] <= 1.0 and want[3] >= want[2]
+
+
+def test_png_gray8_corrupt_payloads_never_crash_the_seam():
+    """Review findings r6: a truncated IHDR (body shorter than 13
+    bytes) and a spec-invalid zero-dim image must raise ValueError from
+    the decoder — NOT IndexError — so gray_png_features' fallback path
+    catches them and corrupt media stays data, not a job failure."""
+    import zlib
+
+    import pytest
+
+    from oscar_tools_spark.operators.multimodal import (
+        _fake_decode,
+        _png_chunk,
+        decode_png_gray8,
+        gray_png_features,
+    )
+
+    truncated = (
+        b"\x89PNG\r\n\x1a\n"
+        + (13).to_bytes(4, "big")
+        + b"IHDR"
+        + b"\x00" * 9  # cut off mid-download
+    )
+    zero_h = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", (4).to_bytes(4, "big") + (0).to_bytes(4, "big")
+                     + bytes([8, 0, 0, 0, 0]))
+        + _png_chunk(b"IDAT", zlib.compress(b""))
+        + _png_chunk(b"IEND", b"")
+    )
+    for payload in (truncated, zero_h):
+        with pytest.raises(ValueError):
+            decode_png_gray8(payload)
+        # the seam falls back to the deterministic fake, never raises
+        import numpy as np
+
+        np.testing.assert_allclose(
+            gray_png_features(payload, "image"),
+            _fake_decode(payload, "image"),
+        )
