@@ -76,6 +76,16 @@ def _inc_minhash(noop):
     return run
 
 
+def _winnow_pairs(d):
+    from oscar_tools_spark.operators.fingerprint import (
+        winnow_fingerprints,
+        winnow_overlap,
+    )
+
+    fps = winnow_fingerprints(d, "doc_id")
+    return winnow_overlap(fps, "doc_id", min_shared=2, max_fp_df=1000)
+
+
 def timed(fn) -> float:
     fn()  # warm
     best = float("inf")
@@ -119,6 +129,13 @@ def main(sf_dir: str) -> None:
          emb, big_emb),
         ("dedup_incremental_minhash", n_docs, nb_docs, _inc_minhash(noop),
          docs, big_docs),
+        # winnowing + overlap pairing: fingerprints are ~2/(w+1) of the
+        # gram stream (linear by construction); the pair join is banded
+        # by fingerprint hash, so the near-dup expansion (each source
+        # gains K-1 true near-dups sharing most fingerprints) is the
+        # workload that would expose an all-pairs shape
+        ("winnow_overlap", n_docs, nb_docs,
+         lambda d: noop(_winnow_pairs(d)), docs, big_docs),
         # semdedup under its documented scaling rule: n_clusters grows
         # with the corpus so cells stay ~constant-size (the |cell|^2
         # within-cell join is the term that must not blow up)
