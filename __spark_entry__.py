@@ -1000,10 +1000,14 @@ def q_dedup_embedding(spark, sf_dir):
 
 def q_media_features(spark, sf_dir):
     """Multimodal header extraction — REAL pure-Python PNG/JPEG/GIF/
-    BMP/WAV parsing over Arrow-batched binary payloads (rows-only
-    check: synthetic media table, binary payloads are not DuckDB-view
-    material; format/dims/rate correctness is pinned by the golden
-    bytes fixtures in tests/test_multimodal.py)."""
+    BMP/WAV parsing over Arrow-batched binary payloads. Value-checked
+    since r6: the synthetic table is a pure function of (media_id,
+    seed), so the DuckDB oracle is a VALUES table computed by the SAME
+    generator + header parser in plain Python — the comparison proves
+    the DISTRIBUTED path (Arrow batching, re-chunking, nullable-int
+    plumbing) matches the local parse byte-for-byte. Nullable fields
+    are sentinel-coalesced (-1 / 'unknown') so the cross-engine hash
+    never sees NULL numerics (pandas nullable-dtype drift)."""
     from oscar_tools_spark.operators.multimodal import (
         extract_media_headers,
         synth_media,
@@ -1011,9 +1015,16 @@ def q_media_features(spark, sf_dir):
 
     _ensure_shipped(spark)
     media = synth_media(spark, 100)
-    return extract_media_headers(media).select(
-        "media_id", "kind", "format", "width", "height", "sample_rate",
-        "n_bytes", "digest",
+    h = extract_media_headers(media)
+    return h.select(
+        "media_id",
+        "kind",
+        F.coalesce("format", F.lit("unknown")).alias("format"),
+        F.coalesce("width", F.lit(-1)).alias("width"),
+        F.coalesce("height", F.lit(-1)).alias("height"),
+        F.coalesce("sample_rate", F.lit(-1)).alias("sample_rate"),
+        "n_bytes",
+        "digest",
     ).orderBy("media_id")
 
 
@@ -1879,11 +1890,14 @@ def oracle_sql() -> dict[str, str]:
         # recall 1.0 on them by construction).
         "dedup_embedding": O.q_dedup_embedding(),
         "semdedup": O.q_semdedup(),
-        # media_features / model_scores / topk_cosine_ann: rows-only
-        # (binary payloads, trained-model floats, and hyperplane sign
-        # bits are not SQL-oracle-able) — deliberately no oracle
-        # entries; each has pytest invariants and (for the scorers)
-        # pure-Python replay fuzz.
+        # media_features: value-checked — expected rows computed by the
+        # same pure-Python generator + header parser, emitted as a
+        # VALUES table (proves the distributed Arrow path == local).
+        "media_features": O.q_media_features(),
+        # model_scores / topk_cosine_ann: rows-only (trained-model
+        # floats and hyperplane sign bits are not SQL-oracle-able) —
+        # deliberately no oracle entries; each has pytest invariants
+        # and (for the scorers) pure-Python replay fuzz.
         "dedup_within_docs": O.q_dedup_within_docs(),
         "dedup_substring_modes": O.q_dedup_substring_modes(),
         "sample_budget_modes": O.q_sample_budget_modes(SAMPLE_BUDGET),

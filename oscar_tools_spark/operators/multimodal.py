@@ -460,11 +460,13 @@ def wav_bytes(sample_rate: int, n_channels: int = 1, body: bytes = b"") -> bytes
     )
 
 
-def synth_media(spark, n: int, seed: int = 42) -> DataFrame:
-    """Deterministic fake media table for plumbing tests: payload bytes
-    are a pure function of (media_id, seed) — with REAL PNG/WAV headers
+def synth_media_rows(n: int, seed: int = 42) -> list:
+    """Pure-Python row builder behind :func:`synth_media` — payload
+    bytes are a pure function of (media_id, seed), REAL PNG/WAV headers
     whose parsed fields match ``meta`` (video stays junk bytes: no mp4
-    parser, so it exercises the format=None path)."""
+    parser, so it exercises the format=None path). Factored out so the
+    DuckDB value oracle can compute the EXPECTED distributed-parse
+    output locally (same generator, same header parser) without Spark."""
     kinds = ["image", "audio", "video"]
 
     def junk_for(i: int) -> bytes:
@@ -487,4 +489,10 @@ def synth_media(spark, n: int, seed: int = 42) -> DataFrame:
         else:
             payload = junk_for(i)
         rows.append((i, kind, payload, meta))
-    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+    return rows
+
+
+def synth_media(spark, n: int, seed: int = 42) -> DataFrame:
+    """Deterministic fake media table for plumbing tests (see
+    :func:`synth_media_rows`)."""
+    return spark.createDataFrame(synth_media_rows(n, seed), MEDIA_SCHEMA)

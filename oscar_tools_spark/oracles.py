@@ -1903,6 +1903,47 @@ from h
 """
 
 
+def q_media_features(n: int = 100, seed: int = 42) -> str:
+    """Expected output of the distributed media-header extraction as a
+    VALUES literal table: the synthetic payloads are a pure function of
+    (media_id, seed), so this generator rebuilds them and runs the SAME
+    pure-Python header parser locally — the driver's comparison then
+    proves Spark's Arrow-batched path (batching, re-chunking, Int32
+    plumbing) reproduces the local parse exactly. Sentinels (-1 /
+    'unknown') mirror the query's coalesces so no NULL numerics reach
+    the pandas hash."""
+    import hashlib as _hashlib
+
+    from .operators.multimodal import parse_media_header, synth_media_rows
+
+    values = []
+    for media_id, kind, payload, _meta in synth_media_rows(n, seed):
+        p = parse_media_header(payload)
+        values.append(
+            "({}, '{}', '{}', {}, {}, {}, {}, '{}')".format(
+                media_id,
+                kind,
+                p["format"] if p["format"] is not None else "unknown",
+                p["width"] if p["width"] is not None else -1,
+                p["height"] if p["height"] is not None else -1,
+                p["sample_rate"] if p["sample_rate"] is not None else -1,
+                len(payload),
+                _hashlib.sha256(payload).hexdigest(),
+            )
+        )
+    rows = ",\n".join(values)
+    return f"""
+select cast(media_id as bigint) as media_id, kind, format,
+       cast(width as int) as width, cast(height as int) as height,
+       cast(sample_rate as int) as sample_rate,
+       cast(n_bytes as bigint) as n_bytes, digest
+from (values
+{rows}
+) as t(media_id, kind, format, width, height, sample_rate, n_bytes, digest)
+order by media_id
+"""
+
+
 def q_doc_assignments() -> str:
     """assign_split ⨝ quantile_buckets ⨝ leakage-safe split on doc_id
     — the per-doc assignment columns (split, quality tercile,

@@ -50,7 +50,6 @@ def test_every_query_has_callable_and_oracle_alignment():
         # iterative BPE merge loop has no SQL twin; byte-exact
         # decode(encode(t)) == t round-trip gated in test_bpe.py
         "bpe_tokens",
-        "media_features",
         # fused trained-model scorers (langid label, perplexity,
         # quality sigmoid); replay-fuzzed in test_random_equivalence
         "model_scores",
