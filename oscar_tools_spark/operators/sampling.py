@@ -57,24 +57,19 @@ def uniform_hash32(key_cols: list[str], seed: int):
     every DuckDB oracle replays it, so a drift in any copy would be a
     silent cross-engine divergence.
 
-    The 8 here is NOT ``_HEX_PREFIX`` (a range-partitioner tuning
-    knob): every keep-test threshold and oracle hard-codes the 2^32
-    domain, so the draw width is pinned independently."""
-    return F.conv(
-        F.substring(
-            F.md5(
-                F.concat_ws(
-                    ":",
-                    F.lit(str(seed)),
-                    *[F.col(c).cast("string") for c in key_cols],
-                )
-            ),
-            1,
-            8,  # 8 hex digits <=> the 2^32 domain of every threshold
-        ),
-        16,
-        10,
-    ).cast("bigint")
+    The draw width (8 hex digits <=> the 2^32 domain of every
+    threshold) lives in ``hashing.md5_hash32_expr`` — the one spelling
+    of the conv/substring/md5 chain; it is NOT ``_HEX_PREFIX`` (a
+    range-partitioner tuning knob)."""
+    from ..functions.hashing import md5_hash32_expr
+
+    return md5_hash32_expr(
+        F.concat_ws(
+            ":",
+            F.lit(str(seed)),
+            *[F.col(c).cast("string") for c in key_cols],
+        )
+    )
 
 
 def _range_pid(partitions: int):

@@ -1,6 +1,7 @@
-"""Dedup-family throughput vs input size: run the three heavy dedup
-operators on the sf0.1 tables and on a deterministic 10x expansion,
-and report per-row cost ratios. Candidate generation is banded
+"""Dedup-family throughput vs input size: run the heavy dedup/near-dup
+operators (seven cases: minhash, substring drop+excise, embedding LSH,
+incremental minhash, winnow overlap, semdedup) on the sf0.1 tables and
+on a deterministic 10x expansion, and report per-row cost ratios. Candidate generation is banded
 equi-joins everywhere, so cost should grow ~linearly in rows (ratio
 near 1.0 per-row; sum-of-squared-bucket-sizes only bites when rows are
 actually similar).
