@@ -957,6 +957,9 @@ def q_doc_embedding_join(spark, sf_dir):
     )
 
 
+_PLANT_OFFSET_OK: set[str] = set()
+
+
 def _planted_embeddings(spark, sf_dir):
     """Embeddings plus deterministic EXACT-clone near-dups — the ONE
     Spark twin of oracles.planted_embeddings_cte (constants shared so
@@ -968,6 +971,19 @@ def _planted_embeddings(spark, sf_dir):
     base = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id", "embedding"
     )
+    # At a larger sf, real vec_ids reaching PLANT_HI_OFFSET would make
+    # hi clones COLLIDE with real rows (clone pairs share a key, the
+    # dedup rule stops being exercised, and the oracle silently
+    # verifies less — it would still match, which is exactly why this
+    # must fail loudly instead). Memoized: one tiny agg per sf_dir.
+    if sf_dir not in _PLANT_OFFSET_OK:
+        top = base.agg(F.max("vec_id")).first()[0] or 0
+        assert top < O.PLANT_HI_OFFSET, (
+            f"embeddings max vec_id {top} >= PLANT_HI_OFFSET "
+            f"{O.PLANT_HI_OFFSET}: raise the shared constant in "
+            "oracles.py (moves both engines together)"
+        )
+        _PLANT_OFFSET_OK.add(sf_dir)
     hi = base.filter(F.col("vec_id") % O.PLANT_HI_MOD == 0).select(
         (F.col("vec_id") + O.PLANT_HI_OFFSET).alias("vec_id"), "embedding"
     )

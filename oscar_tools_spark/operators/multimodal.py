@@ -304,7 +304,13 @@ def decode_png_gray8(payload: bytes) -> np.ndarray:
         i += 12 + ln  # length + tag + body + crc
     if w is None or not idat:
         raise ValueError("missing IHDR/IDAT")
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as exc:
+        # corrupt/truncated IDAT: keep the documented ValueError-only
+        # contract so every caller's fallback path works, not just
+        # gray_png_features
+        raise ValueError(f"corrupt IDAT stream: {exc}") from exc
     if len(raw) != h * (w + 1):
         raise ValueError("scanline size mismatch")
     out = np.zeros((h, w), dtype=np.uint8)

@@ -489,10 +489,13 @@ def q_fingerprint() -> str:
     )
 
 
-WORDS_SQL = (
-    "string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g')),"
-    " '\\s+')"
-)
+# Extraction semantics, matching vocab.norm_text_expr on the Spark side:
+# maximal [a-z0-9] runs, NEVER an empty token. The former
+# trim+string_split_regex chain leaked a '' token for tab-led/trailing
+# text (DuckDB trim strips spaces only) — a cross-engine divergence the
+# simhash/winnow oracles had already individually fixed; this makes the
+# idiom uniform. Null text stays NULL (regexp_extract_all propagates).
+WORDS_SQL = "regexp_extract_all(lower(text), '[a-z0-9]+')"
 
 
 def shingles_sql(k: int = 3) -> str:
@@ -500,7 +503,11 @@ def shingles_sql(k: int = 3) -> str:
     return (
         f"case when len(__w) >= {k} then "
         f"list_distinct(list_transform(range(1, len(__w) - {k} + 2), i -> {gram})) "
-        f"when len(__w) > 0 then [array_to_string(__w, ' ')] end"
+        # short-text fallback INCLUDING the empty-string shingle for
+        # empty/symbol-only docs ([] under extraction semantics ->
+        # ['']), matching Spark's word_shingles_expr n>0 branch where
+        # n = size(split('', ' ')) = 1; null text stays NULL
+        f"when __w is not null then [array_to_string(__w, ' ')] end"
     )
 
 
@@ -1271,8 +1278,7 @@ def q_vocab_stats(k: int = 1, top_n: int = 100) -> str:
 with __wtab as (select doc_id, {WORDS_SQL} as __w from documents),
 g as (select doc_id, unnest({occurrences}) as gram from __wtab)
 select gram, count(*) as tf, count(distinct doc_id) as df_docs
-from g where gram <> ''  -- empty-norm docs: split('') = [''] in DuckDB,
-                         -- while the Spark regex can never emit ''
+from g where gram <> ''  -- defensive: extraction WORDS_SQL never emits ''
 group by gram
 order by tf desc, gram limit {top_n}
 """
@@ -1633,7 +1639,6 @@ g as (
   select doc_id, source,
          ('0x' || substr(md5(gram), 1, 8))::bigint % {n_buckets} as b
   from (select doc_id, source, unnest(__w) as gram from w)
-  where gram <> ''  -- DuckDB split('') = ['']; the Spark regex never emits ''
 ),
 cs as (select b, cast(count(*) as bigint) as n from g group by b),
 ct as (select b, cast(count(*) as bigint) as n from g
@@ -2108,8 +2113,7 @@ def q_winnow_fp(k: int = WINNOW_K, w: int = WINNOW_W) -> str:
 
     gram = " || ' ' || ".join(f"__w[i + {j}]" for j in range(k))
     return f"""
-with __wtab as (select doc_id, list_filter({WORDS_SQL}, x -> x <> '') as __w
-                from documents),
+with __wtab as (select doc_id, {WORDS_SQL} as __w from documents),
 g as (
   select doc_id, i - 1 as pos,
          ('0x' || substr(md5({gram}), 1, 8))::bigint * {C} - (i - 1) as key
