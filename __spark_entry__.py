@@ -701,17 +701,30 @@ def q_vocab_tfidf(spark, sf_dir):
 
 def q_bpe_tokens(spark, sf_dir):
     """Byte-level BPE tokenization (functions/bpe.py): train a
-    deterministic merge table on a capped md5-ranked sample of the
-    corpus, then encode every doc in one Arrow pass. Rows-only by
-    design — BPE's iterative merge loop has no SQL twin; the
-    end-to-end oracle is the byte-exact decode(encode(t)) == t
-    round-trip pytest gate (tests/test_bpe.py), which holds for
-    arbitrary unicode including text unseen at training time."""
-    from oscar_tools_spark.functions.bpe import tokenize, train_bpe
+    deterministic merge table on a capped md5-ranked sample, then
+    encode every doc in one Arrow pass. Value-checked since r7 via the
+    synth-corpus VALUES oracle (the media_features pattern): the input
+    is a pure function of (doc_id, seed) salted with multi-byte UTF-8 /
+    emoji / underscore / whitespace-run edge cases the parquet docs
+    never contain, and the DuckDB side is a VALUES table computed by
+    train_bpe_local + encode — proving the distributed md5-ranked
+    sampling, merge-table training, and Arrow-batched cached encode
+    all equal the local replay. Real-docs encode coverage stays with
+    the byte-exact decode(encode(t)) == t round-trip pytest gate
+    (tests/test_bpe.py), which holds for arbitrary unicode."""
+    from oscar_tools_spark.functions.bpe import (
+        synth_bpe_corpus,
+        tokenize,
+        train_bpe,
+    )
 
     _ensure_shipped(spark)
-    docs = _docs(spark, sf_dir)
-    model = train_bpe(docs, vocab_size=256 + 128, sample_cap=500)
+    docs = spark.createDataFrame(
+        synth_bpe_corpus(O.BPE_SYNTH_DOCS), "doc_id long, text string"
+    )
+    model = train_bpe(
+        docs, vocab_size=O.BPE_VOCAB_SIZE, sample_cap=O.BPE_SAMPLE_CAP
+    )
     return (
         tokenize(docs, model)
         .select(
@@ -843,10 +856,13 @@ def q_decontaminate_bloom(spark, sf_dir):
     """Bloom-filter decontamination (compact-broadcast scale path):
     same eval-suite split as q_decontaminate, but membership goes
     through a ~16-bits/item bloom filter instead of the raw shingle
-    set. Rows-only by design (approximate: drops a superset — the
-    exact drops plus ~0.2% hash-collision over-drops; the no-false-
-    negative and FPR-bound invariants are pytest-gated in
-    tests/test_dedup.py::test_decontaminate_bloom_superset_and_fpr)."""
+    set. Value-checked since r7: the filter is a pure function of the
+    bench shingle hashes (md5 base hash + splitmix64 probes, no RNG),
+    so the DuckDB twin replays the probe arithmetic bit-for-bit and
+    reproduces the survivor set INCLUDING the deterministic ~0.2%
+    hash-collision over-drops; the no-false-negative and FPR-bound
+    invariants remain pytest-gated in
+    tests/test_dedup.py::test_decontaminate_bloom_superset_and_fpr."""
     from oscar_tools_spark.operators.decontaminate import decontaminate_bloom
 
     docs = _docs(spark, sf_dir)
@@ -1892,8 +1908,10 @@ def oracle_sql() -> dict[str, str]:
         "dsir_weights": O.q_dsir_weights(),
         "pii_extended": O.q_pii_extended(),
         "langid_levels": O.q_langid_levels(),
-        # bpe_tokens: rows-only — the iterative BPE merge loop has no
-        # SQL twin; byte-exact round-trip is the pytest oracle
+        # bpe_tokens: value-checked since r7 — synth-corpus VALUES
+        # oracle computed by the same pure-Python train + encode
+        # (distributed sampling/training/Arrow-encode == local replay)
+        "bpe_tokens": O.q_bpe_tokens(),
         "vocab_tfidf": O.q_vocab_tfidf(),
         "dedup_components_best": O.q_dedup_components_best(),
         "dedup_components": O.q_dedup_components(),
@@ -1931,6 +1949,12 @@ def oracle_sql() -> dict[str, str]:
         "update_lang_codes": O.q_update_lang_codes(),
         "topk_cosine_ids": O.q_topk_cosine_ids(),
         "decontamination": O.q_decontamination(),
+        # decontaminate_bloom: value-checked since r7 — the filter is a
+        # pure function of the bench shingle hashes, so the oracle
+        # rebuilds the set-bit position set with a bit-exact splitmix64
+        # SQL replay and reproduces the survivors INCLUDING the
+        # deterministic false positives.
+        "decontaminate_bloom": O.q_decontaminate_bloom(),
         "curation_funnel": O.q_curation_funnel(),
         "sample_strategies": O.q_sample_strategies(SAMPLE_BUDGET),
         "rebalance_mixture": O.q_rebalance_mixture(),

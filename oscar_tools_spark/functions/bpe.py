@@ -107,6 +107,31 @@ def train_bpe(
         .limit(sample_cap)
     )
     texts = [r.t for r in ranked.collect()]
+    return _train_from_texts(texts, vocab_size)
+
+
+def train_bpe_local(
+    texts: list,
+    vocab_size: int = 512,
+    sample_cap: int = 5_000,
+    seed: int = 42,
+) -> dict:
+    """Pure-Python twin of :func:`train_bpe` — identical sample
+    ranking (md5 of ``seed:text``, (rank, text) order, cap) and the
+    same merge loop, no Spark. Used by the DuckDB VALUES oracle to
+    prove the distributed train+encode equals a local replay; also the
+    natural entry point for training from an in-memory corpus."""
+    import hashlib
+
+    ranked = sorted(
+        (hashlib.md5(f"{seed}:{t}".encode()).hexdigest(), t)
+        for t in texts
+        if t is not None
+    )
+    return _train_from_texts([t for _, t in ranked[:sample_cap]], vocab_size)
+
+
+def _train_from_texts(texts: list, vocab_size: int) -> dict:
     freqs = _word_freqs(texts)
     # word -> current token sequence (starts as raw bytes)
     words: list[tuple[tuple[bytes, ...], int]] = sorted(
@@ -143,6 +168,62 @@ def train_bpe(
             new_words.append((seq, n))
         words = new_words
     return {"merges": merges, "version": MODEL_VERSION, "vocab_size": vocab_size}
+
+
+# Word bank for the synthetic tokenizer-stress corpus: Zipfian-ish
+# English plus the classes that break naive byte handling — multi-byte
+# UTF-8 (accents, CJK, emoji), digits, underscores (the pre-tokenizer's
+# documented edge), and intra-word punctuation.
+_SYNTH_WORDS = (
+    ["the", "of", "and", "to", "data", "model", "token", "train"] * 4
+    + ["pipeline", "spark", "merge", "byte", "corpus", "sample", "vocab"]
+    + ["café", "naïve", "Zürich", "résumé", "über", "mañana"]
+    + ["東京", "データ", "学習", "模型", "токен", "мир"]
+    + ["🙂", "🚀", "✨", "e=mc2", "a_b_c", "__init__", "3.14", "42"]
+    + ["don't", "it's", "co-op", "semi_final", "x", "yz"]
+)
+
+
+def synth_bpe_corpus(n: int = 400, seed: int = 42) -> list:
+    """Deterministic ``[(doc_id, text), ...]`` tokenizer-stress corpus
+    — a pure function of ``(n, seed)`` (md5-driven choices, no RNG
+    state), so the DuckDB VALUES oracle can rebuild it byte-for-byte
+    in plain Python, the same contract as multimodal.synth_media_rows.
+    Docs mix Zipfian word draws with whitespace runs (tab/newline/
+    double space), and a few degenerate rows (empty, whitespace-only,
+    punctuation-only, None) exercise the encode fallbacks."""
+    import hashlib
+
+    def pick(i: int, j: int) -> str:
+        h = int(hashlib.md5(f"{seed}:{i}:{j}".encode()).hexdigest()[:8], 16)
+        return _SYNTH_WORDS[h % len(_SYNTH_WORDS)]
+
+    seps = [" ", " ", " ", "  ", "\t", "\n", " , ", ". "]
+    rows: list = []
+    for i in range(n):
+        if i % 97 == 0:
+            rows.append((i, None))
+            continue
+        if i % 89 == 0:
+            rows.append((i, ""))
+            continue
+        if i % 83 == 0:
+            rows.append((i, " \t\n "))
+            continue
+        if i % 79 == 0:
+            rows.append((i, "!!! ??? ..."))
+            continue
+        ln = 3 + int(hashlib.md5(f"{seed}:len:{i}".encode()).hexdigest()[:4], 16) % 38
+        parts = []
+        for j in range(ln):
+            parts.append(pick(i, j))
+            if j + 1 < ln:
+                h = int(
+                    hashlib.md5(f"{seed}:sep:{i}:{j}".encode()).hexdigest()[:4], 16
+                )
+                parts.append(seps[h % len(seps)])
+        rows.append((i, "".join(parts)))
+    return rows
 
 
 def vocab_of(model: dict) -> dict[int, bytes]:

@@ -982,6 +982,95 @@ order by doc_id
 """
 
 
+def _splitmix64_pos_sql(h: str, add_const: str, n_bits: str) -> str:
+    """Lateral-alias SQL chain replaying decontaminate._probe_positions
+    EXACTLY (splitmix64 finalizer over uint64 with wraparound): hugeint
+    carries the values, multiplication goes through a 32-bit-split
+    ``a*b mod 2^64`` (a plain hugeint product of two 64-bit values can
+    reach 2^128 and overflow int128), xor/>> operate on the
+    non-negative hugeint directly. Returns SELECT-list fragments that
+    must be spliced after ``{h}`` and ``{add_const}`` aliases."""
+    M = "18446744073709551616::hugeint"
+
+    def mul64(x: str, c: int) -> str:
+        lo, hi = c % (1 << 32), c >> 32
+        return (
+            f"(({x} * {lo}::hugeint"
+            f" + (({x} * {hi}::hugeint) % 4294967296) * 4294967296) % {M})"
+        )
+
+    c2 = 0xBF58476D1CE4E5B9
+    c3 = 0x94D049BB133111EB
+    return (
+        f"(({h}::hugeint + {add_const}) % {M}) as __x0,\n"
+        "         xor(__x0, __x0 >> 30) as __x1,\n"
+        f"         {mul64('__x1', c2)} as __x2,\n"
+        "         xor(__x2, __x2 >> 27) as __x3,\n"
+        f"         {mul64('__x3', c3)} as __x4,\n"
+        "         xor(__x4, __x4 >> 31) as __x5,\n"
+        f"         cast(__x5 % {n_bits} as bigint) as pos"
+    )
+
+
+def q_decontaminate_bloom(
+    shingle_k: int = 8,
+    modulus: int = 50,
+    bits_per_item: int = 16,
+    n_hashes: int = 4,
+) -> str:
+    """EXACT twin of decontaminate.decontaminate_bloom survivors —
+    including its deterministic false positives. The bloom filter is a
+    pure function of the benchmark shingle hashes (md5-based 60-bit
+    base hash, splitmix64 probe streams, no RNG), so SQL can rebuild
+    the SET-BIT POSITION SET (union of every bench hash's probe
+    positions — cross-probe collisions count, exactly like real bits)
+    and test each corpus shingle by requiring ALL of its probe rows to
+    land on set positions. Probe-position arithmetic is replayed
+    bit-for-bit (see _splitmix64_pos_sql); n_bits replays
+    ``max(64, bits_per_item * max(n_distinct_bench_hashes, 1))``."""
+    c1 = 0x9E3779B97F4A7C15
+    adds = ", ".join(
+        f"({i}, {(c1 * (i + 1)) % (1 << 64)}::hugeint)" for i in range(n_hashes)
+    )
+    probe = _splitmix64_pos_sql("h", "add_c", "n_bits")
+    return f"""
+with probes(i, add_c) as (values {adds}),
+bench_w as (select doc_id, {WORDS_SQL} as __w
+            from documents where doc_id % {modulus} = 0),
+bench_h as (select distinct ('0x' || substr(md5(s), 1, 15))::bigint as h
+            from (select unnest({shingles_sql(shingle_k)}) as s from bench_w)),
+geom as (select greatest(64, {bits_per_item} * greatest(count(*), 1)) as n_bits
+         from bench_h),
+bench_pos as (
+  select distinct pos from (
+    select {probe}
+    from bench_h, geom, probes)
+),
+corp_w as (select doc_id, {WORDS_SQL} as __w
+           from documents where doc_id % {modulus} <> 0),
+corp_h as (select distinct doc_id,
+                  ('0x' || substr(md5(s), 1, 15))::bigint as h
+           from (select doc_id, unnest({shingles_sql(shingle_k)}) as s
+                 from corp_w)),
+corp_probe as (
+  select doc_id, h, i, pos from (
+    select doc_id, h, i, {probe}
+    from corp_h, geom, probes)
+),
+-- a shingle hits iff EVERY one of its probe rows lands on a set bit
+-- (each probe row matches <= 1 distinct bench position, so the match
+-- count equals the number of probes that hit)
+hit as (
+  select doc_id, h from corp_probe join bench_pos using (pos)
+  group by doc_id, h having count(*) = {n_hashes}
+),
+dirty as (select distinct doc_id from hit)
+select doc_id from documents
+where doc_id % {modulus} <> 0 and doc_id not in (select doc_id from dirty)
+order by doc_id
+"""
+
+
 def q_curation_funnel(exclude=("adult", "noisy")) -> str:
     """Per-lang retention twin of stats.curation_funnel over the
     standard exclude filter."""
@@ -1905,6 +1994,52 @@ select doc_id,
        when hv * 100 < 4294967296 * 99 then 'val'
        else 'test' end as split_safe
 from h
+"""
+
+
+# BPE VALUES-oracle geometry — shared with __spark_entry__.q_bpe_tokens
+# so the two engines move together. sample_cap < n so the md5-ranked
+# capping path is genuinely exercised.
+BPE_SYNTH_DOCS = 400
+BPE_VOCAB_SIZE = 256 + 128
+BPE_SAMPLE_CAP = 300
+
+
+def q_bpe_tokens(
+    n: int = BPE_SYNTH_DOCS,
+    seed: int = 42,
+    vocab_size: int = BPE_VOCAB_SIZE,
+    sample_cap: int = BPE_SAMPLE_CAP,
+) -> str:
+    """Expected BPE tokenization as a VALUES literal table: the
+    synthetic corpus is a pure function of (doc_id, seed), so this
+    generator rebuilds it, trains the SAME tokenizer with
+    train_bpe_local (identical md5 sample ranking + merge loop, no
+    Spark), encodes locally, and emits (doc_id, n_bpe_tokens,
+    token_prefix). The driver's comparison then proves the distributed
+    path — Spark-side sample ranking, Arrow-batched encode with the
+    per-batch word cache, fillna('') null handling — reproduces the
+    local replay exactly, token by token."""
+    from .functions.bpe import encode, synth_bpe_corpus, train_bpe_local
+
+    rows = synth_bpe_corpus(n, seed)
+    model = train_bpe_local(
+        [t for _, t in rows], vocab_size, sample_cap, seed
+    )
+    values = []
+    for doc_id, t in rows:
+        ids = encode(t if t is not None else "", model)
+        prefix = ",".join(str(x) for x in ids[:8])
+        values.append(f"({doc_id}, {len(ids)}, '{prefix}')")
+    body = ",\n".join(values)
+    return f"""
+select cast(doc_id as bigint) as doc_id,
+       cast(n_bpe_tokens as bigint) as n_bpe_tokens,
+       token_prefix
+from (values
+{body}
+) as t(doc_id, n_bpe_tokens, token_prefix)
+order by doc_id
 """
 
 

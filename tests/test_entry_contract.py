@@ -47,18 +47,12 @@ def test_every_query_has_callable_and_oracle_alignment():
     assert len(q) >= 25
     rows_only = set(q) - set(o)
     assert rows_only == {
-        # iterative BPE merge loop has no SQL twin; byte-exact
-        # decode(encode(t)) == t round-trip gated in test_bpe.py
-        "bpe_tokens",
         # fused trained-model scorers (langid label, perplexity,
         # quality sigmoid); replay-fuzzed in test_random_equivalence
         "model_scores",
         # hyperplane sign bits / centroids not SQL-portable; recall
         # pytest-gated (test_ann_invariants.py)
         "topk_cosine_ann",
-        # approximate by design; superset-drop + FPR bound are
-        # pytest-gated (test_dedup.py bloom invariants)
-        "decontaminate_bloom",
     }
     # the driver gate covers the first 50 entries: the whole registry
     # must fit so EVERY operator family gets a driver CORRECTNESS row
