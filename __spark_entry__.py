@@ -1743,12 +1743,18 @@ def q_tool_profile(spark, sf_dir):
 
 def q_shingle_dedup(spark, sf_dir):
     """MinHash-LSH survivors + thresholded n-gram Jaccard pairs +
-    winnowing fingerprints (Schleimer et al. 2003, the MOSS scheme),
-    section-tagged in one row — all three ride the shared word/gram
-    machinery; -1/0.0 sentinels keep numerics non-nullable. The winnow
-    section is value-checked against the packed-key DuckDB twin
-    (exact bigint arithmetic, same rightmost-min rule)."""
-    from oscar_tools_spark.operators.fingerprint import winnow_fingerprints
+    winnowing fingerprints (Schleimer et al. 2003, the MOSS scheme) +
+    winnow overlap pairs, section-tagged in one row — all four ride
+    the shared word/gram machinery; -1/0.0 sentinels keep numerics
+    non-nullable. The winnow sections are value-checked against the
+    packed-key DuckDB twin (exact bigint arithmetic, same
+    rightmost-min rule); the overlap section runs with a BINDING
+    max_fp_df hot-key cap so the cap semantics are value-checked
+    too, not just the banded join."""
+    from oscar_tools_spark.operators.fingerprint import (
+        winnow_fingerprints,
+        winnow_overlap,
+    )
 
     a = dedup_minhash_lsh(_docs(spark, sf_dir), "doc_id").select(
         F.lit("minhash_survivor").alias("section"),
@@ -1762,15 +1768,36 @@ def q_shingle_dedup(spark, sf_dir):
         F.col("key_b").alias("id_b"),
         F.col("jaccard").alias("val"),
     )
-    c = winnow_fingerprints(
-        _docs(spark, sf_dir), "doc_id", k=O.WINNOW_K, window=O.WINNOW_W
-    ).select(
+    from oscar_tools_spark.plans.materialize import materialize
+
+    # feeds both the fp section and the overlap join — materialize so
+    # the posexplode + doc window runs once, not per consumer
+    fps = materialize(
+        winnow_fingerprints(
+            _docs(spark, sf_dir), "doc_id", k=O.WINNOW_K, window=O.WINNOW_W
+        )
+    )
+    c = fps.select(
         F.lit("winnow_fp").alias("section"),
         F.col("doc_id").alias("id_a"),
         F.col("fp_pos").alias("id_b"),
         F.col("fp_hash").cast("double").alias("val"),
     )
-    return a.unionAll(b).unionAll(c).orderBy("section", "id_a", "id_b")
+    d = winnow_overlap(
+        fps,
+        "doc_id",
+        min_shared=O.WINNOW_OVERLAP_MIN_SHARED,
+        max_fp_df=O.WINNOW_OVERLAP_MAX_DF,
+    ).select(
+        F.lit("winnow_overlap_pair").alias("section"),
+        F.col("key_a").alias("id_a"),
+        F.col("key_b").alias("id_b"),
+        F.col("shared_fps").cast("double").alias("val"),
+    )
+    return (
+        a.unionAll(b).unionAll(c).unionAll(d)
+        .orderBy("section", "id_a", "id_b")
+    )
 
 
 def q_normalize_text(spark, sf_dir):

@@ -139,8 +139,19 @@ def winnow_overlap(
     docs before pairing — the same hot-key cap as jaccard's
     max_shingle_df: a boilerplate fingerprint shared by 10^6 docs
     would otherwise contribute 10^12 pairs.
+
+    The distinct fingerprint frame feeds THREE shuffling consumers
+    (the df-cap groupBy and both self-join sides); column pruning
+    breaks exchange-reuse canonicalization across them (the r3
+    jaccard/substring lesson), so it is materialized once via
+    ``plans.materialize`` instead of re-running the upstream
+    posexplode + window per consumer.
     """
-    f = fps.select(F.col(key_col).alias("_k"), "fp_hash").distinct()
+    from ..plans.materialize import materialize
+
+    f = materialize(
+        fps.select(F.col(key_col).alias("_k"), "fp_hash").distinct()
+    )
     if max_fp_df is not None:
         ok = (
             f.groupBy("fp_hash")

@@ -2272,12 +2272,44 @@ from wm where pos <= greatest(n - {w}, 0)
 """
 
 
+# winnow_overlap driver-row geometry — shared with __spark_entry__.
+# max_df = 2 is deliberately BINDING at both test sfs (natural
+# fingerprint df reaches 3-4) so the hot-key cap itself is
+# value-checked, not just the join.
+WINNOW_OVERLAP_MIN_SHARED = 2
+WINNOW_OVERLAP_MAX_DF = 2
+
+
+def q_winnow_overlap(
+    min_shared: int = WINNOW_OVERLAP_MIN_SHARED,
+    max_df: int = WINNOW_OVERLAP_MAX_DF,
+) -> str:
+    """Overlap-pair twin of fingerprint.winnow_overlap: distinct
+    (doc, fp_hash) rows, fingerprints above the df cap dropped, docs
+    paired by shared fingerprint hash (banded equi-join — only docs
+    sharing a fingerprint ever meet), >= min_shared distinct shared
+    hashes."""
+    return f"""
+with f as (select distinct doc_id, fp_hash from ({q_winnow_fp()})),
+ok as (select fp_hash from f group by fp_hash having count(*) <= {max_df}),
+ff as (select f.doc_id, f.fp_hash from f join ok using (fp_hash)),
+pairs as (
+  select a.doc_id as key_a, b.doc_id as key_b,
+         cast(count(*) as bigint) as shared_fps
+  from ff a join ff b using (fp_hash) where a.doc_id > b.doc_id
+  group by 1, 2 having count(*) >= {min_shared}
+)
+select key_a, key_b, shared_fps from pairs
+"""
+
+
 def q_shingle_dedup() -> str:
     """MinHash-LSH survivors UNION ALL thresholded Jaccard pairs UNION
-    ALL winnowing fingerprints, section-tagged (the former
-    minhash_dedup + jaccard_pairs rows plus the round-6 winnow family —
-    all three ride the shared word/gram machinery; -1/0.0 sentinels
-    keep the numeric columns non-nullable for the cross-engine hash)."""
+    ALL winnowing fingerprints UNION ALL winnow overlap pairs,
+    section-tagged (the former minhash_dedup + jaccard_pairs rows plus
+    the round-6 winnow generator and the round-7 overlap join — all
+    four ride the shared word/gram machinery; -1/0.0 sentinels keep
+    the numeric columns non-nullable for the cross-engine hash)."""
     return f"""
 select 'minhash_survivor' as section, doc_id as id_a,
        cast(-1 as bigint) as id_b, cast(0.0 as double) as val
@@ -2290,5 +2322,9 @@ union all
 select 'winnow_fp' as section, doc_id as id_a, fp_pos as id_b,
        cast(fp_hash as double) as val
 from {_sub(q_winnow_fp())}
+union all
+select 'winnow_overlap_pair' as section, key_a as id_a, key_b as id_b,
+       cast(shared_fps as double) as val
+from {_sub(q_winnow_overlap())}
 order by section, id_a, id_b
 """
