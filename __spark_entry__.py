@@ -885,9 +885,9 @@ def q_topk_cosine_ivf(spark, sf_dir):
     _ensure_shipped(spark)
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q = list(emb.filter(F.col("vec_id") == 0).first().embedding)
-    # small-sf geometry: 500 vectors -> 16 cells; n_assign=2 mirrors
-    # the shipped multi-assignment default (see the measured table in
-    # topk_cosine_ivf's docstring)
+    # small-sf geometry: 500 vectors -> 16 cells with multi-assignment
+    # (scaled-down analog of the shipped c=256/p=24/a=4 defaults — see
+    # the measured table in topk_cosine_ivf's docstring)
     return topk_cosine_ivf(
         emb, q, k=10, n_centroids=16, n_probe=4, n_assign=2
     ).select("vec_id")

@@ -207,8 +207,19 @@ def ann_recall(spark, sf_dir, n_queries=20, k=10):
         f"cos=0.9 in top-{k} | {n_queries} | found {found} | "
         f"{found / n_queries:.3f} |"
     )
-    # IVF twin on the same queries (raw + planted-neighbor regimes)
+    # IVF twin on the same queries (raw + planted-neighbor regimes);
+    # the label reports the ACTUAL shipped defaults so a default bump
+    # cannot leave a stale setting string in the report
+    import inspect
+
     from oscar_tools_spark.operators.similarity import topk_cosine_ivf
+
+    sig = inspect.signature(topk_cosine_ivf)
+    ivf_label = (
+        f"c={sig.parameters['n_centroids'].default} "
+        f"probe={sig.parameters['n_probe'].default} "
+        f"assign={sig.parameters['n_assign'].default}"
+    )
 
     emb2 = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
     ivf_recalls, ivf_fracs, ivf_found = [], [], 0
@@ -230,12 +241,12 @@ def ann_recall(spark, sf_dir, n_queries=20, k=10):
         ivf_found += planted[qid] in top
     emb2.unpersist()
     rows.append(
-        f"| ANN topk IVF defaults c=128 probe=16 assign=2 | recall@{k}, {n_queries} queries | "
+        f"| ANN topk IVF defaults {ivf_label} | recall@{k}, {n_queries} queries | "
         f"{k * n_queries} | scan {sum(ivf_fracs) / len(ivf_fracs):.1%} of rows | "
         f"{sum(ivf_recalls) / len(ivf_recalls):.3f} |"
     )
     rows.append(
-        f"| ANN topk IVF defaults c=128 probe=16 assign=2 (planted neighbor) | cos=0.9 in top-{k} | "
+        f"| ANN topk IVF defaults {ivf_label} (planted neighbor) | cos=0.9 in top-{k} | "
         f"{n_queries} | found {ivf_found} | {ivf_found / n_queries:.3f} |"
     )
     return rows
