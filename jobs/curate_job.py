@@ -456,11 +456,27 @@ def main() -> None:
 
     if args.render_chat:
         from pyspark.sql import functions as F
+        from pyspark.errors import AnalysisException
 
         from oscar_tools_spark.operators.sampling import global_shuffle
         from oscar_tools_spark.operators.transcripts import render_chat
 
-        chat_src = io.read(args.output)
+        try:
+            chat_src = io.read(args.output)
+        except AnalysisException:
+            # a resumable run whose every bucket committed ZERO rows
+            # (e.g. an incremental rerun fully drained by
+            # --seen-digests) leaves no parquet footers to infer a
+            # schema from — nothing to render is a NORMAL outcome of
+            # incremental curation, not a failure. AnalysisException
+            # only: anything else (permissions, corrupt files) must
+            # still fail the job.
+            print(json.dumps({
+                "render_chat": args.render_chat,
+                "conversations": 0,
+                "shuffled": args.shuffle_seed is not None,
+            }))
+            return
         if "window_idx" in chat_src.columns:
             # windowed output repeats (conv, turn) across overlapping
             # windows — each (conv, window) pair is its own training

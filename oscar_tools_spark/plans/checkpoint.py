@@ -119,6 +119,24 @@ def _clear_partition_dirs(spark: SparkSession, out_path: str, buckets) -> None:
             fs.delete(p, True)
 
 
+def _observation_row(obs: Observation) -> dict | None:
+    """``obs.get``, tolerating the fully-drained pass: when the
+    observed subtree is provably EMPTY (e.g. an incremental rerun whose
+    --seen-digests anti-join drains every row), Catalyst's
+    empty-relation propagation prunes the CollectMetrics node out of
+    the executed plan, the metrics row never materializes, and
+    ``Observation.get`` dies on a JVM assert (toPyRow of a missing
+    row). Pruning requires a provably-empty subtree, so ``None`` here
+    MEANS zero rows — callers substitute zeros, which is the faithful
+    count, not a guess."""
+    from py4j.protocol import Py4JJavaError
+
+    try:
+        return dict(obs.get)
+    except Py4JJavaError:
+        return None
+
+
 def run_resumable(
     df: DataFrame,
     transform: Callable[[DataFrame], DataFrame],
@@ -216,8 +234,17 @@ def run_resumable(
             .parquet(out_path)
         )
         secs = round(time.time() - t0, 3)
-        rows_in = int(obs_in.get["rows_in"])
-        pass_metrics = dict(obs_out.get) if obs_out is not None else None
+        obs_row = _observation_row(obs_in)
+        rows_in = int(obs_row["rows_in"]) if obs_row is not None else 0
+        if obs_out is not None:
+            out_row = _observation_row(obs_out)
+            pass_metrics = (
+                dict(out_row)
+                if out_row is not None
+                else {name: 0 for name in observe_metrics}
+            )
+        else:
+            pass_metrics = None
         counts = _bucket_counts(df.sparkSession, out_path, group)
         for b in group:
             rec = {
@@ -268,17 +295,23 @@ def _run_per_bucket(
         target = os.path.join(out_path, f"{BUCKET_COL}={b}")
         out.write.mode("overwrite").parquet(target)
         n_rows = out.sparkSession.read.parquet(target).count()
+        obs_row = _observation_row(obs_in)
         rec = {
             "bucket": b,
             "rows": n_rows,
-            "rows_in_pass": int(obs_in.get["rows_in"]),
+            "rows_in_pass": int(obs_row["rows_in"]) if obs_row else 0,
             "seconds": round(time.time() - t0, 3),
             "pass_buckets": 1,
             "model_versions": model_versions,
             "path": target,
         }
         if obs_out is not None:
-            rec["metrics"] = dict(obs_out.get)
+            out_row = _observation_row(obs_out)
+            rec["metrics"] = (
+                dict(out_row)
+                if out_row is not None
+                else {name: 0 for name in observe_metrics}
+            )
         _append_manifest(manifest_path, rec)
         done[b] = rec
     return done

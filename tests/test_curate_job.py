@@ -34,6 +34,34 @@ def transcripts_path(spark, tmp_path):
     return p
 
 
+@pytest.fixture()
+def long_transcripts_path(spark, tmp_path):
+    """Transcripts padded to survive the WEB-SCALE quality gates:
+    Gopher's 50-word minimum and C4's terminal-punctuation rule are
+    tuned for documents, so raw synth chat turns (median 42 words, no
+    terminal period) are wiped out by their composition — any test
+    that stacks --gopher/--c4-clean on transcripts and wants a
+    NON-VACUOUS row count must use this input (the original all-flags
+    test silently asserted on zero rows for two rounds)."""
+    from pyspark.sql import functions as F
+
+    pad = (
+        " ".join(
+            ["the quick brown fox jumps over the lazy dog and keeps running"]
+            * 6
+        )
+        + "."
+    )
+    p = str(tmp_path / "in_long")
+    (
+        synth_transcripts(spark, 40)
+        .withColumn("text", F.concat_ws(" ", "text", F.lit(pad)))
+        .write.mode("overwrite")
+        .parquet(p)
+    )
+    return p
+
+
 def test_job_no_resume_writes_curated_output(spark, transcripts_path, tmp_path, capsys):
     out_path = str(tmp_path / "out")
     rec = _run_job(
@@ -129,12 +157,15 @@ def test_job_resume_skips_completed_buckets(spark, transcripts_path, tmp_path, c
     assert spark.read.parquet(out_path).count() == n_rows
 
 
-def test_job_all_flags_compose(spark, transcripts_path, tmp_path, capsys):
-    """Everything at once: structural filter + incremental digests +
-    C4 + Gopher + resumable buckets + checkpoint dir. The flags are
-    independent stages; this pins that their composition still plans
-    and runs end-to-end, emits digest state, and a second identical
-    batch dedupes to zero."""
+def test_job_all_flags_compose(spark, long_transcripts_path, tmp_path, capsys):
+    """Structural filter + incremental digests + C4 + Gopher +
+    resumable buckets + checkpoint dir. The flags are independent
+    stages; this pins that their composition still plans and runs
+    end-to-end, emits digest state, and a second identical batch
+    dedupes to zero. Input is the gate-surviving long fixture and the
+    row count is asserted POSITIVE — on raw synth turns C4+Gopher keep
+    zero rows and this test spent two rounds passing vacuously."""
+    transcripts_path = long_transcripts_path
     out1, out2 = str(tmp_path / "o1"), str(tmp_path / "o2")
     digs = str(tmp_path / "digs")
     ckpt = str(tmp_path / "ckpt")
@@ -144,6 +175,7 @@ def test_job_all_flags_compose(spark, transcripts_path, tmp_path, capsys):
     first = _run_job(capsys, ["--input", transcripts_path, "--output", out1,
                               "--emit-digests", digs, *base])
     assert first["buckets"] == 2
+    assert first["rows"] > 0
     out = spark.read.parquet(out1)
     assert {"conv_id", "turn_idx", "text", "rule_hits", "source_part"} <= set(
         out.columns
@@ -500,10 +532,156 @@ def test_job_assign_split_flag(spark, transcripts_path, tmp_path, capsys):
 def test_job_assign_split_rejects_bad_spec(transcripts_path, tmp_path, capsys):
     import pytest
 
-    for bad in ("train:98", "train:0,val:1", "train:x,val:1"):
+    for bad in (
+        "train:98",
+        "train:0,val:1",
+        "train:x,val:1",
+        # duplicate names would silently double a share
+        "train:1,train:1",
+        # weight totals past 2^20 would overflow hash32 * total in int64
+        "train:1048576,val:1",
+    ):
         with pytest.raises(SystemExit):
             _run_job(
                 capsys,
                 ["--input", transcripts_path, "--output", str(tmp_path / "o"),
                  "--no-model", "--no-resume", "--assign-split", bad],
             )
+
+
+def _run_job_all(capsys, argv: list[str]) -> list[dict]:
+    """Like _run_job but returns EVERY summary JSON line (a render-chat
+    run prints two: the curate summary, then the render summary)."""
+    sys.path.insert(0, "/root/repo/jobs")
+    import curate_job
+
+    old = sys.argv
+    sys.argv = ["curate_job.py", *argv]
+    try:
+        curate_job.main()
+    finally:
+        sys.argv = old
+    return [
+        json.loads(l)
+        for l in capsys.readouterr().out.splitlines()
+        if l.startswith("{")
+    ]
+
+
+def test_job_full_stack_composition(spark, long_transcripts_path, tmp_path, capsys):
+    """THE all-flags run: every stage flag the job exposes, at once —
+    validate + normalize + structural filter + merge-roles + C4 +
+    Gopher + PII scrub + trained quality model + BPE counts + truncate
+    + windows + corpus-fit perplexity + conv-keyed splits + resumable
+    checkpointed buckets + digest state + rendered/shuffled SFT output.
+    Pairwise compositions are covered elsewhere; this pins the STAGE
+    ORDERING contracts (the r5 fit-vs-normalize bug class) via lineage,
+    manifest, and row-accounting invariants, and that a second
+    identical batch against the emitted digests drains to zero through
+    the full stack."""
+    transcripts_path = long_transcripts_path
+    from pyspark.sql import functions as F
+
+    from oscar_tools_spark.functions.bpe import save_bpe, train_bpe
+    from oscar_tools_spark.functions.quality_classifier import (
+        save_model,
+        train_quality_classifier,
+    )
+    from oscar_tools_spark.plans.checkpoint import load_manifest
+
+    src = spark.read.parquet(transcripts_path)
+    qm = train_quality_classifier(
+        src.limit(30), src.limit(60).subtract(src.limit(30)),
+        dim=2**10, sample_cap=30, epochs=10,
+    )
+    qpath = str(tmp_path / "qmodel.npz")
+    save_model(qm, qpath)
+    bpath = str(tmp_path / "bpe.json")
+    save_bpe(train_bpe(src, vocab_size=256 + 32, sample_cap=100), bpath)
+
+    out1, sft1 = str(tmp_path / "o1"), str(tmp_path / "sft1")
+    digs, ckpt = str(tmp_path / "digs"), str(tmp_path / "ckpt")
+    base = [
+        "--validate", "--normalize", "--structural-filter", "--min-turns", "2",
+        "--merge-roles", "--c4-clean", "--gopher", "--scrub-pii",
+        "--quality-model", qpath, "--quality-min", "0.0",
+        # geometry sized to the tiny 288-token test vocab (~500 BPE
+        # tokens per padded turn): the window must fit a whole turn or
+        # window_conversations drops every row
+        "--bpe-model", bpath, "--truncate-tokens", "8000",
+        "--window-tokens", "1024", "--window-stride", "512",
+        "--fit-perplexity",
+        "--assign-split", "train:8,val:1,test:1", "--split-seed", "7",
+        "--buckets", "2", "--checkpoint-dir", ckpt,
+    ]
+    recs = _run_job_all(
+        capsys,
+        ["--input", transcripts_path, "--output", out1,
+         "--emit-digests", digs, "--render-chat", sft1,
+         "--shuffle-seed", "11", *base],
+    )
+    curate_rec = next(r for r in recs if "buckets" in r)
+    render_rec = next(r for r in recs if "render_chat" in r)
+    assert curate_rec["buckets"] == 2 and curate_rec["rows"] > 0
+
+    out = spark.read.parquet(out1)
+    # lineage columns from every annotating stage survive to the write
+    assert {
+        "conv_id", "turn_idx", "text", "rule_hits", "source_part",
+        "split", "quality_prob", "n_bpe_tokens", "window_idx",
+    } <= set(out.columns)
+    assert "token_ids" not in out.columns  # pruned before the write
+    n_out = out.count()
+    assert n_out == curate_rec["rows"]  # summary == committed parquet
+
+    # row accounting: windowed rows are (turn, window) pairs — distinct
+    # turn identities never exceed the input, and window membership
+    # multiplies rather than drops
+    n_in = src.count()
+    n_turn_ids = out.select("conv_id", "turn_idx").distinct().count()
+    assert 0 < n_turn_ids <= n_in
+    assert n_out >= n_turn_ids
+
+    # stage contracts: quality filter ran after scoring; BPE counted
+    # the text that ships; splits are conv-keyed and exhaustive
+    assert out.filter(F.col("quality_prob") < 0.0).count() == 0
+    assert out.filter(
+        (F.length("text") > 0) & (F.col("n_bpe_tokens") <= 0)
+    ).count() == 0
+    per_conv = (
+        out.groupBy("conv_id").agg(F.countDistinct("split").alias("k")).collect()
+    )
+    assert per_conv and all(r.k == 1 for r in per_conv)
+    assert {r.split for r in out.select("split").distinct().collect()} <= {
+        "train", "val", "test",
+    }
+
+    # manifest: per-bucket rows sum to the summary, the corpus-fit LM
+    # version is stamped (fit-perplexity ran BEFORE scoring, after the
+    # pre-stages), and the windowed metric name is used
+    manifest = load_manifest(f"{out1}/_manifest.jsonl")
+    assert len(manifest) == 2
+    assert sum(rec["rows"] for rec in manifest.values()) == n_out
+    for rec in manifest.values():
+        assert "char-bigram-lm-corpusfit-v1" in rec["model_versions"]
+        assert "kept_rows" in rec["metrics"]
+
+    # rendered SFT output: one row per (conv, window) example, position
+    # is a 0..n-1 permutation (the global-shuffle layout contract)
+    sft = spark.read.parquet(sft1)
+    assert render_rec["conversations"] == sft.count() > 0
+    positions = sorted(r.position for r in sft.select("position").collect())
+    assert positions == list(range(len(positions)))
+
+    # the SAME batch against the emitted digests drains to zero through
+    # the full stack (and the empty pass still renders cleanly)
+    recs2 = _run_job_all(
+        capsys,
+        ["--input", transcripts_path, "--output", str(tmp_path / "o2"),
+         "--seen-digests", digs, "--render-chat", str(tmp_path / "sft2"),
+         "--shuffle-seed", "11", *base],
+    )
+    curate_rec2 = next(r for r in recs2 if "buckets" in r)
+    assert curate_rec2["rows"] == 0
+    render_rec2 = next(r for r in recs2 if "render_chat" in r)
+    assert render_rec2["conversations"] == 0
