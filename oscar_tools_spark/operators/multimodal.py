@@ -8,12 +8,14 @@ Two tiers of "decode":
   format + dimensions (PNG/JPEG/GIF/BMP) and sample rate/channels
   (WAV) straight from the payload bytes in pure Python; no image
   library needed. :func:`extract_media_headers` runs it distributed.
-* **Pixel decoding has ONE real path** — :func:`decode_png_gray8`
+* **Sample decoding has TWO real paths** — :func:`decode_png_gray8`
   fully decodes 8-bit non-interlaced grayscale PNGs in pure Python
   (zlib inflate + all five scanline unfilters), and
-  :func:`gray_png_features` runs it as a real ``decode_fn`` through
+  :func:`decode_wav_pcm16` fully decodes 16-bit PCM WAVs (RIFF chunk
+  walk, word-aligned, any channel count); :func:`gray_png_features`
+  and :func:`wav_pcm_features` run them as real ``decode_fn``s through
   :func:`extract_features`. Everything else (color PNG, JPEG pixels,
-  audio samples) still needs PIL/ffmpeg, absent in this container:
+  compressed audio) still needs PIL/ffmpeg, absent in this container:
   ``decode_fn=None`` uses a deterministic fake embedding (a pure
   function of the payload bytes) so the Spark-side plumbing — schema,
   batch iteration, partition sizing, UDF signatures — is real and
@@ -341,6 +343,88 @@ def decode_png_gray8(payload: bytes) -> np.ndarray:
                     raise ValueError(f"bad filter type {f}")
                 row[x] = (data[x] + pred) % 256
     return out
+
+
+def decode_wav_pcm16(payload: bytes) -> tuple[np.ndarray, int]:
+    """REAL pure-Python WAV sample decode for 16-bit integer PCM:
+    RIFF chunk walk (word-aligned — odd chunk bodies carry a pad
+    byte), fmt validation, little-endian int16 frames reshaped to
+    ``(n_frames, n_channels)``. Returns ``(samples, sample_rate)``.
+    Raises ValueError on anything that is not decodable 16-bit PCM —
+    the same contract as :func:`decode_png_gray8`, so callers decide
+    whether corrupt media is data (fall back) or a bug (propagate).
+    A trailing partial frame is truncated (whole frames only), which
+    keeps truncated-mid-download payloads decodable instead of
+    all-or-nothing."""
+    b = payload or b""
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    i, fmt, data = 12, None, None
+    while i + 8 <= len(b):
+        tag = b[i : i + 4]
+        ln = int.from_bytes(b[i + 4 : i + 8], "little")
+        body = b[i + 8 : i + 8 + ln]
+        if tag == b"fmt " and len(body) >= 16:
+            fmt = body
+        elif tag == b"data":
+            data = body
+        i += 8 + ln + (ln & 1)  # RIFF chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format = int.from_bytes(fmt[0:2], "little")
+    n_channels = int.from_bytes(fmt[2:4], "little")
+    sample_rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_format != 1 or bits != 16:
+        raise ValueError(f"only 16-bit PCM supported, got fmt={audio_format} bits={bits}")
+    if n_channels < 1 or sample_rate < 1:
+        raise ValueError("degenerate channel count / sample rate")
+    frame_bytes = 2 * n_channels
+    n_frames = len(data) // frame_bytes
+    if n_frames < 1:
+        raise ValueError("no whole PCM frames in data chunk")
+    samples = np.frombuffer(
+        data[: n_frames * frame_bytes], dtype="<i2"
+    ).reshape(n_frames, n_channels)
+    return samples, sample_rate
+
+
+def wav_pcm_features(payload: bytes, kind: str) -> np.ndarray:
+    """A REAL audio ``decode_fn`` for :func:`extract_features` — the
+    second real format through the seam (after gray8 PNG): decodes
+    16-bit PCM WAVs and emits FEATURE_DIM deterministic signal
+    statistics (duration, RMS, peak, mean-abs, zero-crossing rate,
+    quartiles of |x|, channel count, an 8-bin amplitude histogram);
+    payloads that are not decodable PCM WAVs fall back to the
+    byte-hash fake — corrupt media is data, not a job failure."""
+    try:
+        samples, rate = decode_wav_pcm16(payload)
+    except ValueError:
+        return _fake_decode(payload, kind)
+    x = samples.astype(np.float32) / 32768.0
+    mono = x.mean(axis=1)
+    absx = np.abs(mono)
+    q1, q2, q3 = np.percentile(absx, [25, 50, 75])
+    zc = (
+        float(np.mean(np.signbit(mono[1:]) != np.signbit(mono[:-1])))
+        if len(mono) > 1
+        else 0.0
+    )
+    hist = np.histogram(mono, bins=8, range=(-1.0, 1.0))[0] / max(mono.size, 1)
+    feats = [
+        min(len(mono) / rate, 1.0),  # duration (s), capped for scale
+        float(np.sqrt(np.mean(mono**2))),
+        float(absx.max()),
+        float(absx.mean()),
+        zc,
+        float(q1),
+        float(q2),
+        float(q3),
+        # channel count is a small int; /8 keeps every feature in [0,1]
+        min(samples.shape[1], 8) / 8.0,
+        *hist[: FEATURE_DIM - 9],
+    ]
+    return np.asarray(feats[:FEATURE_DIM], dtype=np.float32)
 
 
 def gray_png_features(payload: bytes, kind: str) -> np.ndarray:

@@ -256,3 +256,148 @@ def test_png_gray8_corrupt_payloads_never_crash_the_seam():
             gray_png_features(payload, "image"),
             _fake_decode(payload, "image"),
         )
+
+
+def test_wav_pcm16_decode_golden():
+    """Hand-built PCM frames round-trip through decode_wav_pcm16:
+    exact samples back, word-aligned chunk walk (odd-length chunk
+    before data), stereo reshape, trailing partial frame truncated."""
+    import numpy as np
+
+    from oscar_tools_spark.operators.multimodal import (
+        decode_wav_pcm16,
+        wav_bytes,
+    )
+
+    mono = np.array([0, 1000, -1000, 32767, -32768, 5], dtype=np.int16)
+    s, rate = decode_wav_pcm16(wav_bytes(8000, 1, mono.tobytes()))
+    assert rate == 8000 and s.shape == (6, 1)
+    assert (s[:, 0] == mono).all()
+
+    stereo = np.array([[100, -100], [2000, 3000], [-5, 7]], dtype=np.int16)
+    s2, rate2 = decode_wav_pcm16(wav_bytes(44100, 2, stereo.tobytes()))
+    assert rate2 == 44100 and s2.shape == (3, 2)
+    assert (s2 == stereo).all()
+
+    # trailing partial frame (one stray byte) is truncated, not fatal
+    s3, _ = decode_wav_pcm16(wav_bytes(8000, 1, mono.tobytes() + b"\x01"))
+    assert (s3[:, 0] == mono).all()
+
+    # an ODD-length unknown chunk before `data` must be walked with its
+    # pad byte or the data tag lands off-by-one
+    odd = b"LIST" + (3).to_bytes(4, "little") + b"abc" + b"\x00"
+    base = wav_bytes(8000, 1, mono.tobytes())
+    spliced = base[:12] + odd + base[12:]
+    riff = spliced[:4] + (len(spliced) - 8).to_bytes(4, "little") + spliced[8:]
+    s4, _ = decode_wav_pcm16(riff)
+    assert (s4[:, 0] == mono).all()
+
+
+def test_wav_pcm16_decode_rejects_non_pcm():
+    """The documented ValueError-only contract for every corrupt or
+    unsupported shape — nothing else may escape."""
+    import numpy as np
+    import pytest
+
+    from oscar_tools_spark.operators.multimodal import (
+        decode_wav_pcm16,
+        wav_bytes,
+    )
+
+    good_body = np.array([1, 2], dtype=np.int16).tobytes()
+    good = wav_bytes(8000, 1, good_body)
+    bad = [
+        b"",
+        None,
+        b"RIFFxxxx",               # truncated
+        b"not audio at all" * 3,
+        good[:4] + good[4:8] + b"AVI " + good[12:],   # wrong form type
+        wav_bytes(8000, 1, b""),   # no whole frame
+        # IEEE-float format tag
+        good.replace((1).to_bytes(2, "little") + (1).to_bytes(2, "little"),
+                     (3).to_bytes(2, "little") + (1).to_bytes(2, "little"), 1),
+    ]
+    for payload in bad:
+        with pytest.raises(ValueError):
+            decode_wav_pcm16(payload)
+
+
+def test_wav_pcm_features_through_spark_seam(spark):
+    """The SECOND real decode format drives extract_features
+    end-to-end: PCM WAV payloads produce signal-statistic features
+    matching the local computation; non-WAV payloads fall back to the
+    byte-hash fake. Mirrors the gray8 PNG seam test."""
+    import numpy as np
+
+    from oscar_tools_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        _fake_decode,
+        extract_features,
+        wav_bytes,
+        wav_pcm_features,
+    )
+
+    rng = np.random.default_rng(13)
+    rows = []
+    for i in range(12):
+        if i % 3 == 2:
+            payload = b"junk payload " + bytes([i])
+        else:
+            n = 64 + 17 * i
+            t = np.arange(n)
+            sig = (3000 * np.sin(2 * np.pi * t / (4 + i))).astype(np.int16)
+            ch = 1 + i % 2
+            body = np.repeat(sig[:, None], ch, axis=1).tobytes()
+            payload = wav_bytes(8000, ch, body)
+        rows.append((i, "audio", payload,
+                     {"width": None, "height": None, "sample_rate": 8000,
+                      "n_frames": None, "mime": "audio/wav"}))
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r.media_id: r.features
+           for r in extract_features(media, decode_fn=wav_pcm_features).collect()}
+    assert len(got) == 12
+    for i, (_, _, payload, _) in enumerate(rows):
+        want = wav_pcm_features(payload, "audio")
+        np.testing.assert_allclose(got[i], want, rtol=1e-6)
+        if i % 3 == 2:
+            np.testing.assert_allclose(want, _fake_decode(payload, "audio"), rtol=1e-6)
+        else:
+            # real path: peak >= rms, all features bounded in [0, 1]
+            assert want[2] >= want[1] >= 0.0
+            assert all(0.0 <= f <= 1.0 for f in want)
+
+
+def test_wav_pcm_features_on_synth_media_audio_rows(spark):
+    """The synth media table's audio rows are REAL decodable PCM WAVs
+    (the junk body doubles as deterministic samples), so the real
+    decode path exercises end-to-end over the standard fixture, while
+    image/video rows fall back to the fake."""
+    import numpy as np
+
+    from oscar_tools_spark.operators.multimodal import (
+        _fake_decode,
+        decode_wav_pcm16,
+        extract_features,
+        synth_media,
+        synth_media_rows,
+        wav_pcm_features,
+    )
+
+    media = synth_media(spark, 30)
+    got = {r.media_id: (r.kind, r.features)
+           for r in extract_features(media, decode_fn=wav_pcm_features).collect()}
+    n_real = 0
+    for media_id, kind, payload, _ in synth_media_rows(30):
+        k, feats = got[media_id]
+        assert k == kind
+        np.testing.assert_allclose(
+            feats, wav_pcm_features(payload, kind), rtol=1e-6
+        )
+        if kind == "audio":
+            decode_wav_pcm16(payload)  # must be genuinely decodable
+            n_real += 1
+        else:
+            np.testing.assert_allclose(
+                feats, _fake_decode(payload, kind), rtol=1e-6
+            )
+    assert n_real == 10
