@@ -445,22 +445,39 @@ def main() -> None:
 
     ref = probe_ref_sec(cpus)
     py_ref = py_probe_ref_sec(cpus)
+
+    def probes_loud(p: float, y: float) -> bool:
+        return p > ref * PROBE_LOUD_FACTOR or y > py_ref * PROBE_LOUD_FACTOR
+
+    # Pre-suite wait-for-quiet: the noisy-neighbor windows are
+    # minutes-scale, so a bounded wait (probe -> sleep -> re-probe, up
+    # to ~3 min) often starts the FIRST attempt inside a quiet window
+    # instead of burning a full suite run to discover the noise. The
+    # probes cost ~1s each; a wasted suite attempt costs ~50s at sf0.1.
+    quiet_wait = 0.0
+    while quiet_wait < 180.0:
+        if not probes_loud(noise_probe(spark, cpus), py_noise_probe(spark, cpus)):
+            break
+        time.sleep(30.0)
+        quiet_wait += 30.0
+
+    # Up to 4 attempts with growing backoff (r6 verdict: 2 attempts
+    # both landed loud and the official number understated the quiet
+    # floor by ~20%); per-query MIN across attempts is reported.
     attempts: list[dict[str, float]] = []
     probes: list[list[float]] = []
     py_probes: list[list[float]] = []
     loud = False
-    for _attempt in range(2):
+    for attempt in range(4):
         p0, y0 = noise_probe(spark, cpus), py_noise_probe(spark, cpus)
         attempts.append(run_suite())
         p1, y1 = noise_probe(spark, cpus), py_noise_probe(spark, cpus)
         probes.append([round(p0, 3), round(p1, 3)])
         py_probes.append([round(y0, 3), round(y1, 3)])
-        loud = (
-            max(p0, p1) > ref * PROBE_LOUD_FACTOR
-            or max(y0, y1) > py_ref * PROBE_LOUD_FACTOR
-        )
+        loud = probes_loud(max(p0, p1), max(y0, y1))
         if not loud:
             break
+        time.sleep(20.0 * (attempt + 1))
     timings = {
         k: min(t[k] for t in attempts if k in t) for k in attempts[0]
     }
@@ -482,6 +499,7 @@ def main() -> None:
             "py_loud_threshold_sec": round(py_ref * PROBE_LOUD_FACTOR, 3),
             "py_probe_sec": py_probes,
             "suite_attempts": len(attempts),
+            "quiet_wait_sec": quiet_wait,
             "loud_window": loud,
         },
     }
