@@ -1672,26 +1672,36 @@ def q_doc_assignments(spark, sf_dir):
 
 
 def q_dedup_exact_modes(spark, sf_dir):
-    """Exact dedup in both operating modes, union-tagged: full-corpus
-    first-occurrence survivors + incremental survivors against a
-    digest-table history (the former dedup_docs_exact +
-    dedup_incremental driver rows, merged)."""
+    """Exact dedup in all three operating modes, union-tagged:
+    full-corpus first-occurrence survivors + incremental survivors
+    against a digest-table history + incremental survivors against the
+    r7 bloom-compressed state (exact-bigint probe family, sparse word
+    table — the compact-state path for 10^10-doc histories). The bloom
+    section is value-checked INCLUDING its deterministic false drops,
+    so the incremental-vs-bloom row difference is a measured
+    false-drop audit."""
     from oscar_tools_spark.operators.dedup import (
         corpus_digests,
         dedup_docs_exact,
         dedup_incremental,
+        dedup_incremental_bloom,
+        digest_bloom_state,
     )
 
     docs = _docs(spark, sf_dir)
     full = dedup_docs_exact(docs, ["doc_id"]).select(
         "doc_id", F.lit("full").alias("mode")
     )
-    seen = corpus_digests(docs.filter(F.col("doc_id") % 5 == 0))
+    seen_docs = docs.filter(F.col("doc_id") % 5 == 0)
+    seen = corpus_digests(seen_docs)
     batch = docs.filter(F.col("doc_id") % 5 != 0)
     inc = dedup_incremental(batch, seen, ["doc_id"]).select(
         "doc_id", F.lit("incremental").alias("mode")
     )
-    return full.unionAll(inc).orderBy("mode", "doc_id")
+    blo = dedup_incremental_bloom(
+        batch, digest_bloom_state(seen_docs), ["doc_id"]
+    ).select("doc_id", F.lit("incremental_bloom").alias("mode"))
+    return full.unionAll(inc).unionAll(blo).orderBy("mode", "doc_id")
 
 
 def q_window_conversations(spark, sf_dir):

@@ -36,6 +36,26 @@ def mix_params(i: int) -> tuple[int, int]:
     return a, b
 
 
+# Bloom probe family (operators/dedup.py digest_bloom_state +
+# oracles.py twin): positions over a 61-bit Mersenne field from TWO
+# 32-bit md5 halves, pos_i = (a1_i*hi + ((a2_i*lo + b_i) mod P61)) mod
+# P61 — the nested mod keeps every intermediate < 2^63 (a*h < 2^62,
+# inner < 2^61), exact in Spark ANSI bigints, DuckDB, and Python alike.
+# Two independent halves make the effective item fingerprint 64-bit, so
+# cross-item probe collisions stay birthday-bounded at corpus scale
+# (a single 32-bit base would alias ~n^2/2^33 item PAIRS outright).
+BLOOM_PRIME = (1 << 61) - 1  # Mersenne
+
+
+def bloom_params(i: int) -> tuple[int, int, int]:
+    """Deterministic (a1_i, a2_i, b_i) for bloom probe stream i."""
+    d = hashlib.md5(f"bloom:{i}".encode()).digest()
+    a1 = (int.from_bytes(d[:4], "big") % (_A_BOUND - 1)) + 1
+    a2 = (int.from_bytes(d[4:8], "big") % (_A_BOUND - 1)) + 1
+    b = int.from_bytes(d[8:16], "big") % BLOOM_PRIME
+    return a1, a2, b
+
+
 def md5_hash32_expr(col):
     """First 8 md5 hex digits of a string column as a bigint — the
     repo's ONE 32-bit content-hash idiom, equal to

@@ -354,12 +354,211 @@ def dedup_incremental(
     )
     seen = seen_digests.select(F.col(digest_col).alias("_digest")).distinct()
     fresh = keyed.join(seen, "_digest", "left_anti")
+    return _keep_doc_digest_winners(fresh, key_cols)
+
+
+def _keep_doc_digest_winners(fresh: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Within-batch first-occurrence rule on a ``_digest``-keyed frame
+    (smallest key_cols struct per digest wins) — ONE definition shared
+    by the digest-table and bloom-state incremental paths so their
+    survivors always compose."""
     winner = (
         fresh.groupBy("_digest")
         .agg(F.min(F.struct(*key_cols)).alias("_w"))
         .select("_digest", *[F.col(f"_w.{c}").alias(c) for c in key_cols])
     )
     return fresh.join(winner, ["_digest", *key_cols], "left_semi").drop("_digest")
+
+
+# ------------------------------------------------ bloom-compressed state
+
+# bump when the position formula changes: persisted bloom state built
+# under another scheme would test the wrong bits and silently re-admit
+# (or worse, pseudo-randomly drop) everything
+BLOOM_STATE_VERSION = "digest-bloom-2univ-v1"
+# 63 usable bits per state word: 1::bigint << 63 overflows signed-64
+# (DuckDB raises; Spark ANSI raises), so 62 is the largest safe shift
+BLOOM_WORD_BITS = 63
+
+
+def _bloom_pos_expr(digest_col: Column, i: int, n_bits: int) -> Column:
+    """Probe stream i's bit position for an md5-hex digest column —
+    exact signed-64 arithmetic (see functions/hashing.bloom_params):
+    two 32-bit digest halves through a 61-bit Mersenne 2-universal mix,
+    nested pmod keeps every intermediate < 2^63, final pmod folds to
+    the bit space (bias ~n_bits/2^61, immaterial)."""
+    from ..functions.hashing import BLOOM_PRIME, bloom_params
+
+    a1, a2, b = bloom_params(i)
+    hi = F.conv(F.substring(digest_col, 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(digest_col, 9, 8), 16, 10).cast("long")
+    mixed = F.pmod(
+        F.lit(a1) * hi
+        + F.pmod(F.lit(a2) * lo + F.lit(b), F.lit(BLOOM_PRIME)),
+        F.lit(BLOOM_PRIME),
+    )
+    return F.pmod(mixed, F.lit(int(n_bits)))
+
+
+def digest_bloom_state(
+    df: DataFrame,
+    text_col: str = "text",
+    n_bits: int | None = None,
+    bits_per_item: int = 16,
+    n_hashes: int = 4,
+) -> DataFrame:
+    """Bloom-compressed seen-state for exact incremental dedup: a
+    SPARSE word table ``(word_idx, word)`` (63 bits per word) plus
+    geometry/version columns, built with plain DataFrame ops — the
+    probe positions are exact bigint expressions and the OR-reduce is
+    a map-side-combinable ``bit_or`` groupBy. Nothing is collected to
+    the driver and no giant bit array is broadcast: the state IS a
+    DataFrame, so it shards, persists as parquet, and joins like any
+    other table (contrast decontaminate.build_bloom, the
+    driver-built broadcast variant sized for benchmark suites).
+
+    Why at 100 TB: the digest table itself becomes the bottleneck of
+    :func:`dedup_incremental` — 10^10 seen docs × ~40 B of digest+key
+    is ~400 GB of state to store and anti-join per batch. At
+    ``bits_per_item=16`` the bloom words total ~m/4 bytes fully
+    saturated (~8x smaller), the membership join carries 8-byte word
+    keys, and the price is a deterministic ~0.24% false-drop rate
+    (k=4, m/n=16: (1-e^(-kn/m))^k) — the standard recall-safe trade
+    for dedup, where a false positive only over-deletes.
+
+    ``n_bits`` must be chosen for the EXPECTED TOTAL corpus and held
+    FIXED across batches (a bloom cannot be resized; geometry rides
+    the state and is validated on every use). Left ``None`` it is
+    derived from ``df.count()`` — fine for a one-shot state, wrong for
+    a growing corpus."""
+    if n_hashes < 1:
+        raise ValueError("n_hashes must be >= 1")
+    if n_bits is None:
+        n_bits = max(64, bits_per_item * max(df.count(), 1))
+    n_bits = int(n_bits)
+    if n_bits < 64:
+        raise ValueError(f"n_bits must be >= 64, got {n_bits}")
+    digs = df.select(
+        F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("_digest")
+    ).distinct()
+    pos = digs.select(
+        F.explode(
+            F.array(
+                *[
+                    _bloom_pos_expr(F.col("_digest"), i, n_bits)
+                    for i in range(n_hashes)
+                ]
+            )
+        ).alias("_pos")
+    )
+    return (
+        pos.select(
+            F.expr(f"_pos div {BLOOM_WORD_BITS}").alias("word_idx"),
+            F.expr(
+                f"shiftleft(1L, cast(pmod(_pos, {BLOOM_WORD_BITS}) as int))"
+            ).alias("_bit"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("_bit").alias("word"))
+        .withColumn("n_bits", F.lit(n_bits).cast("long"))
+        .withColumn("n_hashes", F.lit(n_hashes))
+        .withColumn("bloom_version", F.lit(BLOOM_STATE_VERSION))
+    )
+
+
+def merge_bloom_state(*states: DataFrame) -> DataFrame:
+    """OR-merge bloom states from successive batches (geometry must
+    match — validated cheaply on use by dedup_incremental_bloom, and
+    structurally here: mismatched geometry rows would survive the
+    groupBy as distinct keys and trip that validation)."""
+    if not states:
+        raise ValueError("need at least one state")
+    out = states[0]
+    for s in states[1:]:
+        out = out.unionByName(s)
+    return out.groupBy(
+        "word_idx", "n_bits", "n_hashes", "bloom_version"
+    ).agg(F.bit_or("word").alias("word")).select(
+        "word_idx", "word", "n_bits", "n_hashes", "bloom_version"
+    )
+
+
+def dedup_incremental_bloom(
+    new_df: DataFrame,
+    bloom_state: DataFrame,
+    key_cols: list[str],
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact incremental dedup of a NEW batch against a
+    :func:`digest_bloom_state` — the compact-state scale path of
+    :func:`dedup_incremental`. CONSERVATIVE: every historically-seen
+    text is dropped (blooms have no false negatives), plus a
+    deterministic ~0.24%-at-defaults false-drop fraction of genuinely
+    fresh rows; within-batch survivors follow the same
+    first-occurrence rule as the digest-table path (shared winner
+    helper), so the two paths compose.
+
+    Plan shape: batch digests (distinct) -> k probe rows each ->
+    equi-join on word_idx against the state words (AQE broadcasts the
+    state side when it fits) -> a digest is SEEN iff all k probes land
+    on set bits -> anti-join back, winner rule. No driver collect, no
+    broadcast bit array, no Python."""
+    sample = bloom_state.select(
+        "bloom_version", "n_bits", "n_hashes"
+    ).limit(100).collect()
+    if not sample:
+        # empty state: nothing was ever seen — degenerate to the
+        # within-batch rule (geometry is unknowable and irrelevant)
+        keyed = new_df.withColumn(
+            "_digest", F.md5(F.coalesce(F.col(text_col), F.lit("")))
+        )
+        return _keep_doc_digest_winners(keyed, key_cols)
+    stale = [r.bloom_version for r in sample if r.bloom_version != BLOOM_STATE_VERSION]
+    if stale:
+        raise ValueError(
+            f"bloom state was produced under scheme {stale[0]!r} "
+            f"(expected {BLOOM_STATE_VERSION!r}); rebuild it with "
+            "digest_bloom_state (a silent scheme mismatch would test "
+            "the wrong bits)"
+        )
+    geoms = {(int(r.n_bits), int(r.n_hashes)) for r in sample}
+    if len(geoms) != 1:
+        raise ValueError(
+            f"bloom state mixes geometries {sorted(geoms)} — states "
+            "with different n_bits/n_hashes cannot be merged or used"
+        )
+    (n_bits, n_hashes), = geoms
+    keyed = new_df.withColumn(
+        "_digest", F.md5(F.coalesce(F.col(text_col), F.lit("")))
+    )
+    digs = keyed.select("_digest").distinct()
+    probes = digs.select(
+        "_digest",
+        F.explode(
+            F.array(
+                *[
+                    _bloom_pos_expr(F.col("_digest"), i, n_bits)
+                    for i in range(n_hashes)
+                ]
+            )
+        ).alias("_pos"),
+    ).select(
+        "_digest",
+        F.expr(f"_pos div {BLOOM_WORD_BITS}").alias("word_idx"),
+        F.expr(
+            f"shiftleft(1L, cast(pmod(_pos, {BLOOM_WORD_BITS}) as int))"
+        ).alias("_bit"),
+    )
+    hits = (
+        probes.join(bloom_state.select("word_idx", "word"), "word_idx")
+        .filter(F.col("word").bitwiseAND(F.col("_bit")) != 0)
+        .groupBy("_digest")
+        .agg(F.count(F.lit(1)).alias("_k"))
+        .filter(F.col("_k") == n_hashes)
+        .select("_digest")
+    )
+    fresh = keyed.join(hits, "_digest", "left_anti")
+    return _keep_doc_digest_winners(fresh, key_cols)
 
 
 # bump when the digest FORMULA changes: persisted --seen-digests state

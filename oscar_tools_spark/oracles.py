@@ -2097,13 +2097,67 @@ order by s.doc_id
 """
 
 
+def q_dedup_incremental_bloom(
+    seen_mod: int = 5, bits_per_item: int = 16, n_hashes: int = 4
+) -> str:
+    """EXACT twin of dedup.dedup_incremental_bloom survivors —
+    including the deterministic bloom false drops. The probe positions
+    are the exact-bigint 2-universal family over two md5 halves
+    (functions/hashing.bloom_params — constants shared, nested mod
+    keeps every intermediate < 2^63 so DuckDB never overflows), the
+    state words OR-reduce 63-bit shifts (1 << 63 overflows signed-64
+    in both engines, hence 63 usable bits per word), and a batch
+    digest is SEEN iff all probe rows land on set bits (duplicate
+    probe positions keep their multiplicity, mirroring the Spark
+    count(*) == k test)."""
+    from .functions.hashing import BLOOM_PRIME, bloom_params
+
+    def pos(i: int) -> str:
+        a1, a2, b = bloom_params(i)
+        hi = "('0x' || substr(digest, 1, 8))::bigint"
+        lo = "('0x' || substr(digest, 9, 8))::bigint"
+        return (
+            f"((({a1} * {hi} + (({a2} * {lo} + {b}) % {BLOOM_PRIME}))"
+            f" % {BLOOM_PRIME}) % n_bits)"
+        )
+
+    plist = ", ".join(pos(i) for i in range(n_hashes))
+    return f"""
+with geom as (select greatest(64, {bits_per_item} * greatest(count(*), 1)) as n_bits
+              from documents where doc_id % {seen_mod} = 0),
+seen_d as (select distinct md5(coalesce(text, '')) as digest
+           from documents where doc_id % {seen_mod} = 0),
+seen_pos as (select unnest([{plist}]) as pos from seen_d, geom),
+words as (select pos // 63 as word_idx,
+                 bit_or(1::bigint << (pos % 63)::int) as word
+          from seen_pos group by 1),
+newb as (select doc_id, md5(coalesce(text, '')) as digest
+         from documents where doc_id % {seen_mod} <> 0),
+bdig as (select distinct digest from newb),
+bp as (select digest, pos // 63 as word_idx, 1::bigint << (pos % 63)::int as bit
+       from (select digest, unnest([{plist}]) as pos from bdig, geom)),
+hit as (select digest from bp join words using (word_idx)
+        where (word & bit) != 0
+        group by digest having count(*) = {n_hashes}),
+fresh as (select * from newb where digest not in (select digest from hit)),
+w as (select digest, min(doc_id) as doc_id from fresh group by digest)
+select doc_id from w order by doc_id
+"""
+
+
 def q_dedup_exact_modes() -> str:
-    """Full-corpus exact dedup UNION ALL incremental exact dedup,
-    tagged by mode — both survivors lists in one hash."""
+    """Full-corpus exact dedup UNION ALL incremental exact dedup (digest
+    table) UNION ALL incremental exact dedup (bloom-compressed state),
+    tagged by mode — all three survivor lists in one hash. The bloom
+    section's false drops are deterministic, so the mode comparison
+    doubles as a measured false-drop audit between the two state
+    representations."""
     return f"""
 select doc_id, 'full' as mode from {_sub(q_dedup_docs_exact())}
 union all
 select doc_id, 'incremental' as mode from {_sub(q_dedup_incremental())}
+union all
+select doc_id, 'incremental_bloom' as mode from {_sub(q_dedup_incremental_bloom())}
 order by mode, doc_id
 """
 

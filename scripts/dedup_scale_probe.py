@@ -31,13 +31,15 @@ K = 10
 
 def expand_docs(docs):
     """K near-dup replicas per doc: append a replica-specific word so
-    shingles mostly overlap the source (true near-dups)."""
+    shingles mostly overlap the source (true near-dups). ``lang`` rides
+    along for the mixture-upsampling case."""
     reps = F.explode(F.sequence(F.lit(0), F.lit(K - 1))).alias("_r")
-    return docs.select("doc_id", "text", reps).select(
+    return docs.select("doc_id", "text", "lang", reps).select(
         (F.col("doc_id") * K + F.col("_r")).alias("doc_id"),
         F.when(F.col("_r") == 0, F.col("text")).otherwise(
             F.concat(F.col("text"), F.lit(" replica"), F.col("_r").cast("string"))
         ).alias("text"),
+        "lang",
     )
 
 
@@ -85,6 +87,28 @@ def _winnow_pairs(d):
 
     fps = winnow_fingerprints(d, "doc_id")
     return winnow_overlap(fps, "doc_id", min_shared=2, max_fp_df=1000)
+
+
+def _winnow_fps(d):
+    from oscar_tools_spark.operators.fingerprint import winnow_fingerprints
+
+    return winnow_fingerprints(d, "doc_id")
+
+
+def _split_safe(d):
+    from oscar_tools_spark.operators.sampling import assign_split_safe
+
+    return assign_split_safe(d.select("doc_id"), "doc_id", _winnow_pairs(d))
+
+
+def _upsample_temp(d):
+    from oscar_tools_spark.operators.packing import (
+        temperature_targets,
+        upsample_to_mixture,
+    )
+
+    targets = temperature_targets(d, "lang", alpha=0.5)
+    return upsample_to_mixture(d, "lang", targets, ["doc_id"])
 
 
 def timed(fn) -> float:
@@ -137,6 +161,24 @@ def main(sf_dir: str) -> None:
         # workload that would expose an all-pairs shape
         ("winnow_overlap", n_docs, nb_docs,
          lambda d: noop(_winnow_pairs(d)), docs, big_docs),
+        # r7 additions (r6 verdict: the three round-6 ops had never been
+        # measured above sf0.1; the winnow gram explosion is the one
+        # new memory-shaped risk):
+        # fingerprint GENERATION alone — posexplode of every gram, one
+        # doc-keyed window; output is ~2/(w+1) of the gram stream
+        ("winnow_fp", n_docs, nb_docs,
+         lambda d: noop(_winnow_fps(d)), docs, big_docs),
+        # leakage-safe splits end-to-end: fp -> overlap pairs ->
+        # connected components -> component-keyed split draw. The
+        # near-dup expansion is the stress case: every source doc heads
+        # a K-clique, so the component table covers ~all rows
+        ("split_safe", n_docs, nb_docs,
+         lambda d: noop(_split_safe(d)), docs, big_docs),
+        # temperature-flattened upsampling: bounded group-count collect
+        # + one narrow explode(sequence) projection — per-row cost must
+        # stay flat in n (copies scale output volume, not plan depth)
+        ("upsample_temperature", n_docs, nb_docs,
+         lambda d: noop(_upsample_temp(d)), docs, big_docs),
         # semdedup under its documented scaling rule: n_clusters grows
         # with the corpus so cells stay ~constant-size (the |cell|^2
         # within-cell join is the term that must not blow up)

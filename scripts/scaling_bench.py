@@ -50,6 +50,10 @@ def run_bench(sf_dir: str, cpus: int, only: str | None = None, pin: bool = False
     env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir, SPARK_GRAFT_CPUS=str(cpus))
     if only:
         env["SPARK_GRAFT_BENCH_ONLY"] = only
+        # ladder levels already report min-of-reps; the official-bench
+        # retry budget (4 attempts) would turn a loud 1-core pinned run
+        # into a ~45-minute capture for no extra signal
+        env.setdefault("SPARK_GRAFT_BENCH_ATTEMPTS", "2")
     cmd = [sys.executable, str(REPO / "bench.py")]
     if pin:
         # Pin the WHOLE process tree (JVM task threads, GC, and the

@@ -722,3 +722,100 @@ def test_dedup_conversations_full_corpus(spark):
     empty_state = conversation_digests(df.limit(0))
     inc = dedup_conversations_incremental(df, empty_state)
     assert sorted({r.conv_id for r in inc.collect()}) == got
+
+
+def test_bloom_state_superset_and_fpr(spark):
+    """dedup_incremental_bloom drops EVERY row the digest-table path
+    drops (blooms have no false negatives), its survivors are a subset
+    of the exact survivors, and the false-drop fraction stays within
+    the analytic envelope at 16 bits/item."""
+    from oscar_tools_spark.operators.dedup import (
+        corpus_digests,
+        dedup_incremental,
+        dedup_incremental_bloom,
+        digest_bloom_state,
+    )
+
+    rows = [(i, f"text body {i % 300}") for i in range(900)]  # heavy dups
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    seen_docs = df.filter(F.col("doc_id") % 4 == 0)
+    batch = df.filter(F.col("doc_id") % 4 != 0)
+
+    exact = {
+        r.doc_id
+        for r in dedup_incremental(
+            batch, corpus_digests(seen_docs), ["doc_id"]
+        ).collect()
+    }
+    state = digest_bloom_state(seen_docs)
+    bloom = {
+        r.doc_id
+        for r in dedup_incremental_bloom(batch, state, ["doc_id"]).collect()
+    }
+    assert bloom <= exact  # conservative: never re-admits a seen text
+    # every digest the history saw is gone (no false negatives):
+    # exact-survivor texts absent from bloom survivors are the false
+    # drops, and they must be rare
+    assert len(exact) - len(bloom) <= max(3, len(exact) // 50)
+
+
+def test_bloom_state_merge_and_determinism(spark):
+    """OR-merging per-batch states equals the single-shot build over
+    the union (same n_bits), and builds are bit-identical across
+    runs."""
+    from oscar_tools_spark.operators.dedup import (
+        digest_bloom_state,
+        merge_bloom_state,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(200)], "doc_id long, text string"
+    )
+    a, b = df.filter("doc_id < 120"), df.filter("doc_id >= 120")
+    n_bits = 4096
+    whole = digest_bloom_state(df, n_bits=n_bits)
+    merged = merge_bloom_state(
+        digest_bloom_state(a, n_bits=n_bits),
+        digest_bloom_state(b, n_bits=n_bits),
+    )
+    as_set = lambda s: {  # noqa: E731
+        (r.word_idx, r.word) for r in s.select("word_idx", "word").collect()
+    }
+    assert as_set(whole) == as_set(merged)
+    assert as_set(whole) == as_set(digest_bloom_state(df, n_bits=n_bits))
+
+
+def test_bloom_state_validation_and_empty(spark):
+    """Version and geometry guards fail fast; an empty state degrades
+    to the pure within-batch first-occurrence rule."""
+    import pytest
+
+    from oscar_tools_spark.operators.dedup import (
+        dedup_incremental_bloom,
+        digest_bloom_state,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b")], "doc_id long, text string"
+    )
+    state = digest_bloom_state(df.filter("doc_id = 3"), n_bits=512)
+
+    stale = state.withColumn("bloom_version", F.lit("digest-bloom-v0"))
+    with pytest.raises(ValueError, match="scheme"):
+        dedup_incremental_bloom(df, stale, ["doc_id"])
+
+    mixed = state.unionByName(state.withColumn("n_bits", F.lit(1024).cast("long")))
+    with pytest.raises(ValueError, match="geometries"):
+        dedup_incremental_bloom(df, mixed, ["doc_id"])
+
+    empty = state.filter("word_idx < 0")
+    kept = {
+        r.doc_id for r in dedup_incremental_bloom(df, empty, ["doc_id"]).collect()
+    }
+    assert kept == {1, 3}  # within-batch rule only: smallest key per text
+
+    # with the real state, the seen text "b" is gone
+    kept2 = {
+        r.doc_id for r in dedup_incremental_bloom(df, state, ["doc_id"]).collect()
+    }
+    assert kept2 == {1}
