@@ -252,15 +252,18 @@ def q_url_blocklist(spark, sf_dir):
 
 def q_url_pipeline(spark, sf_dir):
     """URL curation pipeline in one driver row (merges canonical_url +
-    url_blocklist): canonicalized dedup key + UT1-style dot-suffix
-    blocklist verdict per doc. Both synthetic URL columns are built in
-    ONE projection of docs, so the only frame consumed twice is that
-    narrow (doc_id, source) projection inside annotate_url_blocklist —
-    no doc_id re-join of two independent docs scans (the pre-r5 shape
-    cost 3 scans + a shuffle join)."""
+    url_blocklist, plus the r7 RefinedWeb-style per-host document cap):
+    canonicalized dedup key + UT1-style dot-suffix blocklist verdict +
+    host_kept cap survival per doc. Both synthetic URL columns are
+    built in ONE projection of docs, so the only frame consumed twice
+    is that narrow (doc_id, source) projection inside
+    annotate_url_blocklist — no doc_id re-join of two independent docs
+    scans (the pre-r5 shape cost 3 scans + a shuffle join). The cap is
+    3 over ~4-doc hosts, so eviction is genuinely exercised."""
     from oscar_tools_spark.operators.urlblock import (
         annotate_url_blocklist,
         canonical_url_expr,
+        cap_per_host,
     )
 
     docs = _docs(spark, sf_dir)
@@ -292,9 +295,18 @@ def q_url_pipeline(spark, sf_dir):
         url_b.alias("url"),
     )
     bl = spark.createDataFrame([(d,) for d in O.URL_BLOCKLIST], "domain string")
+    kept = cap_per_host(u, cap=O.URL_HOST_CAP, key_cols=["doc_id"]).select(
+        "doc_id", F.lit(True).alias("host_kept")
+    )
     return (
         annotate_url_blocklist(u, bl, ["doc_id"])
-        .select("doc_id", "url_canonical", "url_blocked")
+        .join(kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            "url_canonical",
+            "url_blocked",
+            F.coalesce("host_kept", F.lit(False)).alias("host_kept"),
+        )
         .orderBy("doc_id")
     )
 

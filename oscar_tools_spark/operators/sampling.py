@@ -214,6 +214,48 @@ def sample_by_budget_with_replacement(
     return df.join(chosen, key_cols, "left_semi").orderBy(*key_cols)
 
 
+def cap_per_group(
+    df: DataFrame,
+    group_col,
+    cap: int,
+    key_cols: list[str],
+    seed: int = 42,
+) -> DataFrame:
+    """Keep at most ``cap`` rows per group, chosen by the repo's
+    deterministic seeded-md5 draw — the RefinedWeb-style per-domain
+    cap (one domain must not dominate the corpus), usable for any
+    group (host, source, dedup cluster...). ``group_col`` may be a
+    column name or an expression; NULL groups form their own capped
+    group.
+
+    Scale shape: the same salted two-phase exact cap as
+    similarity.diversity_sample — phase 1 ranks within (group, salt)
+    so a 10^7-page domain never lands on one task, phase 2 re-ranks
+    the ≤ n_salts*cap survivors per group. Exact: each group's true
+    top ``cap`` rows by draw order each sit inside their own salt's
+    top ``cap``, so phase 1 never evicts a winner. The draw/tiebreak
+    is a pure function of (seed, keys) — growth-stable, so adding new
+    rows to a group only ever displaces, never reshuffles, survivors.
+    """
+    if cap <= 0:
+        raise ValueError("cap must be positive")
+    n_salts = 16
+    g = F.col(group_col) if isinstance(group_col, str) else group_col
+    draw = uniform_hash32(key_cols, seed)
+    salt = F.pmod(
+        F.xxhash64(*[F.col(c) for c in key_cols], F.lit(seed)), F.lit(n_salts)
+    )
+    w1 = Window.partitionBy(g, salt).orderBy(draw, *key_cols)
+    w2 = Window.partitionBy(g).orderBy(draw, *key_cols)
+    return (
+        df.withColumn("_rn", F.row_number().over(w1))
+        .filter(F.col("_rn") <= F.lit(int(cap)))
+        .withColumn("_rn", F.row_number().over(w2))
+        .filter(F.col("_rn") <= F.lit(int(cap)))
+        .drop("_rn")
+    )
+
+
 def sample_by_budget_per_group(
     df: DataFrame,
     key_cols: list[str],

@@ -128,6 +128,26 @@ def filter_url_blocklist(
     return df.join(bad, key_cols, "left_anti")
 
 
+def cap_per_host(
+    df: DataFrame,
+    cap: int,
+    key_cols: list[str],
+    url_col: str = "url",
+    seed: int = 42,
+) -> DataFrame:
+    """Keep at most ``cap`` documents per URL HOST (RefinedWeb-style
+    domain cap): without it, a handful of mega-domains dominate a web
+    corpus and the dedup/quality stages inherit their skew. Thin
+    wrapper over sampling.cap_per_group with the shared host
+    extraction, so the cap, the blocklist, and canonicalization all
+    read the same hostname."""
+    from .sampling import cap_per_group
+
+    return cap_per_group(
+        df, host_of_url_expr(F.col(url_col)), cap, key_cols, seed
+    )
+
+
 def annotate_url_blocklist(
     df: DataFrame,
     blocklist: DataFrame,

@@ -761,12 +761,41 @@ order by section, key1, key2
 """
 
 
-def q_url_pipeline() -> str:
-    """Canonicalization + blocklist twins joined on doc_id (merged
-    driver entry)."""
+# per-host document cap for the url_pipeline driver row — 120 synthetic
+# hosts x ~4 docs each at both test sfs, so cap 3 genuinely evicts
+URL_HOST_CAP = 3
+
+
+def q_host_cap(cap: int = URL_HOST_CAP, seed: int = 42) -> str:
+    """Twin of urlblock.cap_per_host over the synthetic URLs: the
+    shared host extraction, the standard seeded-md5 draw
+    (sampling.uniform_hash32 spelling), (draw, doc_id) rank <= cap.
+    The salted two-phase Spark plan is provably equal to this one
+    global rank (phase 1 never evicts a winner)."""
     return f"""
-select c.doc_id, c.url_canonical, b.url_blocked
-from ({q_canonical_url()}) c join ({q_url_blocklist()}) b using (doc_id)
+with u as (select doc_id, {URL_SYNTH_SQL} as url from documents),
+h as (select doc_id,
+             lower(regexp_extract(lower(url), '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1)) as host
+      from u),
+r as (select doc_id,
+             row_number() over (
+               partition by host
+               order by ('0x' || substr(md5('{seed}:' || cast(doc_id as varchar)), 1, 8))::bigint,
+                        doc_id
+             ) as rn
+      from h)
+select doc_id, rn <= {cap} as host_kept from r
+"""
+
+
+def q_url_pipeline() -> str:
+    """Canonicalization + blocklist + per-host cap twins joined on
+    doc_id (merged driver entry)."""
+    return f"""
+select c.doc_id, c.url_canonical, b.url_blocked, k.host_kept
+from ({q_canonical_url()}) c
+join ({q_url_blocklist()}) b using (doc_id)
+join ({q_host_cap()}) k using (doc_id)
 order by c.doc_id
 """
 

@@ -526,3 +526,69 @@ def test_assign_split_safe_keeps_near_dup_clusters_together(spark):
     assert {k: v for k, v in safe.items() if k not in clustered} == {
         k: v for k, v in plain.items() if k not in clustered
     }
+
+
+def test_cap_per_group_exact_and_deterministic(spark):
+    """RefinedWeb-style per-group cap: at most `cap` survivors per
+    group, the salted two-phase plan equals the single global rank,
+    and the selection is growth-stable (adding rows to one group never
+    reshuffles another group's survivors)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from oscar_tools_spark.operators.sampling import cap_per_group, uniform_hash32
+
+    df = spark.createDataFrame(
+        [(i, f"g{i % 7}") for i in range(400)], "doc_id long, grp string"
+    )
+    cap = 5
+    kept = cap_per_group(df, "grp", cap, ["doc_id"])
+    sizes = {r.grp: r.n for r in kept.groupBy("grp").agg(F.count("*").alias("n")).collect()}
+    assert set(sizes.values()) == {cap}
+
+    # two-phase == single global rank
+    w = Window.partitionBy("grp").orderBy(uniform_hash32(["doc_id"], 42), "doc_id")
+    want = {
+        r.doc_id
+        for r in df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= cap)
+        .collect()
+    }
+    got = {r.doc_id for r in kept.collect()}
+    assert got == want
+
+    # growth-stable: new rows in g0 leave every other group untouched
+    grown = df.unionByName(
+        spark.createDataFrame([(1000 + i, "g0") for i in range(50)],
+                              "doc_id long, grp string")
+    )
+    got2 = {
+        (r.grp, r.doc_id)
+        for r in cap_per_group(grown, "grp", cap, ["doc_id"]).collect()
+    }
+    others = {(g, d) for g, d in got2 if g != "g0"}
+    base_others = {(r.grp, r.doc_id) for r in kept.collect() if r.grp != "g0"}
+    assert others == base_others
+
+    import pytest
+
+    with pytest.raises(ValueError, match="cap"):
+        cap_per_group(df, "grp", 0, ["doc_id"])
+
+
+def test_cap_per_host_groups_by_hostname(spark):
+    """cap_per_host reads the same hostname as the blocklist chain:
+    scheme/port/path variants of one host share a cap group."""
+    from oscar_tools_spark.operators.urlblock import cap_per_host
+
+    rows = [
+        (0, "https://a.example.com/x"),
+        (1, "http://a.example.com:8080/y"),
+        (2, "https://A.EXAMPLE.com/z?q=1"),
+        (3, "https://b.example.com/x"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    kept = cap_per_host(df, cap=1, key_cols=["doc_id"]).collect()
+    hosts = sorted(r.doc_id for r in kept)
+    # exactly one survivor for a.example.com (ids 0-2) and b's lone row
+    assert len(hosts) == 2 and 3 in hosts
