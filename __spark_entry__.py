@@ -254,12 +254,17 @@ def q_url_pipeline(spark, sf_dir):
     """URL curation pipeline in one driver row (merges canonical_url +
     url_blocklist, plus the r7 RefinedWeb-style per-host document cap):
     canonicalized dedup key + UT1-style dot-suffix blocklist verdict +
-    host_kept cap survival per doc. Both synthetic URL columns are
-    built in ONE projection of docs, so the only frame consumed twice
-    is that narrow (doc_id, source) projection inside
-    annotate_url_blocklist — no doc_id re-join of two independent docs
-    scans (the pre-r5 shape cost 3 scans + a shuffle join). The cap is
-    3 over ~4-doc hosts, so eviction is genuinely exercised."""
+    host_kept cap survival per doc. Plan shape: the narrow
+    (doc_id, url) projection ``u`` feeds TWO consumers —
+    annotate_url_blocklist and cap_per_host — and the cap's winner set
+    joins back on doc_id. That winners-join is deliberate: annotating
+    host_kept with a direct per-host rank would push every row of a
+    mega-host through ONE un-salted window task (the hot key
+    cap_per_group's salted two-phase exists to avoid), while the join
+    is a plain doc_id equi-join. The second consumer re-reads only the
+    2-column parquet projection; at this row's scale that beats
+    materializing ``u``. The cap is 3 over ~4-doc hosts, so eviction
+    is genuinely exercised."""
     from oscar_tools_spark.operators.urlblock import (
         annotate_url_blocklist,
         canonical_url_expr,
@@ -1006,11 +1011,15 @@ def _planted_embeddings(spark, sf_dir):
     # must fail loudly instead). Memoized: one tiny agg per sf_dir.
     if sf_dir not in _PLANT_OFFSET_OK:
         top = base.agg(F.max("vec_id")).first()[0] or 0
-        assert top < O.PLANT_HI_OFFSET, (
-            f"embeddings max vec_id {top} >= PLANT_HI_OFFSET "
-            f"{O.PLANT_HI_OFFSET}: raise the shared constant in "
-            "oracles.py (moves both engines together)"
-        )
+        if top >= O.PLANT_HI_OFFSET:
+            # a real exception, not assert — assert vanishes under
+            # python -O, which is exactly the silent degradation this
+            # guard exists to prevent
+            raise ValueError(
+                f"embeddings max vec_id {top} >= PLANT_HI_OFFSET "
+                f"{O.PLANT_HI_OFFSET}: raise the shared constant in "
+                "oracles.py (moves both engines together)"
+            )
         _PLANT_OFFSET_OK.add(sf_dir)
     hi = base.filter(F.col("vec_id") % O.PLANT_HI_MOD == 0).select(
         (F.col("vec_id") + O.PLANT_HI_OFFSET).alias("vec_id"), "embedding"

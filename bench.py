@@ -482,7 +482,9 @@ def main() -> None:
         loud = probes_loud(max(p0, p1), max(y0, y1))
         if not loud:
             break
-        time.sleep(20.0 * (attempt + 1))
+        if attempt + 1 < max_attempts:
+            # no backoff after the final attempt — it can't buy another
+            time.sleep(20.0 * (attempt + 1))
     timings = {
         k: min(t[k] for t in attempts if k in t) for k in attempts[0]
     }

@@ -166,20 +166,15 @@ def main() -> None:
             )
         except ValueError:
             ap.error("--assign-split wants 'name:weight,name:weight,...'")
-        if len(split_spec) < 2 or any(w <= 0 for _, w in split_spec):
-            ap.error("--assign-split needs >= 2 splits with positive "
-                     "integer weights")
-        names = [n for n, _ in split_spec]
-        if len(set(names)) != len(names):
-            # 'train:1,train:1' would silently double train's share
-            ap.error("--assign-split split names must be unique")
-        if sum(w for _, w in split_spec) > 1 << 20:
-            # assign_split compares hash32 * total against 2^32 * cum
-            # in int64; a huge weight total would overflow and silently
-            # wrap under non-ANSI Spark (wrong assignments). 2^20 keeps
-            # the products < 2^52 with margin — far beyond any real
-            # train/val/test ratio.
-            ap.error("--assign-split weight total must be <= 2^20")
+        from oscar_tools_spark.operators.sampling import validate_splits
+
+        try:
+            # the real guards live in the operator (duplicate names,
+            # positive weights, 2^20 overflow bound) — surface them as
+            # arg errors before a Spark session spins up
+            validate_splits(split_spec)
+        except ValueError as e:
+            ap.error(f"--assign-split: {e}")
     if args.window_tokens and not (
         0 < (args.window_stride or args.window_tokens // 2) <= args.window_tokens
     ):

@@ -503,17 +503,32 @@ def dedup_incremental_bloom(
     state side when it fits) -> a digest is SEEN iff all k probes land
     on set bits -> anti-join back, winner rule. No driver collect, no
     broadcast bit array, no Python."""
-    sample = bloom_state.select(
-        "bloom_version", "n_bits", "n_hashes"
-    ).limit(100).collect()
-    if not sample:
+    # Full-state validation aggregate, NOT a limit() sample: a sample
+    # can read only the first file of a parquet dir, so a state whose
+    # later partitions carry a different geometry/version — or
+    # duplicate word_idx rows from a plain union of two batch states
+    # without merge_bloom_state — would pass and then silently corrupt
+    # the k-probe count (a duplicated word row makes one set-bit probe
+    # count twice toward _k == n_hashes). The aggregate is map-side
+    # combinable, returns <= #distinct-geometries rows (1 for a valid
+    # state), and the state is compact (n_bits/64 rows) and scanned
+    # for the probe join anyway.
+    meta = (
+        bloom_state.groupBy("bloom_version", "n_bits", "n_hashes")
+        .agg(
+            F.count(F.lit(1)).alias("_rows"),
+            F.count_distinct("word_idx").alias("_words"),
+        )
+        .collect()
+    )
+    if not meta:
         # empty state: nothing was ever seen — degenerate to the
         # within-batch rule (geometry is unknowable and irrelevant)
         keyed = new_df.withColumn(
             "_digest", F.md5(F.coalesce(F.col(text_col), F.lit("")))
         )
         return _keep_doc_digest_winners(keyed, key_cols)
-    stale = [r.bloom_version for r in sample if r.bloom_version != BLOOM_STATE_VERSION]
+    stale = [r.bloom_version for r in meta if r.bloom_version != BLOOM_STATE_VERSION]
     if stale:
         raise ValueError(
             f"bloom state was produced under scheme {stale[0]!r} "
@@ -521,11 +536,19 @@ def dedup_incremental_bloom(
             "digest_bloom_state (a silent scheme mismatch would test "
             "the wrong bits)"
         )
-    geoms = {(int(r.n_bits), int(r.n_hashes)) for r in sample}
+    geoms = {(int(r.n_bits), int(r.n_hashes)) for r in meta}
     if len(geoms) != 1:
         raise ValueError(
             f"bloom state mixes geometries {sorted(geoms)} — states "
             "with different n_bits/n_hashes cannot be merged or used"
+        )
+    dup = [r for r in meta if int(r._rows) != int(r._words)]
+    if dup:
+        raise ValueError(
+            f"bloom state has {int(dup[0]._rows) - int(dup[0]._words)} "
+            "duplicate word_idx rows — batch states were unioned "
+            "without merge_bloom_state (duplicate words would make "
+            "one set-bit probe count twice toward the k-hit test)"
         )
     (n_bits, n_hashes), = geoms
     keyed = new_df.withColumn(

@@ -339,6 +339,27 @@ def sample_by_weight(
     return df.filter(h * F.lit(1_000_000) < wi * F.lit(4_294_967_296))
 
 
+def validate_splits(splits: tuple[tuple[str, int], ...]) -> None:
+    """Shared split-spec validation for :func:`assign_split` and the
+    curate-job CLI — the guards live at the operator altitude so
+    library callers get them too, not just ``--assign-split``."""
+    if len(splits) < 2:
+        raise ValueError("need at least two splits")
+    if any(w <= 0 for _, w in splits):
+        raise ValueError("split weights must be positive integers")
+    names = [n for n, _ in splits]
+    if len(set(names)) != len(names):
+        # ('train', 1), ('train', 1) would silently double train's share
+        raise ValueError("split names must be unique")
+    if sum(w for _, w in splits) > 1 << 20:
+        # assign_split compares hash32 * total against 2^32 * cum in
+        # int64; a huge weight total would overflow and silently wrap
+        # under non-ANSI Spark (wrong assignments). 2^20 keeps the
+        # products < 2^52 with margin — far beyond any real
+        # train/val/test ratio.
+        raise ValueError("split weight total must be <= 2^20")
+
+
 def assign_split(
     df: DataFrame,
     key_cols: list[str],
@@ -363,10 +384,7 @@ def assign_split(
     products on both sides, so the DuckDB oracle replays it
     bit-for-bit. One narrow codegen'd projection; no shuffle, no RNG.
     """
-    if len(splits) < 2:
-        raise ValueError("need at least two splits")
-    if any(w <= 0 for _, w in splits):
-        raise ValueError("split weights must be positive integers")
+    validate_splits(splits)
     total = sum(w for _, w in splits)
     lhs = uniform_hash32(key_cols, seed) * F.lit(total)
     expr = None

@@ -504,10 +504,12 @@ def shingles_sql(k: int = 3) -> str:
         f"case when len(__w) >= {k} then "
         f"list_distinct(list_transform(range(1, len(__w) - {k} + 2), i -> {gram})) "
         # short-text fallback INCLUDING the empty-string shingle for
-        # empty/symbol-only docs ([] under extraction semantics ->
-        # ['']), matching Spark's word_shingles_expr n>0 branch where
-        # n = size(split('', ' ')) = 1; null text stays NULL
-        f"when __w is not null then [array_to_string(__w, ' ')] end"
+        # empty/symbol-only docs: [] under extraction semantics must
+        # become [''] to match Spark's word_shingles_expr n>0 branch
+        # where n = size(split('', ' ')) = 1. DuckDB
+        # array_to_string([], ' ') returns NULL (not ''), hence the
+        # coalesce; null text stays NULL via the outer case.
+        f"when __w is not null then [coalesce(array_to_string(__w, ' '), '')] end"
     )
 
 

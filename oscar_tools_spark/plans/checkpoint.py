@@ -133,8 +133,22 @@ def _observation_row(obs: Observation) -> dict | None:
 
     try:
         return dict(obs.get)
-    except Py4JJavaError:
-        return None
+    except Py4JJavaError as e:
+        # Swallow ONLY the missing-metrics-row shapes (Scala
+        # Option.get / assert inside getRow/toPyRow) — any other JVM
+        # failure here (executor loss, OOM, ...) must fail the job
+        # rather than fabricate an all-zero manifest line.
+        jcls = ""
+        try:
+            jcls = e.java_exception.getClass().getName()
+        except Exception:
+            pass
+        if jcls in (
+            "java.util.NoSuchElementException",
+            "java.lang.AssertionError",
+        ):
+            return None
+        raise
 
 
 def run_resumable(

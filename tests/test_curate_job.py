@@ -14,6 +14,13 @@ from oscar_tools_spark.datagen import synth_transcripts
 
 
 def _run_job(capsys, argv: list[str]) -> dict:
+    return _run_job_all(capsys, argv)[-1]
+
+
+def _run_job_all(capsys, argv: list[str]) -> list[dict]:
+    """Run the curate job CLI in-process and return EVERY summary JSON
+    line it prints (a render-chat run prints two: the curate summary,
+    then the render summary)."""
     sys.path.insert(0, "/root/repo/jobs")
     import curate_job
 
@@ -23,8 +30,11 @@ def _run_job(capsys, argv: list[str]) -> dict:
         curate_job.main()
     finally:
         sys.argv = old
-    out = [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")]
-    return json.loads(out[-1])
+    return [
+        json.loads(l)
+        for l in capsys.readouterr().out.splitlines()
+        if l.startswith("{")
+    ]
 
 
 @pytest.fixture()
@@ -547,25 +557,6 @@ def test_job_assign_split_rejects_bad_spec(transcripts_path, tmp_path, capsys):
                 ["--input", transcripts_path, "--output", str(tmp_path / "o"),
                  "--no-model", "--no-resume", "--assign-split", bad],
             )
-
-
-def _run_job_all(capsys, argv: list[str]) -> list[dict]:
-    """Like _run_job but returns EVERY summary JSON line (a render-chat
-    run prints two: the curate summary, then the render summary)."""
-    sys.path.insert(0, "/root/repo/jobs")
-    import curate_job
-
-    old = sys.argv
-    sys.argv = ["curate_job.py", *argv]
-    try:
-        curate_job.main()
-    finally:
-        sys.argv = old
-    return [
-        json.loads(l)
-        for l in capsys.readouterr().out.splitlines()
-        if l.startswith("{")
-    ]
 
 
 def test_job_full_stack_composition(spark, long_transcripts_path, tmp_path, capsys):

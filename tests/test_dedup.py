@@ -808,6 +808,15 @@ def test_bloom_state_validation_and_empty(spark):
     with pytest.raises(ValueError, match="geometries"):
         dedup_incremental_bloom(df, mixed, ["doc_id"])
 
+    # a plain union of two same-geometry states (skipping
+    # merge_bloom_state) leaves duplicate word_idx rows that would make
+    # one set-bit probe count twice toward the k-hit test — rejected,
+    # and the full-state aggregate sees it even when a limit()-style
+    # sample of the first partitions would look homogeneous
+    unioned = state.unionByName(state)
+    with pytest.raises(ValueError, match="merge_bloom_state"):
+        dedup_incremental_bloom(df, unioned, ["doc_id"])
+
     empty = state.filter("word_idx < 0")
     kept = {
         r.doc_id for r in dedup_incremental_bloom(df, empty, ["doc_id"]).collect()

@@ -373,6 +373,13 @@ def test_assign_split_stable_under_growth_and_repartition(spark):
         assign_split(df, ["doc_id"], splits=(("all", 1),))
     with _pytest.raises(ValueError):
         assign_split(df, ["doc_id"], splits=(("a", 1), ("b", 0)))
+    # the guards live in the OPERATOR, not just the CLI: duplicate
+    # names would silently double a share, and weight totals past 2^20
+    # would overflow hash32 * total in int64 and wrap
+    with _pytest.raises(ValueError, match="unique"):
+        assign_split(df, ["doc_id"], splits=(("a", 1), ("a", 1)))
+    with _pytest.raises(ValueError, match="2\\^20"):
+        assign_split(df, ["doc_id"], splits=(("a", 1 << 20), ("b", 1)))
 
 
 def test_canonical_url_expr(spark):
