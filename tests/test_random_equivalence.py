@@ -831,3 +831,67 @@ def test_tool_profile_matches_python_reference(spark):
     got = {r.tool: (r.n_calls, r.n_convs, r.total_chars, r.n_answered)
            for r in tool_profile(df).collect()}
     assert got == {t: (w[0], len(w[1]), w[2], w[3]) for t, w in want.items()}
+
+
+def test_shingle_oracle_parity_on_edge_docs(spark, tmp_path):
+    """Cross-engine shingle parity on the doc shapes the driver
+    testdata happens not to contain: empty text, symbol-only,
+    whitespace-only, tab-led/trailing, NULL, and 1..k-1-word docs.
+    These exercise the shingled_cte short-text fallback, where DuckDB's
+    array_to_string([], ' ') returns NULL (not '') — the r7 review
+    found every shingle oracle silently diverging from Spark's ['']
+    shingle on such docs. The symbol-only twins ('!!!' vs '???') share
+    the '' shingle, so the minhash section genuinely dedups across the
+    empty-extraction class: any [NULL]-style regression breaks BOTH
+    the survivor set and the fp sections, not just a hash."""
+    import duckdb
+
+    import __spark_entry__ as E
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog again and again", "en"),
+        (1, "the quick brown fox jumps over the lazy dog again and again", "en"),
+        (2, ""),  # empty -> [''] shingle
+        (3, "!!!"),  # symbol-only -> [''] shingle, dup of doc 2's
+        (4, "???"),  # symbol-only -> [''] shingle
+        (5, " \t "),  # whitespace-only -> ['']
+        (6, "\tword"),  # tab-led (the old trim/split '' leak shape)
+        (7, "word\t"),
+        (8, None),  # NULL stays NULL
+        (9, "one"),
+        (10, "one two"),
+        (11, "alpha beta gamma delta"),
+        (12, "alpha beta gamma delta"),
+    ]
+    rows = [r if len(r) == 3 else (*r, "en") for r in rows]
+    df = spark.createDataFrame(
+        [(i, t, lg, "edge", len(t or "")) for i, t, lg in rows],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+
+    got = E.queries()["shingle_dedup"](spark, str(tmp_path)).toPandas()
+    con = duckdb.connect()
+    con.sql(
+        "create view documents as select * from "
+        f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    want = con.sql(E.oracle_sql()["shingle_dedup"]).df()
+
+    def canon(d):
+        d = d[sorted(d.columns)].copy()
+        for c in d.columns:
+            d[c] = d[c].astype(str)
+        return sorted(map(tuple, d.values.tolist()))
+
+    assert canon(got) == canon(want)
+    # the empty-extraction class must actually dedup: exactly one of
+    # docs {2, 3, 4, 5} survives the minhash section
+    surv = {
+        int(r.id_a)
+        for _, r in got.iterrows()
+        if r.section == "minhash_survivor"
+    }
+    assert len(surv & {2, 3, 4, 5}) == 1 and 2 in surv
