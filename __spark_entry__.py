@@ -1857,9 +1857,36 @@ def q_normalize_text(spark, sf_dir):
 
 
 def q_text_extraction(spark, sf_dir):
-    """Both v1/v2 text-surface reference ops level-tagged in one row:
+    """All three text-surface granularities level-tagged in one row:
     extract_text doc rows (line_idx=-1) + dedup_lines line rows (the
-    former extract_text + dedup_lines driver rows, merged)."""
+    former extract_text + dedup_lines driver rows, merged) + r7
+    dedup_paragraphs excise rows. Testdata docs are single-paragraph,
+    so the para section derives a paragraph-structured corpus
+    in-query (both engines identically): each doc becomes own-text +
+    the text of doc (doc_id % 41) — repeated across ~N/41 docs, and
+    doc m < 41 repeats its OWN text, exercising the within-doc case —
+    plus a trailing empty paragraph for every 7th doc. line = the
+    reassembled text, line_idx = n_paras_kept (value-checks the
+    excision accounting too)."""
+    from oscar_tools_spark.operators.dedup import dedup_paragraphs
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    m = d.select(F.col("doc_id").alias("_mid"), F.col("text").alias("_mtext"))
+    pdocs = d.join(m, (F.col("doc_id") % 41) == F.col("_mid")).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("\n\n"),
+            F.col("_mtext"),
+            F.when(F.col("doc_id") % 7 == 0, F.lit("\n\n")).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    c = dedup_paragraphs(pdocs, ["doc_id"]).select(
+        F.lit("para").alias("level"),
+        "doc_id",
+        F.col("n_paras_kept").cast("bigint").alias("line_idx"),
+        F.col("text").alias("line"),
+    )
     a = (
         extract_text(_docs(spark, sf_dir).select("doc_id", "text"))
         .select(
@@ -1875,7 +1902,7 @@ def q_text_extraction(spark, sf_dir):
         F.col("line_idx").cast("bigint").alias("line_idx"),
         "line",
     )
-    return a.unionAll(b).orderBy("level", "doc_id", "line_idx")
+    return a.unionAll(b).unionAll(c).orderBy("level", "doc_id", "line_idx")
 
 
 def entry(spark: SparkSession) -> DataFrame:

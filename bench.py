@@ -343,6 +343,35 @@ def main() -> None:
                     )
                 ),
             )
+        # round-7: paragraph-level excise dedup over conversation
+        # documents derived from the full transcripts table (one
+        # paragraph per turn — repeated turn texts across conversations
+        # give real cross-doc duplication). Measured plan: the conv
+        # regroup + 574k-paragraph posexplode + digest min(struct)
+        # shuffle + winner semi-join + per-doc reassembly.
+        from oscar_tools_spark.operators.dedup import dedup_paragraphs
+
+        if only_set is None or "dedup_paragraphs" in only_set:
+            conv_docs = (
+                transcripts.groupBy("conv_id")
+                .agg(
+                    F.array_join(
+                        F.transform(
+                            F.array_sort(
+                                F.collect_list(F.struct("turn_idx", "text"))
+                            ),
+                            lambda s: F.coalesce(
+                                s.getField("text"), F.lit("")
+                            ),
+                        ),
+                        "\n\n",
+                    ).alias("text")
+                )
+            )
+            timed(
+                "dedup_paragraphs",
+                lambda: run_noop(dedup_paragraphs(conv_docs, ["conv_id"])),
+            )
         # round-5: transcript repair over the REAL transcripts table —
         # merge consecutive same-role runs (one window + one regroup, a
         # single conv-keyed shuffle) then truncate each conversation to a

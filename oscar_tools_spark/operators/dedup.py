@@ -76,6 +76,74 @@ def dedup_lines(
     ).orderBy(*order_cols, "line_idx")
 
 
+def dedup_paragraphs(
+    df: DataFrame,
+    key_cols: list[str],
+    text_col: str = "text",
+    sep: str = "\n\n",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Paragraph-level exact dedup with excision (the Dolma/RefinedWeb
+    granularity between :func:`dedup_docs_exact` and
+    :func:`dedup_lines`): the globally FIRST occurrence of each
+    distinct paragraph — in (key_cols, position) order — survives;
+    every later copy is cut out and the document re-assembled from its
+    surviving paragraphs in original order. Web boilerplate
+    (nav blocks, cookie banners, licence footers) repeats at paragraph
+    granularity far more than at whole-document granularity, so this
+    removes duplication document dedup can't see without the
+    gram-explosion cost of substring dedup.
+
+    Empty paragraphs (from runs of blank lines) are ordinary keys,
+    like empty lines in dedup_lines; null text reads as one empty
+    paragraph. Documents whose every paragraph loses are DROPPED from
+    the output (their text would be empty) — diff row counts for
+    funnel accounting.
+
+    Returns ``key_cols + [out_col (reassembled), n_paras,
+    n_paras_kept]``.
+
+    Scale shape: posexplode -> map-side-combinable ``min(struct)`` per
+    paragraph DIGEST (the winner shuffle carries 16-byte digests +
+    keys, not paragraph text) -> winner semi-join back -> one
+    doc-keyed reassembly agg. Two key shuffles, no window over the
+    corpus, no driver collect; the reassembly HOF runs once per
+    surviving doc row, not in the exploded hot path. The exploded
+    frame feeds two shuffling consumers, so the split+md5 Generate
+    deliberately runs TWICE (column pruning forfeits exchange reuse
+    here): re-scanning the narrow source column is the cheaper side
+    of the trade against persisting an exploded copy of the whole
+    corpus — the same call dedup_docs_exact makes."""
+    out_col = out_col or text_col
+    split_arr = F.split(F.coalesce(F.col(text_col), F.lit("")), sep, -1)
+    # n_paras rides the explode as a per-doc constant so no second
+    # scan/join of df is needed for the accounting column
+    staged = df.select(*key_cols, split_arr.alias("_parr")).select(
+        *key_cols,
+        F.size("_parr").alias("n_paras"),
+        F.posexplode("_parr").alias("_pidx", "_para"),
+    )
+    paras = staged.withColumn("_pd", F.md5(F.col("_para")))
+    pos = F.struct(*[F.col(c) for c in key_cols], F.col("_pidx"))
+    winners = paras.groupBy("_pd").agg(F.min(pos).alias("_w")).select(
+        "_pd",
+        *[F.col(f"_w.{c}").alias(c) for c in key_cols],
+        F.col("_w._pidx").alias("_pidx"),
+    )
+    kept = paras.join(winners, ["_pd", *key_cols, "_pidx"], "left_semi")
+    return kept.groupBy(*key_cols).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pidx", "_para"))),
+                lambda s: s.getField("_para"),
+            ),
+            sep,
+        ).alias(out_col),
+        F.max("n_paras").alias("n_paras"),
+        F.count(F.lit(1)).alias("n_paras_kept"),
+    ).select(*key_cols, out_col, "n_paras", "n_paras_kept")
+
+
 def dedup_docs_exact(
     df: DataFrame, key_cols: list[str], text_col: str = "text"
 ) -> DataFrame:

@@ -2225,10 +2225,41 @@ from d order by doc_id
 """
 
 
+def q_dedup_paragraphs() -> str:
+    """Twin of dedup.dedup_paragraphs over the derived
+    paragraph-structured corpus (own text + text of doc_id % 41 +
+    trailing '' for every 7th doc): global first occurrence per
+    paragraph in (doc_id, idx) order survives, later copies excised,
+    docs reassembled; line_idx carries n_paras_kept."""
+    SEP = "chr(10) || chr(10)"
+    return f"""
+with pdocs as (
+  select d.doc_id,
+         d.text || {SEP} || m.text ||
+         case when d.doc_id % 7 = 0 then {SEP} else '' end as text
+  from documents d join documents m on m.doc_id = d.doc_id % 41
+),
+t as (select doc_id, string_split(coalesce(text, ''), {SEP}) as ps from pdocs),
+p as (select doc_id,
+             unnest(list_transform(ps, (x, i) -> struct_pack(idx := i - 1, para := x)),
+                    recursive := true)
+      from t),
+ranked as (
+  select *, row_number() over (partition by para order by doc_id, idx) as rn
+  from p
+)
+select 'para' as level, doc_id,
+       cast(count(*) as bigint) as line_idx,
+       string_agg(para, {SEP} order by idx) as line
+from ranked where rn = 1
+group by doc_id
+"""
+
+
 def q_text_extraction() -> str:
-    """extract_text UNION ALL dedup_lines, level-tagged — both v1/v2
-    text-surface reference ops in one driver row (doc rows
-    line_idx=-1)."""
+    """extract_text UNION ALL dedup_lines UNION ALL dedup_paragraphs,
+    level-tagged — the three text-surface granularities in one driver
+    row (doc rows line_idx=-1; para rows line_idx=n_paras_kept)."""
     return f"""
 select 'doc' as level, doc_id, cast(-1 as bigint) as line_idx,
        v1_text as line
@@ -2236,6 +2267,8 @@ from {_sub(q_extract_text())}
 union all
 select 'line' as level, doc_id, cast(line_idx as bigint) as line_idx, line
 from {_sub(q_dedup_lines())}
+union all
+select level, doc_id, line_idx, line from {_sub(q_dedup_paragraphs())}
 order by level, doc_id, line_idx
 """
 

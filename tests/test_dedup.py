@@ -828,3 +828,40 @@ def test_bloom_state_validation_and_empty(spark):
         r.doc_id for r in dedup_incremental_bloom(df, state, ["doc_id"]).collect()
     }
     assert kept2 == {1}
+
+
+def test_dedup_paragraphs_excise_and_accounting(spark):
+    """Paragraph dedup: global first occurrence in (key, position)
+    order survives; later copies (cross-doc AND within-doc) are
+    excised; empty paragraphs are ordinary keys; null text reads as
+    one empty paragraph; fully-excised docs drop out; reassembly
+    preserves original order."""
+    from oscar_tools_spark.operators.dedup import dedup_paragraphs
+
+    rows = [
+        (0, "alpha\n\nshared\n\n"),  # all three first occurrences
+        (1, "beta\n\nshared"),  # loses 'shared'
+        (2, "shared\n\ngamma\n\n"),  # loses 'shared' and ''
+        (3, "shared"),  # every paragraph loses -> dropped
+        (4, None),  # null -> one '' paragraph, lost to doc 0
+        (5, "delta\n\ndelta"),  # within-doc dup excised
+        (6, "omega\n\nalpha\n\nzeta"),  # middle paragraph excised
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.text, r.n_paras, r.n_paras_kept)
+        for r in dedup_paragraphs(df, ["doc_id"]).collect()
+    }
+    assert got == {
+        0: ("alpha\n\nshared\n\n", 3, 3),
+        1: ("beta", 2, 1),
+        2: ("gamma", 3, 1),
+        5: ("delta", 2, 1),
+        6: ("omega\n\nzeta", 3, 2),
+    }
+    # stable under repartitioning (the winner rule is order-free)
+    got2 = {
+        r.doc_id: (r.text, r.n_paras, r.n_paras_kept)
+        for r in dedup_paragraphs(df.repartition(7), ["doc_id"]).collect()
+    }
+    assert got2 == got
