@@ -1,0 +1,177 @@
+"""CommonCrawl WET (WARC/1.0 ``conversion`` record) source.
+
+The WET sidecar format (public WARC 1.0 spec, ISO 28500) is the
+standard entry point of a web-scale text pipeline: each record is a
+``WARC/1.0`` header block (``WARC-Type``, ``WARC-Target-URI``,
+``WARC-Date``, ``WARC-Record-ID``, ``Content-Length``), a blank line,
+then exactly ``Content-Length`` bytes of extracted plain text. The
+reference ingests only its own OSCAR layouts (oscar_doc/oscar_txt);
+this adds the upstream crawl format those corpora are built from.
+
+Why not ``spark.read.text(lineSep=...)``: record *content* is
+arbitrary text and may legally contain ``WARC/1.0`` lines or blank
+lines, so any delimiter split silently corrupts records —
+``Content-Length`` is the only authoritative boundary. The reader
+therefore uses the ``binaryFile`` source + an Arrow-batched
+``mapInPandas`` parse with a pure-stdlib record walker (the same seam
+shape as sinks/checksum.py and operators/multimodal.py).
+
+Scale shape: WET files ship gzipped (90k files of ~150 MB per crawl)
+and gzip is not splittable, so ONE TASK PER FILE is the optimal — and
+only — parallelism unit; a crawl's file count (tens of thousands)
+dwarfs any cluster's task slots. Memory per task is bounded by one
+decompressed file (~400 MB), well under executor budgets; the
+``binaryFile`` source caps single files at ~2 GB, which real WET
+shards never approach. Chain ``repartition_for_scale`` downstream if
+the file count is pathologically small.
+"""
+
+from __future__ import annotations
+
+import gzip
+from typing import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+
+WET_SCHEMA = (
+    "source_part string, record_idx int, record_id string, "
+    "target_uri string, warc_date string, content_length long, text string"
+)
+
+_CONVERSION = "conversion"
+
+
+def iter_wet_records(data: bytes) -> Iterator[tuple[int, dict[str, str], bytes]]:
+    """Walk WARC records in ``data``: yields ``(record_idx, headers,
+    body)`` with header names lowercased. ``Content-Length`` drives the
+    body boundary (never a delimiter scan), so bodies containing
+    ``WARC/1.0`` lines or blank lines round-trip intact. Tolerates
+    LF-only header blocks. A truncated tail record (body shorter than
+    its declared length, or a header block with no blank line) is
+    dropped, not raised — crawl shards are routinely cut mid-record.
+
+    Raises ``ValueError`` only for data that is not WARC at all (first
+    non-blank bytes are not a ``WARC/`` version line)."""
+    pos, n, idx = 0, len(data), 0
+    first = True
+    while pos < n:
+        while data.startswith(b"\r\n", pos):
+            pos += 2
+        while data.startswith(b"\n", pos):
+            pos += 1
+        if pos >= n:
+            return
+        if not data.startswith(b"WARC/", pos):
+            if first:
+                raise ValueError("not a WARC/WET stream (no WARC/ version line)")
+            return  # garbage after valid records: stop at the last good one
+        first = False
+        he_crlf = data.find(b"\r\n\r\n", pos)
+        he_lf = data.find(b"\n\n", pos)
+        if he_crlf == -1 and he_lf == -1:
+            return  # truncated header block
+        # the earliest blank line ends the headers, whatever its flavor
+        if he_crlf != -1 and (he_lf == -1 or he_crlf <= he_lf):
+            he, sep = he_crlf, 4
+        else:
+            he, sep = he_lf, 2
+        headers: dict[str, str] = {}
+        for line in data[pos:he].decode("utf-8", "replace").splitlines()[1:]:
+            name, _, value = line.partition(":")
+            if _:
+                headers[name.strip().lower()] = value.strip()
+        try:
+            clen = int(headers["content-length"])
+        except (KeyError, ValueError):
+            return  # unbounded record: cannot locate the next boundary
+        body_start = he + sep
+        if clen < 0 or body_start + clen > n:
+            return  # truncated tail record
+        yield idx, headers, data[body_start : body_start + clen]
+        idx += 1
+        pos = body_start + clen
+
+
+def synth_wet(records: list[tuple[str, str, str]], crlf: bool = True) -> bytes:
+    """Deterministic WET bytes for tests: a leading ``warcinfo`` record
+    plus one ``conversion`` record per ``(target_uri, warc_date,
+    text)``. ``crlf=False`` emits LF-only header blocks (seen in
+    re-packed crawls)."""
+    nl = "\r\n" if crlf else "\n"
+
+    def record(rtype: str, extra: list[str], body: bytes) -> bytes:
+        head = [
+            "WARC/1.0",
+            f"WARC-Type: {rtype}",
+            *extra,
+            f"Content-Length: {len(body)}",
+        ]
+        return (nl.join(head) + nl + nl).encode() + body + (nl + nl).encode()
+
+    out = [
+        record(
+            "warcinfo",
+            ["WARC-Record-ID: <urn:uuid:00000000-0000-0000-0000-000000000000>"],
+            b"software: oscar-tools-spark synth\r\n",
+        )
+    ]
+    for i, (uri, date, text) in enumerate(records):
+        out.append(
+            record(
+                _CONVERSION,
+                [
+                    f"WARC-Target-URI: {uri}",
+                    f"WARC-Date: {date}",
+                    f"WARC-Record-ID: <urn:uuid:{i:032x}>",
+                    "Content-Type: text/plain",
+                ],
+                text.encode(),
+            )
+        )
+    return b"".join(out)
+
+
+def read_wet(spark: SparkSession, path: str) -> DataFrame:
+    """Read WET file(s) at ``path`` (glob ok; ``.gz`` members are
+    decompressed) into one row per ``conversion`` record:
+    ``(source_part, record_idx, record_id, target_uri, warc_date,
+    content_length, text)``. ``record_idx`` is the record's position
+    among the file's conversion records, so (source_part, record_idx)
+    is a stable document key. Non-conversion records (warcinfo, ...)
+    are skipped; a truncated tail record is dropped."""
+
+    files = spark.read.format("binaryFile").load(path).select("path", "content")
+
+    def op(batches):
+        import pandas as pd
+
+        cols = [
+            "source_part",
+            "record_idx",
+            "record_id",
+            "target_uri",
+            "warc_date",
+            "content_length",
+            "text",
+        ]
+        for pdf in batches:
+            rows: dict[str, list] = {c: [] for c in cols}
+            for fpath, content in zip(pdf["path"], pdf["content"]):
+                raw = bytes(content)
+                if fpath.endswith(".gz"):
+                    raw = gzip.decompress(raw)
+                conv_idx = 0
+                for _, headers, body in iter_wet_records(raw):
+                    if headers.get("warc-type") != _CONVERSION:
+                        continue
+                    rows["source_part"].append(fpath)
+                    rows["record_idx"].append(conv_idx)
+                    rows["record_id"].append(headers.get("warc-record-id", ""))
+                    rows["target_uri"].append(headers.get("warc-target-uri", ""))
+                    rows["warc_date"].append(headers.get("warc-date", ""))
+                    rows["content_length"].append(len(body))
+                    rows["text"].append(body.decode("utf-8", "replace"))
+                    conv_idx += 1
+            yield pd.DataFrame(rows)
+
+    return files.mapInPandas(op, WET_SCHEMA)

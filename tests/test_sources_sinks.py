@@ -129,3 +129,74 @@ def test_tableio_iceberg_roundtrip(spark, tmp_path):
     df = spark.range(10).withColumnRenamed("id", "x")
     io.write(df, "smoke.db.t")
     assert io.read("smoke.db.t").count() == 10
+
+
+# ----------------------------------------------------------------- WET
+
+
+WET_DOCS = [
+    ("https://a.example/page1", "2024-01-01T00:00:00Z", "plain text body one"),
+    # adversarial body: contains a full fake WARC header block AND
+    # blank lines — only Content-Length-driven parsing survives this
+    (
+        "https://a.example/page2",
+        "2024-01-02T00:00:00Z",
+        "before\r\n\r\nWARC/1.0\r\nWARC-Type: conversion\r\n"
+        "Content-Length: 3\r\n\r\nxyz\r\n\r\nafter",
+    ),
+    ("https://b.example/p", "2024-01-03T00:00:00Z", "unicode: café — ok"),
+    ("https://b.example/q", "2024-01-04T00:00:00Z", ""),  # empty extraction
+]
+
+
+def test_wet_roundtrip_plain_and_gz(spark, tmp_path):
+    """synth -> file(.gz) -> read_wet round-trips every conversion
+    record byte-exactly (incl. the embedded-fake-record body), skips
+    warcinfo, and keys records by (source_part, record_idx)."""
+    import gzip
+
+    from oscar_tools_spark.sources.wet import read_wet, synth_wet
+
+    raw = synth_wet(WET_DOCS)
+    (tmp_path / "a.wet").write_bytes(raw)
+    (tmp_path / "b.wet.gz").write_bytes(gzip.compress(raw))
+    out = read_wet(spark, str(tmp_path)).collect()
+    assert len(out) == 2 * len(WET_DOCS)
+    for r in out:
+        uri, date, text = WET_DOCS[r.record_idx]
+        assert (r.target_uri, r.warc_date, r.text) == (uri, date, text)
+        assert r.content_length == len(text.encode())
+        assert r.record_id.startswith("<urn:uuid:")
+
+
+def test_wet_lf_only_and_truncated_tail(spark, tmp_path):
+    """LF-only header blocks parse identically; a shard cut mid-record
+    drops ONLY the truncated tail record."""
+    from oscar_tools_spark.sources.wet import read_wet, synth_wet
+
+    raw = synth_wet(WET_DOCS, crlf=False)
+    (tmp_path / "lf.wet").write_bytes(raw)
+    assert read_wet(spark, str(tmp_path / "lf.wet")).count() == len(WET_DOCS)
+
+    cut = synth_wet(WET_DOCS)[:-12]  # slice into the final record's body
+    (tmp_path / "cut.wet").write_bytes(cut)
+    got = read_wet(spark, str(tmp_path / "cut.wet")).collect()
+    assert [r.target_uri for r in got] == [u for u, _, _ in WET_DOCS[:-1]]
+
+
+def test_wet_record_walker_contract():
+    """iter_wet_records: non-WARC data raises; trailing garbage after
+    valid records stops cleanly; missing Content-Length stops (cannot
+    find the next boundary)."""
+    import pytest
+
+    from oscar_tools_spark.sources.wet import iter_wet_records, synth_wet
+
+    with pytest.raises(ValueError, match="WARC"):
+        list(iter_wet_records(b"HTTP/1.1 200 OK\r\n\r\nnope"))
+
+    ok = synth_wet(WET_DOCS[:1])
+    recs = list(iter_wet_records(ok + b"garbage that is not a record"))
+    assert len(recs) == 2  # warcinfo + 1 conversion, garbage ignored
+    bad = b"WARC/1.0\r\nWARC-Type: conversion\r\n\r\nbody"
+    assert list(iter_wet_records(bad)) == []
