@@ -125,3 +125,64 @@ def test_streaming_dedup_drops_repeats(spark, tmp_path):
     # one survivor for the hello-world fingerprint + the distinct row
     assert len(texts) == 2
     assert "something else" in texts
+
+
+def test_streaming_dedup_with_bloom_history(spark, tmp_path):
+    """foreachBatch dedup against the persistent bloom history: cross-
+    batch duplicates drop no matter how far apart they arrive (the case
+    watermark-evicted state forgets), survivors land under replay-safe
+    _batch partitions, state versions commit per batch, and a restart
+    on the same checkpoint with NEW files continues from the history
+    instead of re-admitting old texts."""
+    import time
+
+    from oscar_tools_spark.streaming.pipeline import (
+        _committed_state_versions,
+        run_dedup_stream_with_history,
+    )
+
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id long, text string"
+
+    def put(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        time.sleep(1.1)  # distinct mod-times pin the batch order
+
+    def run():
+        q = run_dedup_stream_with_history(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            out,
+            state,
+            ckpt,
+            ["doc_id"],
+            n_bits=4096,
+        )
+        q.awaitTermination(180)
+        assert q.exception() is None
+
+    put([(1, "x"), (2, "x"), (3, "y")])  # batch 0: within-batch dup
+    put([(4, "x"), (5, "z"), (6, "z")])  # batch 1: x only in HISTORY
+    run()
+    got = {
+        (r.doc_id, int(r._batch))
+        for r in spark.read.parquet(out).select("doc_id", "_batch").collect()
+    }
+    assert got == {(1, 0), (3, 0), (5, 1)}
+    assert _committed_state_versions(spark, state) == [0, 1]
+
+    # restart on the same checkpoint with a new file: history holds
+    put([(7, "z"), (8, "w")])  # z seen two batches ago -> dropped
+    run()
+    got2 = {
+        (r.doc_id, int(r._batch))
+        for r in spark.read.parquet(out).select("doc_id", "_batch").collect()
+    }
+    assert got2 == got | {(8, 2)}
+    assert _committed_state_versions(spark, state)[-1] == 2
