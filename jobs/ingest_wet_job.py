@@ -1,0 +1,160 @@
+"""spark-submit entry point for web-corpus ingestion: CommonCrawl WET
+shards -> curated parquet documents.
+
+The docs-side sibling of jobs/curate_job.py (which owns the
+transcript north rule): this one composes the document operators over
+the WET source into the standard web-curation recipe, in the fixed
+stage order the operators' contracts require:
+
+    read WET -> per-host cap -> normalize -> langid filter
+    -> paragraph excise dedup -> C4 line cleanup -> Gopher quality
+    gate -> exact doc dedup -> MinHash near-dup -> parquet
+
+Order rationale: the host cap runs FIRST (cheap skim before any heavy
+work — one mega-domain must not dominate the explode stages);
+normalize precedes langid/quality so their counters see canonical
+text (the r5 fit-vs-normalize lesson, and it preserves blank-line
+paragraph boundaries — 3+ newlines collapse to exactly 2); paragraph
+dedup must precede C4 because c4_clean drops blank lines and rejoins
+with single newlines, destroying the boundaries paragraphs are keyed
+on — and this way the quality gates judge the post-excision text that
+actually ships; exact doc dedup follows excision because excision
+rewrites text and therefore doc digests; MinHash runs last, over the
+smallest surviving set.
+
+    spark-submit --py-files oscar_tools_spark.zip jobs/ingest_wet_job.py \
+        --input 's3://.../segments/*/wet/*.warc.wet.gz' --output <path> \
+        [--cap-per-host 1000] [--normalize] [--langs en de] \
+        [--langid-threshold 0.5] [--c4-clean] [--gopher]
+        [--dedup-paragraphs] [--dedup-exact] [--minhash-dedup] [--funnel]
+
+By default only input/output rows are counted (one action each); at
+10^8-document scale per-stage counts each replay upstream lineage, so
+the full funnel is opt-in via ``--funnel``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+_REPO_ROOT = str(Path(__file__).resolve().parent.parent)
+if _REPO_ROOT not in sys.path:
+    sys.path.append(_REPO_ROOT)
+
+from pyspark.sql import SparkSession
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="WET path/glob (.gz ok)")
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--cap-per-host", type=int, default=0,
+                    help="keep at most N docs per URL host (0 = off)")
+    ap.add_argument("--normalize", action="store_true")
+    ap.add_argument("--langs", nargs="*", default=[],
+                    help="keep only these langid labels (empty = annotate only)")
+    ap.add_argument("--langid-threshold", type=float, default=0.0,
+                    help="min langid prob for --langs survival")
+    ap.add_argument("--c4-clean", action="store_true")
+    ap.add_argument("--gopher", action="store_true")
+    ap.add_argument("--dedup-paragraphs", action="store_true")
+    ap.add_argument("--dedup-exact", action="store_true")
+    ap.add_argument("--minhash-dedup", action="store_true")
+    ap.add_argument("--funnel", action="store_true",
+                    help="count rows after EVERY stage (replays lineage)")
+    args = ap.parse_args()
+    if args.langid_threshold and not args.langs:
+        ap.error("--langid-threshold does nothing without --langs")
+
+    from pyspark.sql import functions as F
+
+    from oscar_tools_spark.functions.gopher import gopher_keep_expr
+    from oscar_tools_spark.functions.langid import identify_staged
+    from oscar_tools_spark.operators.c4_clean import c4_clean
+    from oscar_tools_spark.operators.dedup import (
+        dedup_docs_exact,
+        dedup_minhash_lsh,
+        dedup_paragraphs,
+    )
+    from oscar_tools_spark.operators.normalize import normalize_text_expr
+    from oscar_tools_spark.operators.urlblock import cap_per_host
+    from oscar_tools_spark.sources.wet import read_wet
+
+    spark = SparkSession.builder.appName("ingest-wet").getOrCreate()
+
+    df = read_wet(spark, args.input).select(
+        F.concat_ws(":", "source_part", "record_idx").alias("doc_uid"),
+        F.col("target_uri").alias("url"),
+        "warc_date",
+        "text",
+    )
+    funnel: dict[str, int] = {}
+    rows_in = df.count()
+
+    def stage(name: str, out):
+        if args.funnel:
+            funnel[name] = out.count()
+        return out
+
+    if args.cap_per_host > 0:
+        df = stage("cap_per_host",
+                   cap_per_host(df, args.cap_per_host, ["doc_uid"]))
+    if args.normalize:
+        df = stage("normalize",
+                   df.withColumn("text", normalize_text_expr(F.col("text"))))
+    df = identify_staged(df)
+    df = df.select(
+        "doc_uid", "url", "warc_date", "text",
+        F.col("identification.label").alias("lang"),
+        F.col("identification.prob").alias("lang_prob"),
+    )
+    if args.langs:
+        df = stage(
+            "langid_filter",
+            df.filter(
+                F.col("lang").isin(args.langs)
+                & (F.col("lang_prob") >= args.langid_threshold)
+            ),
+        )
+    if args.dedup_paragraphs:
+        # operator returns (keys, text, accounting); re-join the
+        # annotation columns on the key — a digest-width equi-join
+        deduped = dedup_paragraphs(df, ["doc_uid"])
+        df = stage(
+            "dedup_paragraphs",
+            deduped.join(df.drop("text"), "doc_uid"),
+        )
+    if args.c4_clean:
+        df = stage("c4_clean", c4_clean(df))
+    if args.gopher:
+        df = stage("gopher", df.filter(gopher_keep_expr(F.col("text"))))
+    if args.dedup_exact:
+        df = stage("dedup_exact", dedup_docs_exact(df, ["doc_uid"]))
+    if args.minhash_dedup:
+        df = stage("minhash_dedup", dedup_minhash_lsh(df, "doc_uid"))
+
+    df.write.mode("overwrite").parquet(args.output)
+    rows_out = spark.read.parquet(args.output).count()
+    print(json.dumps({
+        "job": "ingest_wet",
+        "rows_in": rows_in,
+        "rows_out": rows_out,
+        "funnel": funnel,
+        "stages": {
+            "cap_per_host": args.cap_per_host,
+            "normalize": args.normalize,
+            "langs": args.langs,
+            "c4_clean": args.c4_clean,
+            "gopher": args.gopher,
+            "dedup_paragraphs": args.dedup_paragraphs,
+            "dedup_exact": args.dedup_exact,
+            "minhash_dedup": args.minhash_dedup,
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,108 @@
+"""End-to-end test of jobs/ingest_wet_job.py: WET shards through the
+full document-curation stack, pinning the stage-order contracts
+(paragraph dedup BEFORE c4 destroys blank-line boundaries; quality
+gates judge post-excision text)."""
+
+from __future__ import annotations
+
+import json
+import sys
+
+
+def _line(seed: str) -> str:
+    # 20 natural-looking English words ending in a period: passes the
+    # C4 line rule (>=5 words, terminal punct) and feeds Gopher healthy
+    # stopword/alpha/word-length ratios
+    return (
+        f"the quick brown fox named {seed} jumps over the lazy dog and "
+        "then walks along the quiet river bank today."
+    )
+
+
+def _para(seed: str) -> str:
+    return "\n".join(_line(f"{seed}{i}") for i in range(3))
+
+
+P_SHARED = _para("boiler")
+P_A = _para("alpha")
+P_B = _para("bravo")
+
+
+def _run_job(capsys, argv: list[str]) -> dict:
+    sys.path.insert(0, "/root/repo/jobs")
+    import ingest_wet_job
+
+    old = sys.argv
+    sys.argv = ["ingest_wet_job.py", *argv]
+    try:
+        ingest_wet_job.main()
+    finally:
+        sys.argv = old
+    out = [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")]
+    return json.loads(out[-1])
+
+
+def test_ingest_wet_job_full_stack(spark, tmp_path, capsys):
+    from oscar_tools_spark.sources.wet import synth_wet
+
+    date = "2024-01-01T00:00:00Z"
+    junk = "kurz und nicht genug wörter hier"  # fails --langs en
+    records = [
+        # idx 0-3: one host with 4 docs; --cap-per-host 3 evicts one
+        *[(f"https://junkhost.example/p{i}", date, junk) for i in range(4)],
+        # idx 4: own paragraph + shared boilerplate (keeps both: first)
+        ("https://a.example/1", date, P_A + "\n\n" + P_SHARED),
+        # idx 5: own paragraph + shared boilerplate (boilerplate excised)
+        ("https://b.example/1", date, P_B + "\n\n" + P_SHARED),
+        # idx 6: near-dup of idx 5's surviving text (one word differs)
+        ("https://c.example/1", date, P_B.replace("today", "tonight")),
+        # idx 7: non-English doc, dropped by the langid filter
+        ("https://fr.example/1", date,
+         "le renard brun rapide saute par dessus le chien paresseux "
+         "près de la rivière tranquille aujourd'hui et encore une fois "
+         "chaque matin avec ses amis pendant que le soleil brille "
+         "doucement sur les collines vertes et les champs dorés."),
+    ]
+    src = tmp_path / "shard.wet"
+    src.write_bytes(synth_wet(records))
+    out = str(tmp_path / "out")
+
+    summary = _run_job(
+        capsys,
+        ["--input", str(src), "--output", out,
+         "--cap-per-host", "3", "--normalize", "--langs", "en",
+         "--langid-threshold", "0.3", "--c4-clean", "--gopher",
+         "--dedup-paragraphs", "--dedup-exact", "--minhash-dedup",
+         "--funnel"],
+    )
+    assert summary["rows_in"] == 8
+    f = summary["funnel"]
+    assert f["cap_per_host"] == 7  # one junkhost doc evicted
+    assert f["langid_filter"] == 3  # junk + french gone
+    assert f["dedup_paragraphs"] == 3  # excision rewrites, drops none here
+    assert f["c4_clean"] == 3
+    assert f["gopher"] == 3
+    assert f["dedup_exact"] == 3
+    assert f["minhash_dedup"] == 2  # near-dup c.example dropped
+    assert summary["rows_out"] == 2
+
+    rows = {r.url: r for r in spark.read.parquet(out).collect()}
+    assert set(rows) == {"https://a.example/1", "https://b.example/1"}
+    # doc A (smaller uid) kept the shared paragraph; B had it excised
+    # and c4 re-joined B's surviving lines with single newlines
+    assert "boiler" in rows["https://a.example/1"].text
+    assert "boiler" not in rows["https://b.example/1"].text
+    assert rows["https://b.example/1"].n_paras_kept == 1
+    assert rows["https://a.example/1"].n_paras_kept == 2
+    assert rows["https://a.example/1"].lang == "en"
+
+
+def test_ingest_wet_job_flag_validation(tmp_path, capsys):
+    import pytest
+
+    with pytest.raises(SystemExit):
+        _run_job(
+            capsys,
+            ["--input", "x", "--output", str(tmp_path / "o"),
+             "--langid-threshold", "0.5"],  # without --langs
+        )
