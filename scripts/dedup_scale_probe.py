@@ -1,7 +1,9 @@
 """Dedup-family throughput vs input size: run the heavy dedup/near-dup
-operators (seven cases: minhash, substring drop+excise, embedding LSH,
-incremental minhash, winnow overlap, semdedup) on the sf0.1 tables and
-on a deterministic 10x expansion, and report per-row cost ratios. Candidate generation is banded
+operators (minhash, substring drop+excise, embedding LSH, incremental
+minhash, winnow fp+overlap, leakage-safe splits, temperature
+upsampling, paragraph excise, semdedup) on the sf0.1 tables and on a
+deterministic 10x expansion, and report per-row cost ratios.
+Candidate generation is banded
 equi-joins everywhere, so cost should grow ~linearly in rows (ratio
 near 1.0 per-row; sum-of-squared-bucket-sizes only bites when rows are
 actually similar).
@@ -111,6 +113,17 @@ def _upsample_temp(d):
     return upsample_to_mixture(d, "lang", targets, ["doc_id"])
 
 
+def _para_docs(d):
+    """Paragraph-structured corpus for the paragraph-dedup case: own
+    text + the text of doc (doc_id % 211) as a second paragraph — the
+    mod paragraph repeats across ~n/211 docs, so the 10x expansion
+    piles ~10x more copies onto each hot paragraph digest."""
+    m = d.select(F.col("doc_id").alias("_mid"), F.col("text").alias("_mtext"))
+    return d.join(m, (F.col("doc_id") % 211) == F.col("_mid")).select(
+        "doc_id", F.concat("text", F.lit("\n\n"), "_mtext").alias("text")
+    )
+
+
 def timed(fn) -> float:
     fn()  # warm
     best = float("inf")
@@ -126,6 +139,7 @@ def main(sf_dir: str) -> None:
         dedup_embedding_lsh,
         dedup_exact_substring,
         dedup_minhash_lsh,
+        dedup_paragraphs,
         excise_exact_substring,
         semdedup,
     )
@@ -179,6 +193,13 @@ def main(sf_dir: str) -> None:
         # stay flat in n (copies scale output volume, not plan depth)
         ("upsample_temperature", n_docs, nb_docs,
          lambda d: noop(_upsample_temp(d)), docs, big_docs),
+        # r7: paragraph excise dedup — digest-keyed winner groupBy +
+        # semi-join + per-doc reassembly; the hot shared paragraph
+        # (~10x more copies after expansion) stresses the digest
+        # shuffle's skew behavior
+        ("dedup_paragraphs", n_docs, nb_docs,
+         lambda d: noop(dedup_paragraphs(_para_docs(d), ["doc_id"])),
+         docs, big_docs),
         # semdedup under its documented scaling rule: n_clusters grows
         # with the corpus so cells stay ~constant-size (the |cell|^2
         # within-cell join is the term that must not blow up)
