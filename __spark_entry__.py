@@ -1857,18 +1857,23 @@ def q_normalize_text(spark, sf_dir):
 
 
 def q_text_extraction(spark, sf_dir):
-    """All three text-surface granularities level-tagged in one row:
+    """Every text-surface granularity level-tagged in one row:
     extract_text doc rows (line_idx=-1) + dedup_lines line rows (the
     former extract_text + dedup_lines driver rows, merged) + r7
-    dedup_paragraphs excise rows. Testdata docs are single-paragraph,
-    so the para section derives a paragraph-structured corpus
-    in-query (both engines identically): each doc becomes own-text +
-    the text of doc (doc_id % 41) — repeated across ~N/41 docs, and
-    doc m < 41 repeats its OWN text, exercising the within-doc case —
-    plus a trailing empty paragraph for every 7th doc. line = the
-    reassembled text, line_idx = n_paras_kept (value-checks the
-    excision accounting too)."""
+    dedup_paragraphs excise rows + r7 extract_html rows. Testdata docs
+    are single-paragraph, so the para section derives a
+    paragraph-structured corpus in-query (both engines identically):
+    each doc becomes own-text + the text of doc (doc_id % 41) —
+    repeated across ~N/41 docs, and doc m < 41 repeats its OWN text,
+    exercising the within-doc case — plus a trailing empty paragraph
+    for every 7th doc. line = the reassembled text, line_idx =
+    n_paras_kept (value-checks the excision accounting too). The html
+    sections wrap each doc's text in the shared O.HTML_PLANT page
+    (title/noindex/style/script-trap/comment/entities/license markers):
+    'html' rows carry the extracted text, 'hmeta' rows pack
+    license|title into line with the noindex flag as line_idx."""
     from oscar_tools_spark.operators.dedup import dedup_paragraphs
+    from oscar_tools_spark.operators.extract_html import extract_html
 
     d = _docs(spark, sf_dir).select("doc_id", "text")
     m = d.select(F.col("doc_id").alias("_mid"), F.col("text").alias("_mtext"))
@@ -1902,7 +1907,38 @@ def q_text_extraction(spark, sf_dir):
         F.col("line_idx").cast("bigint").alias("line_idx"),
         "line",
     )
-    return a.unionAll(b).unionAll(c).orderBy("level", "doc_id", "line_idx")
+    p = O.HTML_PLANT
+    sid = F.col("doc_id").cast("string")
+    hdocs = d.select(
+        "doc_id",
+        F.concat(
+            F.lit(p["prefix"]), sid, F.lit(p["after_id_title"]),
+            F.when(F.col("doc_id") % 5 == 0, F.lit(p["noindex"])).otherwise(F.lit("")),
+            F.lit(p["mid"]), sid, F.lit(p["after_id_h1"]),
+            F.col("text"), F.lit(p["after_text"]),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(p["cc_by"]))
+            .when(F.col("doc_id") % 7 == 0, F.lit(p["cc0"]))
+            .otherwise(F.lit("")),
+            F.lit(p["suffix"]),
+        ).alias("html"),
+    )
+    ext = extract_html(hdocs)
+    h = ext.select(
+        F.lit("html").alias("level"),
+        "doc_id",
+        F.lit(-1).cast("bigint").alias("line_idx"),
+        F.col("text").alias("line"),
+    )
+    hm = ext.select(
+        F.lit("hmeta").alias("level"),
+        "doc_id",
+        F.col("noindex").cast("bigint").alias("line_idx"),
+        F.concat("license", F.lit("|"), "title").alias("line"),
+    )
+    return (
+        a.unionAll(b).unionAll(c).unionAll(h).unionAll(hm)
+        .orderBy("level", "doc_id", "line_idx")
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:

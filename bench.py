@@ -372,6 +372,40 @@ def main() -> None:
                 "dedup_paragraphs",
                 lambda: run_noop(dedup_paragraphs(conv_docs, ["conv_id"])),
             )
+        # round-7: HTML -> text extraction over every turn, each wrapped
+        # in the shared synthetic page (title/meta/style/script/comment/
+        # entities/license markers). One narrow codegen projection —
+        # ~10 regexp_replace + entity replace chain per row, no shuffle,
+        # no Python worker; this is the raw-crawl ingest hot path.
+        from oscar_tools_spark.operators.extract_html import extract_html
+        from oscar_tools_spark.oracles import HTML_PLANT as _HP
+
+        if only_set is None or "html_extract" in only_set:
+            _tid = F.col("turn_idx").cast("string")
+            pages = transcripts.select(
+                "conv_id",
+                "turn_idx",
+                F.concat(
+                    F.lit(_HP["prefix"]), _tid, F.lit(_HP["after_id_title"]),
+                    F.when(F.col("turn_idx") % 5 == 0, F.lit(_HP["noindex"]))
+                    .otherwise(F.lit("")),
+                    F.lit(_HP["mid"]), _tid, F.lit(_HP["after_id_h1"]),
+                    F.coalesce("text", F.lit("")), F.lit(_HP["after_text"]),
+                    F.when(F.col("turn_idx") % 3 == 0, F.lit(_HP["cc_by"]))
+                    .when(F.col("turn_idx") % 7 == 0, F.lit(_HP["cc0"]))
+                    .otherwise(F.lit("")),
+                    F.lit(_HP["suffix"]),
+                ).alias("html"),
+            )
+            timed(
+                "html_extract",
+                lambda: run_noop(
+                    extract_html(pages).select(
+                        "conv_id", "turn_idx", "text", "title", "license",
+                        "noindex",
+                    )
+                ),
+            )
         # round-5: transcript repair over the REAL transcripts table —
         # merge consecutive same-role runs (one window + one regroup, a
         # single conv-keyed shuffle) then truncate each conversation to a

@@ -1,0 +1,223 @@
+"""HTML → text extraction — the raw-crawl ingest step before curation.
+
+The reference's pipelines consume WET (pre-extracted text); a complete
+web-scale ingest also needs the WARC/raw-HTML path: strip script/style/
+comments, turn block-level structure into line structure, drop the
+remaining markup, decode the common entities, and normalize whitespace
+— the fast regex-extraction tier (the same family as resiliparse's
+basic mode / jusText's preprocessor), not a DOM parser. At 100 TB this
+runs as ONE narrow codegen projection per document: no UDF, no shuffle,
+no Python worker — every rule is a JVM-side `regexp_replace`/`replace`.
+
+Semantics are defined BY the rule tables below (regex extraction has
+well-known limits — unquoted '>' inside attribute values ends a tag
+early, unclosed <script> leaves its body — and those limits are part of
+the operator's contract). The DuckDB oracle is GENERATED from the same
+tables (`html_text_sql` etc.), so all engines move together.
+
+Alongside the text, three curation signals every crawl pipeline wants:
+  * ``title``    — first <title> body, entity-decoded and collapsed;
+  * ``license``  — Creative Commons marker ('cc0', 'cc-by-sa', ...)
+    detected from creativecommons.org license URLs (the C4/FineWeb
+    license-filter signal);
+  * ``noindex``  — a <meta ... noindex ...> robots directive is
+    present (pages that opted out of indexing).
+
+Order of operations (pinned — the oracle replays it exactly):
+  1. drop <script ...>...</script> and <style ...>...</style> spans
+  2. drop <!-- ... --> comments
+  3. block-level tags (open/close/self-closing) -> '\n'
+  4. every remaining tag <...> -> ''
+  5. entity decode (ENTITY_TABLE order; '&amp;' LAST so '&amp;lt;'
+     yields literal '&lt;', not '<')
+  6. whitespace: horizontal runs -> ' ', edge spaces around newlines,
+     3+ newlines -> exactly 2 (block boundaries keep paragraph gaps),
+     trim document edges
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .normalize import sql_quote
+
+# step 1: container elements whose BODY is dropped with the tags.
+# One pattern per element (RE2 has no backreferences, so a combined
+# alternation could cross-close <script>...</style>). `([ \t\n\r/>]`
+# after the name keeps 'scriptx' from matching.
+DROP_CONTAINER_TAGS: list[str] = ["script", "style"]
+
+# longest-first inside alternations so Java (backtracking) and RE2
+# (leftmost-first) pick the same alternative on shared prefixes
+# ('pre' before 'p', 'table'/'td' ordering, ...).
+BLOCK_TAGS: list[str] = [
+    "blockquote", "article", "section", "header", "footer", "table",
+    "title", "pre", "h[1-6]", "div", "ul", "ol", "li", "tr", "td",
+    "th", "p", "br", "hr",
+]
+
+# step 5: ordered literal replaces; '&amp;' MUST stay last.
+ENTITY_TABLE: list[tuple[str, str]] = [
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&apos;", "'"),
+    ("&#39;", "'"),
+    ("&#34;", '"'),
+    ("&nbsp;", " "),
+    ("&eacute;", "é"),
+    ("&egrave;", "è"),
+    ("&agrave;", "à"),
+    ("&ccedil;", "ç"),
+    ("&ouml;", "ö"),
+    ("&uuml;", "ü"),
+    ("&auml;", "ä"),
+    ("&ntilde;", "ñ"),
+    ("&amp;", "&"),
+]
+assert ENTITY_TABLE[-1][0] == "&amp;", "'&amp;' must decode last"
+
+# explicit ASCII classes instead of \s: Java \s includes \x0B, RE2's
+# does not — the explicit class is identical in both engines.
+_H = " \t\r"  # horizontal whitespace (\f/\x0B arrive via normalize upstream)
+
+_DROP_PATTERNS: list[str] = [
+    rf"(?is)<{t}([ \t\n\r][^>]*)?>.*?</{t}[ \t\n\r]*>"
+    for t in DROP_CONTAINER_TAGS
+] + [r"(?s)<!--.*?-->"]
+
+_BLOCK_ALT = "|".join(BLOCK_TAGS)
+_BLOCK_PATTERN = rf"(?i)</?({_BLOCK_ALT})([ \t\n\r][^>]*)?/?>"
+_TAG_PATTERN = r"<[^>]*>"
+
+_WS_COLLAPSE: list[tuple[str, str]] = [
+    (f"[{_H}]+", " "),
+    (" ?\n ?", "\n"),
+    ("\n\n\n+", "\n\n"),
+]
+
+TITLE_PATTERN = r"(?is)<title([ \t\n\r][^>]*)?>(.*?)</title[ \t\n\r]*>"
+_TITLE_GROUP = 2
+
+# license markers: public-domain dedications first, then the
+# /licenses/<id>/ path. The id group is lowercased and prefixed 'cc-'.
+CC0_PATTERN = r"(?i)creativecommons\.org/(publicdomain|licenses/zero)"
+CC_LICENSE_PATTERN = r"(?i)creativecommons\.org/licenses/([a-zA-Z][a-zA-Z-]*[a-zA-Z])/"
+NOINDEX_PATTERN = r"(?i)(<meta[^>]*noindex[^>]*>)"
+
+
+def _decode_entities(e: Column) -> Column:
+    for ent, ch in ENTITY_TABLE:
+        e = F.replace(e, F.lit(ent), F.lit(ch))
+    return e
+
+
+def _collapse_ws(e: Column) -> Column:
+    for pat, rep in _WS_COLLAPSE:
+        e = F.regexp_replace(e, pat, rep)
+    return F.btrim(e, F.lit(" \n"))
+
+
+def html_text_expr(col: Column) -> Column:
+    """Extracted text as one codegen'd column expression (steps 1-6)."""
+    e = col
+    for pat in _DROP_PATTERNS:
+        e = F.regexp_replace(e, pat, "")
+    e = F.regexp_replace(e, _BLOCK_PATTERN, "\n")
+    e = F.regexp_replace(e, _TAG_PATTERN, "")
+    return _collapse_ws(_decode_entities(e))
+
+
+def html_title_expr(col: Column) -> Column:
+    """First <title> body, entity-decoded, whitespace-collapsed ('' when
+    absent — regexp_extract's no-match value in both engines)."""
+    raw = F.regexp_extract(col, TITLE_PATTERN, _TITLE_GROUP)
+    return _collapse_ws(_decode_entities(raw))
+
+
+def html_license_expr(col: Column) -> Column:
+    """'cc0' | 'cc-<id>' | '' from creativecommons.org URL markers."""
+    cc0 = F.regexp_extract(col, CC0_PATTERN, 1)
+    lic = F.regexp_extract(col, CC_LICENSE_PATTERN, 1)
+    return (
+        F.when(col.isNull(), F.lit(None).cast("string"))
+        .when(cc0 != "", F.lit("cc0"))
+        .when(lic != "", F.concat(F.lit("cc-"), F.lower(lic)))
+        .otherwise(F.lit(""))
+    )
+
+
+def html_noindex_expr(col: Column) -> Column:
+    """True when a <meta ... noindex ...> robots directive is present."""
+    return F.regexp_extract(col, NOINDEX_PATTERN, 1) != ""
+
+
+def extract_html(
+    df: DataFrame,
+    html_col: str = "html",
+    text_col: str = "text",
+    with_meta: bool = True,
+) -> DataFrame:
+    """Add ``text_col`` (extracted text) and — when ``with_meta`` —
+    ``title`` / ``license`` / ``noindex`` signal columns. NULL html
+    stays NULL text (every step null-propagates identically in Spark
+    and DuckDB). One narrow projection; no shuffle."""
+    h = F.col(html_col)
+    cols = {text_col: html_text_expr(h)}
+    if with_meta:
+        cols["title"] = html_title_expr(h)
+        cols["license"] = html_license_expr(h)
+        cols["noindex"] = html_noindex_expr(h)
+    return df.withColumns(cols)
+
+
+# ------------------------------------------------------------------ SQL twins
+# Generated from the SAME tables ('g' flag: DuckDB regexp_replace is
+# first-match-only by default; Spark replaces all).
+
+
+def _decode_entities_sql(e: str) -> str:
+    q = sql_quote
+    for ent, ch in ENTITY_TABLE:
+        e = f"replace({e}, {q(ent)}, {q(ch)})"
+    return e
+
+
+def _collapse_ws_sql(e: str) -> str:
+    q = sql_quote
+    for pat, rep in _WS_COLLAPSE:
+        e = f"regexp_replace({e}, {q(pat)}, {q(rep)}, 'g')"
+    return f"trim({e}, {q(' ' + chr(10))})"
+
+
+def html_text_sql(expr: str) -> str:
+    """DuckDB twin of html_text_expr over SQL fragment ``expr``."""
+    q = sql_quote
+    e = expr
+    for pat in _DROP_PATTERNS:
+        e = f"regexp_replace({e}, {q(pat)}, '', 'g')"
+    e = f"regexp_replace({e}, {q(_BLOCK_PATTERN)}, {q(chr(10))}, 'g')"
+    e = f"regexp_replace({e}, {q(_TAG_PATTERN)}, '', 'g')"
+    return _collapse_ws_sql(_decode_entities_sql(e))
+
+
+def html_title_sql(expr: str) -> str:
+    q = sql_quote
+    raw = f"regexp_extract({expr}, {q(TITLE_PATTERN)}, {_TITLE_GROUP})"
+    return _collapse_ws_sql(_decode_entities_sql(raw))
+
+
+def html_license_sql(expr: str) -> str:
+    q = sql_quote
+    return f"""case
+      when {expr} is null then null
+      when regexp_extract({expr}, {q(CC0_PATTERN)}, 1) <> '' then 'cc0'
+      when regexp_extract({expr}, {q(CC_LICENSE_PATTERN)}, 1) <> ''
+        then 'cc-' || lower(regexp_extract({expr}, {q(CC_LICENSE_PATTERN)}, 1))
+      else '' end"""
+
+
+def html_noindex_sql(expr: str) -> str:
+    q = sql_quote
+    return f"(regexp_extract({expr}, {q(NOINDEX_PATTERN)}, 1) <> '')"

@@ -1512,6 +1512,82 @@ def _sub(sql: str) -> str:
     return "(" + sql.strip().rstrip(";") + ")"
 
 
+# Deterministic synthetic HTML wrapped around each document's text for
+# the text_extraction html/hmeta sections — shared verbatim with
+# __spark_entry__ so both engines assemble byte-identical pages. Every
+# extraction rule fires: title, noindex meta (every 5th doc), style +
+# script (with a '</p>' trap inside a JS string), comment hiding tags,
+# block/inline structure, the entity table, and license markers
+# (CC BY-SA every 3rd doc, CC0 dedication on remaining 7th docs).
+HTML_PLANT = {
+    "prefix": '<html><head><title>Doc ',
+    "after_id_title": " &amp; friends</title>",
+    "noindex": '<meta name="robots" content="noindex, nofollow">',
+    "mid": (
+        '<style type="text/css">p { color: red; }</style>'
+        '<script>var x = 1 < 2; if (x) { alert("</p>"); }</script>'
+        '</head><body><!-- hidden <p>comment</p> --><h1 class="t">Doc '
+    ),
+    "after_id_h1": "</h1><p>",
+    "after_text": (
+        '</p><div class="foot">caf&eacute; &amp; cr&egrave;me '
+        "&lt;tag&gt; &quot;q&quot; &#39;s&nbsp;end</div>"
+    ),
+    "cc_by": (
+        '<p>cc: <a href="https://creativecommons.org/licenses/by-sa/4.0/">'
+        "CC BY-SA</a></p>"
+    ),
+    "cc0": (
+        '<a href="https://creativecommons.org/publicdomain/zero/1.0/">CC0</a>'
+    ),
+    "suffix": "</body></html>",
+}
+
+
+def _html_plant_cte() -> str:
+    """CTE 'hdocs(doc_id, html)': the synthetic pages over documents."""
+    from .operators.normalize import sql_quote as q
+
+    p = {k: q(v) for k, v in HTML_PLANT.items()}
+    return f"""hdocs as (
+  select doc_id,
+         {p['prefix']} || cast(doc_id as varchar) || {p['after_id_title']}
+         || case when doc_id % 5 = 0 then {p['noindex']} else '' end
+         || {p['mid']} || cast(doc_id as varchar) || {p['after_id_h1']}
+         || text || {p['after_text']}
+         || case when doc_id % 3 = 0 then {p['cc_by']}
+                 when doc_id % 7 = 0 then {p['cc0']} else '' end
+         || {p['suffix']} as html
+  from documents
+)"""
+
+
+def q_html_extraction() -> str:
+    """Twin of extract_html over the planted pages: 'html' rows carry
+    the extracted text (line_idx=-1), 'hmeta' rows carry
+    license|title packed into line with the noindex flag as line_idx —
+    the whole regex/entity rule chain is GENERATED from
+    operators/extract_html.py's tables."""
+    from .operators.extract_html import (
+        html_license_sql,
+        html_noindex_sql,
+        html_text_sql,
+        html_title_sql,
+    )
+
+    return f"""
+with {_html_plant_cte()}
+select 'html' as level, doc_id, cast(-1 as bigint) as line_idx,
+       {html_text_sql('html')} as line
+from hdocs
+union all
+select 'hmeta' as level, doc_id,
+       cast({html_noindex_sql('html')} as bigint) as line_idx,
+       {html_license_sql('html')} || '|' || {html_title_sql('html')} as line
+from hdocs
+"""
+
+
 def q_filter_matrix() -> str:
     """All four extract-tags truth-table variants in one result, tagged
     by variant — the full reference filter semantics in one hash."""
@@ -2269,6 +2345,8 @@ select 'line' as level, doc_id, cast(line_idx as bigint) as line_idx, line
 from {_sub(q_dedup_lines())}
 union all
 select level, doc_id, line_idx, line from {_sub(q_dedup_paragraphs())}
+union all
+select level, doc_id, line_idx, line from {_sub(q_html_extraction())}
 order by level, doc_id, line_idx
 """
 

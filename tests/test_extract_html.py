@@ -1,0 +1,116 @@
+"""HTML -> text extraction: golden cases on both engines.
+
+The golden outputs pin the operator's regex-extraction contract
+(script/style/comment drop, block-tag line structure, entity order,
+license/noindex/title signals); the Spark exprs and the generated
+DuckDB twins must both reproduce them char-for-char, which is what the
+text_extraction driver row re-proves corpus-wide every round.
+"""
+
+from __future__ import annotations
+
+import duckdb
+
+from oscar_tools_spark.operators.extract_html import (
+    extract_html,
+    html_license_sql,
+    html_noindex_sql,
+    html_text_sql,
+    html_title_sql,
+)
+from oscar_tools_spark.operators.normalize import sql_quote
+
+# (html, text, title, license, noindex)
+CASES = [
+    (
+        '<html><head><title>Doc 7 &amp; friends</title>'
+        '<meta name="robots" content="noindex, nofollow">'
+        "<style type='text/css'>p { color: red; }</style>"
+        '<script>var x = 1 < 2; if (x) { alert("</p>"); }</script></head>'
+        "<body><!-- hidden <p>comment</p> -->"
+        '<h1 class="t">Doc 7</h1><p>hello world</p>'
+        '<div class="foot">caf&eacute; &amp; cr&egrave;me &lt;tag&gt; '
+        "&quot;q&quot; &#39;s&nbsp;end</div>"
+        '<p>cc: <a href="https://creativecommons.org/licenses/by-sa/4.0/">'
+        "CC BY-SA</a></p></body></html>",
+        "Doc 7 & friends\n\nDoc 7\n\nhello world\n\n"
+        "café & crème <tag> \"q\" 's end\n\ncc: CC BY-SA",
+        "Doc 7 & friends",
+        "cc-by-sa",
+        True,
+    ),
+    # inline tags strip without line breaks; '&amp;lt;' decodes to the
+    # LITERAL '&lt;' (amp-last ordering), never double-decodes to '<'
+    (
+        "<p>a</p><p>b</p><br/><span>inline</span> tail &amp;lt; stays",
+        "a\n\nb\n\ninline tail &lt; stays",
+        "", "", False,
+    ),
+    # case-insensitive tag handling
+    ('<SCRIPT SRC="x.js">ignore</SCRIPT><P>UPPER</P>', "UPPER", "", "", False),
+    # 'pre' wins over 'p' on the shared prefix; unknown tags fall to the
+    # generic strip; internal whitespace collapses
+    (
+        "<pre>  keep   this?  </pre><premium>unknown tag</premium>",
+        "keep this?\nunknown tag",
+        "", "", False,
+    ),
+    ("plain text no tags", "plain text no tags", "", "", False),
+    ("", "", "", "", False),
+    # public-domain dedication -> cc0; title requires a CLOSED tag
+    (
+        '<a href="https://creativecommons.org/publicdomain/zero/1.0/">CC0</a>ok',
+        "CC0ok", "", "cc0", False,
+    ),
+    ("<title>unclosed title <p>para</p>", "unclosed title\npara", "", "", False),
+]
+
+
+def test_spark_matches_goldens(spark):
+    df = spark.createDataFrame(
+        [(i, h) for i, (h, *_) in enumerate(CASES)], "doc_id bigint, html string"
+    )
+    got = {r.doc_id: r for r in extract_html(df).collect()}
+    for i, (_, text, title, lic, noindex) in enumerate(CASES):
+        r = got[i]
+        assert r.text == text, (i, r.text, text)
+        assert r.title == title and r.license == lic and r.noindex == noindex, (
+            i, r.title, r.license, r.noindex,
+        )
+
+
+def test_sql_twins_match_goldens():
+    con = duckdb.connect()
+    for html, text, title, lic, noindex in CASES:
+        q = sql_quote(html)
+        row = con.sql(
+            f"select {html_text_sql(q)} t, {html_title_sql(q)} ti, "
+            f"{html_license_sql(q)} li, {html_noindex_sql(q)} ni"
+        ).fetchone()
+        assert row == (text, title, lic, noindex), (html, row)
+
+
+def test_null_html_propagates(spark):
+    df = spark.createDataFrame([(1, None)], "doc_id bigint, html string")
+    r = extract_html(df).first()
+    assert r.text is None and r.title is None and r.license is None
+    assert r.noindex is None
+
+
+def test_with_meta_false_adds_only_text(spark):
+    df = spark.createDataFrame([(1, "<p>x</p>")], "doc_id bigint, html string")
+    out = extract_html(df, with_meta=False)
+    assert set(out.columns) == {"doc_id", "html", "text"}
+    assert out.first().text == "x"
+
+
+def test_extraction_idempotent_on_plain_text(spark):
+    """Extracted text contains no markup, so a second pass is the
+    identity (modulo entities the first pass deliberately left literal,
+    e.g. the '&amp;lt;' -> '&lt;' case — excluded here)."""
+    df = spark.createDataFrame(
+        [(i, t) for i, (_, t, *_a) in enumerate(CASES) if "&" not in t],
+        "doc_id bigint, html string",
+    )
+    for r in extract_html(df, with_meta=False).collect():
+        assert r.text == r.html
