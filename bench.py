@@ -343,6 +343,31 @@ def main() -> None:
                     )
                 ),
             )
+        # round-7: trained hashed-softmax langid over every turn — like
+        # bpe_encode, training is a fixed driver-side cost on the synth
+        # labeled corpus (excluded); the timed path is the Arrow batch
+        # scorer (numpy window-pack featurize + K bincounts) through the
+        # langid_model_udf seam, the fastText-lid-shaped hot path.
+        from oscar_tools_spark.datagen import synth_labeled_docs
+        from oscar_tools_spark.functions.langid import langid_model_udf
+        from oscar_tools_spark.functions.langid_trained import (
+            fit_langid_classifier,
+            make_batch_scorer,
+        )
+
+        if only_set is None or "lid_trained" in only_set:
+            lid_model = fit_langid_classifier(
+                synth_labeled_docs(spark, 2400), per_class_cap=300
+            )
+            _lid_udf = langid_model_udf(make_batch_scorer(lid_model))
+            timed(
+                "lid_trained",
+                lambda: run_noop(
+                    transcripts.select(
+                        "conv_id", "turn_idx", _lid_udf(F.col("text")).alias("ident")
+                    )
+                ),
+            )
         # round-7: paragraph-level excise dedup over conversation
         # documents derived from the full transcripts table (one
         # paragraph per turn — repeated turn texts across conversations

@@ -67,6 +67,13 @@ def main() -> None:
                     "seed-corpus model — in-domain perplexity, the "
                     "KenLM-style train-on-your-corpus path; lineage "
                     "records the corpus-fit version string")
+    ap.add_argument("--langid-model", default=None,
+                    help=".npz artifact from langid_trained.save_lid_model; "
+                    "when set, the trained hashed-softmax lid model scores "
+                    "every turn through the pipeline's langid seam instead "
+                    "of the built-in trigram profiles (covers non-Latin "
+                    "languages the stopword heuristic cannot); lineage "
+                    "records the model version + class count")
     ap.add_argument("--quality-model", default=None,
                     help=".npz artifact from quality_classifier.save_model; "
                     "when set, turns are scored post-scrub and those below "
@@ -214,6 +221,20 @@ def main() -> None:
         c4_line_clean=args.c4_clean,
         gopher_filter=args.gopher,
     )
+    if args.langid_model:
+        import dataclasses as _dc
+
+        from oscar_tools_spark.functions.langid_trained import (
+            load_lid_model,
+            make_batch_scorer as make_lid_scorer,
+        )
+
+        lid = load_lid_model(args.langid_model)
+        cfg = _dc.replace(
+            cfg,
+            langid_score_batch=make_lid_scorer(lid),
+            langid_model_version=f"{lid['version']};k={len(lid['labels'])}",
+        )
     io = TableIO(spark)
     df = io.read(args.input)
 

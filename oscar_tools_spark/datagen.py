@@ -229,3 +229,101 @@ def synth_transcripts(
             "ts",
         )
     )
+
+
+# ------------------------------------------------------------------ labeled LID corpus
+
+# Per-language word pools for the supervised-langid fixture. The
+# testdata `documents.lang` column is random metadata over a SHARED
+# English-ish vocabulary (verified: per-lang text is indistinguishable),
+# so it cannot supervise a classifier; this corpus is the deterministic
+# labeled stand-in a user's really-labeled corpus would fill at scale.
+# zh is included precisely because the stopword heuristic cannot cover
+# it (no Latin stopwords to hit) while byte n-grams separate it
+# trivially.
+LID_WORDS: dict[str, list[str]] = {
+    "en": (
+        "the and is of to in that you for it with on as are this have from "
+        "or by not be at they we say her she will one all would there their "
+        "what out about who get which go me when make can like time just "
+        "know take people into year your good some could them see other "
+        "than then now look only come its over think also back after use "
+        "two how our work first well way even new want because any these "
+        "give day most us"
+    ).split(),
+    "fr": (
+        "le la les de des un une et est dans que pour avec sur pas ne se "
+        "ce il elle nous vous ils au aux du son sa ses mais ou donc car si "
+        "plus moins très bien tout tous comme aussi faire être avoir aller "
+        "dire voir savoir pouvoir vouloir venir devoir prendre trouver "
+        "donner parler aimer passer mettre jour temps monde vie homme "
+        "femme enfant chose"
+    ).split(),
+    "de": (
+        "der die das und ist von zu mit auf für nicht sich ein eine als "
+        "auch es an werden aus er hat dass sie nach wird bei einer um am "
+        "sind noch wie einem über einen so zum war haben nur oder aber vor "
+        "zur bis mehr durch man sein wurde wenn unter können diese alle "
+        "ihre dann jahr zeit welt leben mensch frau kind arbeit stadt "
+        "morgen immer wieder"
+    ).split(),
+    "es": (
+        "el la los las de un una y es en que para con no se por su al lo "
+        "como más pero sus le ya este sí porque esta entre cuando muy sin "
+        "sobre también me hasta hay donde quien desde todo nos durante "
+        "todos uno les ni contra otros ese eso ante ellos esto antes "
+        "algunos qué unos otro otras otra él tanto esa estos mucho nada "
+        "muchos cual poco ella estar estas algo nosotros"
+    ).split(),
+    "it": (
+        "il lo la gli le di da in con su per tra fra che non si una uno "
+        "come più ma anche se io tu lui lei noi voi loro questo quello "
+        "essere avere fare dire potere volere sapere stare dovere vedere "
+        "andare venire dare parlare trovare sentire lasciare prendere casa "
+        "tempo anno giorno uomo donna vita mondo mano cosa città sempre "
+        "molto quando prima dopo ancora"
+    ).split(),
+    # common hanzi as single-character "words", joined WITHOUT spaces
+    # (unsegmented CJK is the realistic byte-gram input)
+    "zh": list(
+        "的一是不了人我在有他这为之大来以个中上们到说国和地也子时道出"
+        "而要于就下得可你年生自会那后能对着事其里所去行过家十用发天如"
+        "然作方成者多日都三小军二无同么经法当起与好看学进种将还分此心"
+    ),
+}
+
+
+def gen_labeled_doc(doc_id: int, seed: int = DEFAULT_SEED) -> tuple[str, str]:
+    """(lang, text) for one labeled doc — a pure function of
+    (doc_id, seed), like every other fixture here."""
+    langs = sorted(LID_WORDS)
+    lang = langs[_h("lidlang", seed, doc_id) % len(langs)]
+    rng = random.Random(_h("lidtext", seed, doc_id))
+    words = LID_WORDS[lang]
+    n = 20 + rng.randrange(80)
+    sep = "" if lang == "zh" else " "
+    return lang, sep.join(rng.choice(words) for _ in range(n))
+
+
+def synth_labeled_docs(
+    spark: SparkSession,
+    n_docs: int,
+    seed: int = DEFAULT_SEED,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Labeled multilingual corpus ``(doc_id, lang, text)`` at any
+    scale — generation is distributed (range + one Arrow UDF wrapping
+    the pure function), identical for any partitioning."""
+    seed_ = seed
+
+    @F.pandas_udf("struct<lang:string, text:string>")
+    def gen_udf(ids: pd.Series) -> pd.DataFrame:
+        rows = [gen_labeled_doc(int(i), seed_) for i in ids]
+        return pd.DataFrame(rows, columns=["lang", "text"])
+
+    return (
+        spark.range(n_docs, numPartitions=partitions)
+        .withColumnRenamed("id", "doc_id")
+        .withColumn("lt", gen_udf("doc_id"))
+        .select("doc_id", F.col("lt.lang").alias("lang"), F.col("lt.text").alias("text"))
+    )

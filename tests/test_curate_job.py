@@ -676,3 +676,32 @@ def test_job_full_stack_composition(spark, long_transcripts_path, tmp_path, caps
     assert curate_rec2["rows"] == 0
     render_rec2 = next(r for r in recs2 if "render_chat" in r)
     assert render_rec2["conversations"] == 0
+
+
+def test_job_langid_model_artifact(spark, transcripts_path, tmp_path, capsys):
+    """Train the hashed-softmax lid model -> save .npz -> the job loads
+    it through the langid seam; identification labels come from the
+    trained classes and lineage records the model version."""
+    from oscar_tools_spark.datagen import synth_labeled_docs
+    from oscar_tools_spark.functions.langid_trained import (
+        fit_langid_classifier,
+        save_lid_model,
+    )
+
+    model = fit_langid_classifier(
+        synth_labeled_docs(spark, 300), per_class_cap=50, epochs=60
+    )
+    mpath = str(tmp_path / "lid.npz")
+    save_lid_model(model, mpath)
+    out_path = str(tmp_path / "out_lid")
+    _run_job(
+        capsys,
+        ["--input", transcripts_path, "--output", out_path,
+         "--no-resume", "--langid-model", mpath],
+    )
+    out = spark.read.parquet(out_path)
+    assert out.count() > 0
+    labels = {r.label for r in out.select("identification.label").collect()}
+    assert labels <= set(model["labels"]) | {"unknown"}
+    versions = {r.model_versions for r in out.select("model_versions").collect()}
+    assert all(model["version"] in v for v in versions)
