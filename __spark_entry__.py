@@ -1933,7 +1933,11 @@ def q_text_extraction(spark, sf_dir):
         F.lit("hmeta").alias("level"),
         "doc_id",
         F.col("noindex").cast("bigint").alias("line_idx"),
-        F.concat("license", F.lit("|"), "title").alias("line"),
+        F.concat(
+            "license", F.lit("|"), "title",
+            F.lit("|"), F.size("links").cast("string"),
+            F.lit("|"), F.coalesce(F.try_element_at("links", F.lit(1)), F.lit("")),
+        ).alias("line"),
     )
     return (
         a.unionAll(b).unionAll(c).unionAll(h).unionAll(hm)

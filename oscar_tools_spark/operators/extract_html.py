@@ -106,6 +106,16 @@ CC0_PATTERN = r"(?i)creativecommons\.org/(publicdomain|licenses/zero)"
 CC_LICENSE_PATTERN = r"(?i)creativecommons\.org/licenses/([a-zA-Z][a-zA-Z-]*[a-zA-Z])/"
 NOINDEX_PATTERN = r"(?i)(<meta[^>]*noindex[^>]*>)"
 
+# outlink extraction: href values in double then single quotes. The
+# result is the concatenation of the two scans (all double-quoted
+# hrefs in document order, then all single-quoted ones) — a contract,
+# not document order, chosen because neither engine's
+# regexp_extract_all can interleave two alternations' capture groups.
+HREF_PATTERNS = [
+    r'(?i)<a[ \t\n\r][^>]*href[ \t\n\r]*=[ \t\n\r]*"([^"]*)"',
+    r"(?i)<a[ \t\n\r][^>]*href[ \t\n\r]*=[ \t\n\r]*'([^']*)'",
+]
+
 
 def _decode_entities(e: Column) -> Column:
     for ent, ch in ENTITY_TABLE:
@@ -153,6 +163,15 @@ def html_noindex_expr(col: Column) -> Column:
     return F.regexp_extract(col, NOINDEX_PATTERN, 1) != ""
 
 
+def html_links_expr(col: Column) -> Column:
+    """array<string> of <a href> targets (HREF_PATTERNS contract order)
+    — the outlink feed for the link graph / canonicalization /
+    blocklist stages (operators/urlblock.py composes directly)."""
+    return F.concat(
+        *[F.regexp_extract_all(col, F.lit(p), 1) for p in HREF_PATTERNS]
+    )
+
+
 def extract_html(
     df: DataFrame,
     html_col: str = "html",
@@ -169,6 +188,7 @@ def extract_html(
         cols["title"] = html_title_expr(h)
         cols["license"] = html_license_expr(h)
         cols["noindex"] = html_noindex_expr(h)
+        cols["links"] = html_links_expr(h)
     return df.withColumns(cols)
 
 
@@ -221,3 +241,12 @@ def html_license_sql(expr: str) -> str:
 def html_noindex_sql(expr: str) -> str:
     q = sql_quote
     return f"(regexp_extract({expr}, {q(NOINDEX_PATTERN)}, 1) <> '')"
+
+
+def html_links_sql(expr: str) -> str:
+    """DuckDB twin of html_links_expr (list_concat of the two scans)."""
+    q = sql_quote
+    parts = [
+        f"regexp_extract_all({expr}, {q(p)}, 1)" for p in HREF_PATTERNS
+    ]
+    return f"list_concat({parts[0]}, {parts[1]})"

@@ -1570,11 +1570,13 @@ def q_html_extraction() -> str:
     operators/extract_html.py's tables."""
     from .operators.extract_html import (
         html_license_sql,
+        html_links_sql,
         html_noindex_sql,
         html_text_sql,
         html_title_sql,
     )
 
+    links = html_links_sql("html")
     return f"""
 with {_html_plant_cte()}
 select 'html' as level, doc_id, cast(-1 as bigint) as line_idx,
@@ -1583,7 +1585,9 @@ from hdocs
 union all
 select 'hmeta' as level, doc_id,
        cast({html_noindex_sql('html')} as bigint) as line_idx,
-       {html_license_sql('html')} || '|' || {html_title_sql('html')} as line
+       {html_license_sql('html')} || '|' || {html_title_sql('html')}
+         || '|' || cast(len({links}) as varchar)
+         || '|' || coalesce(({links})[1], '') as line
 from hdocs
 """
 

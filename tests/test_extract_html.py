@@ -114,3 +114,96 @@ def test_extraction_idempotent_on_plain_text(spark):
     )
     for r in extract_html(df, with_meta=False).collect():
         assert r.text == r.html
+
+
+LINK_CASES = [
+    (
+        '<a href="https://a.example/x">x</a> mid '
+        "<a class='k' href='http://b.example/y?q=1'>y</a>"
+        '<area href="https://ignored.example/">'
+        # the documented regex-tier limit: a '>' inside a quoted
+        # attribute value ends the tag scan early, so this href is
+        # NOT found (same contract as the tag stripper)
+        '<a data-x=">" href="https://c.example/z">z</a>',
+        # contract order: all double-quoted scans first, then single
+        ["https://a.example/x", "http://b.example/y?q=1"],
+    ),
+    ("<p>no links</p>", []),
+    ('<A HREF="https://up.example/">caps</A>', ["https://up.example/"]),
+]
+
+
+def test_links_goldens_both_engines(spark):
+    from oscar_tools_spark.operators.extract_html import html_links_sql
+
+    df = spark.createDataFrame(
+        [(i, h) for i, (h, _) in enumerate(LINK_CASES)], "doc_id bigint, html string"
+    )
+    got = {r.doc_id: list(r.links) for r in extract_html(df).collect()}
+    con = duckdb.connect()
+    for i, (html, want) in enumerate(LINK_CASES):
+        assert got[i] == want, (i, got[i])
+        o = con.sql(f"select {html_links_sql(sql_quote(html))} l").fetchone()[0]
+        assert list(o) == want, (i, o)
+
+
+def _py_extract_text(html: str) -> str:
+    """Pure-Python third implementation of the text rule chain — the
+    repo's replay-fuzz convention (Spark expr / DuckDB SQL / Python re
+    must all agree; the patterns stay in the Java∩RE2∩`re` subset)."""
+    import re as _re
+
+    from oscar_tools_spark.operators import extract_html as X
+
+    e = html
+    for pat in X._DROP_PATTERNS:
+        e = _re.sub(pat, "", e)
+    e = _re.sub(X._BLOCK_PATTERN, "\n", e)
+    e = _re.sub(X._TAG_PATTERN, "", e)
+    for ent, ch in X.ENTITY_TABLE:
+        e = e.replace(ent, ch)
+    for pat, rep in X._WS_COLLAPSE:
+        e = _re.sub(pat, rep, e)
+    return e.strip(" \n")
+
+
+def _rand_html(seed: int) -> str:
+    import random
+
+    rng = random.Random(seed)
+    words = ["alpha", "beta", "caf&eacute;", "x &amp; y", "q&quot;", "tail"]
+    blocks = ["p", "div", "h2", "li", "PRE", "blockquote"]
+    inline = ["span", "a href=\"https://e.example/{}\"", "b", "em"]
+    out = []
+    for _ in range(rng.randrange(1, 14)):
+        r = rng.random()
+        if r < 0.15:
+            out.append(f"<script x={rng.randrange(9)}>var a = '<p>no</p>';</script>")
+        elif r < 0.25:
+            out.append("<style>.c{color:red}</style>")
+        elif r < 0.35:
+            out.append(f"<!-- hidden {rng.choice(words)} <b>t</b> -->")
+        elif r < 0.6:
+            t = rng.choice(blocks)
+            out.append(f"<{t}>{' '.join(rng.choices(words, k=rng.randrange(1, 5)))}</{t.lower()}>")
+        elif r < 0.8:
+            t = rng.choice(inline).format(rng.randrange(99))
+            name = t.split(" ")[0]
+            out.append(f"<{t}>{rng.choice(words)}</{name}>")
+        else:
+            out.append(" ".join(rng.choices(words, k=rng.randrange(1, 6))))
+    return "".join(out)
+
+
+def test_random_replay_fuzz(spark):
+    htmls = [_rand_html(s) for s in range(120)]
+    df = spark.createDataFrame(
+        [(i, h) for i, h in enumerate(htmls)], "doc_id bigint, html string"
+    )
+    got = {r.doc_id: r.text for r in extract_html(df, with_meta=False).collect()}
+    con = duckdb.connect()
+    for i, h in enumerate(htmls):
+        want = _py_extract_text(h)
+        assert got[i] == want, (h, got[i], want)
+        o = con.sql(f"select {html_text_sql(sql_quote(h))} t").fetchone()[0]
+        assert o == want, (h, o, want)
