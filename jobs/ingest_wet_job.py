@@ -1,5 +1,5 @@
 """spark-submit entry point for web-corpus ingestion: CommonCrawl WET
-shards -> curated parquet documents.
+shards (or raw HTML pages) -> curated parquet documents.
 
 The docs-side sibling of jobs/curate_job.py (which owns the
 transcript north rule): this one composes the document operators over
@@ -9,6 +9,18 @@ stage order the operators' contracts require:
     read WET -> per-host cap -> normalize -> langid filter
     -> paragraph excise dedup -> C4 line cleanup -> Gopher quality
     gate -> exact doc dedup -> MinHash near-dup -> parquet
+
+``--input-format html`` swaps the source for raw HTML pages (one file
+per page via ``binaryFile`` — a real ``path`` data column, NOT
+input_file_name(), which raises MULTI_SOURCES once the plan self-joins
+in the dedup stages) and prepends the extraction tier:
+
+    read pages -> extract_html (text + title/license/noindex)
+    -> [--drop-noindex] -> [--licensed-only] -> same recipe as WET
+
+The html-mode extras run BEFORE the heavy stages for the same
+cheap-skim-first reason as the host cap: a robots/license gate is one
+codegen filter over already-computed signal columns.
 
 Order rationale: the host cap runs FIRST (cheap skim before any heavy
 work — one mega-domain must not dominate the explode stages);
@@ -49,8 +61,20 @@ from pyspark.sql import SparkSession
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--input", required=True, help="WET path/glob (.gz ok)")
+    ap.add_argument("--input", required=True,
+                    help="WET path/glob (.gz ok), or HTML page glob "
+                    "with --input-format html")
     ap.add_argument("--output", required=True)
+    ap.add_argument("--input-format", choices=["wet", "html", "warc"],
+                    default="wet",
+                    help="wet: pre-extracted text shards; html: one raw "
+                    "page per file; warc: raw crawl archives (2xx "
+                    "text/html response records -> extract_html)")
+    ap.add_argument("--drop-noindex", action="store_true",
+                    help="(html/warc) drop pages carrying a robots noindex meta")
+    ap.add_argument("--licensed-only", action="store_true",
+                    help="(html/warc) keep only pages with a Creative Commons "
+                    "license marker (license column stays as lineage)")
     ap.add_argument("--cap-per-host", type=int, default=0,
                     help="keep at most N docs per URL host (0 = off)")
     ap.add_argument("--normalize", action="store_true")
@@ -68,6 +92,8 @@ def main() -> None:
     args = ap.parse_args()
     if args.langid_threshold and not args.langs:
         ap.error("--langid-threshold does nothing without --langs")
+    if args.input_format == "wet" and (args.drop_noindex or args.licensed_only):
+        ap.error("--drop-noindex/--licensed-only need --input-format html/warc")
 
     from pyspark.sql import functions as F
 
@@ -85,12 +111,44 @@ def main() -> None:
 
     spark = SparkSession.builder.appName("ingest-wet").getOrCreate()
 
-    df = read_wet(spark, args.input).select(
-        F.concat_ws(":", "source_part", "record_idx").alias("doc_uid"),
-        F.col("target_uri").alias("url"),
-        "warc_date",
-        "text",
-    )
+    if args.input_format in ("html", "warc"):
+        from oscar_tools_spark.operators.extract_html import extract_html
+
+        if args.input_format == "warc":
+            from oscar_tools_spark.sources.warc import read_warc
+
+            pages = read_warc(spark, args.input).select(
+                F.concat_ws(":", "source_part", "record_idx").alias("doc_uid"),
+                F.col("target_uri").alias("url"),
+                "warc_date",
+                "html",
+            )
+        else:
+            pages = (
+                spark.read.format("binaryFile")
+                .load(args.input)
+                .select(
+                    F.col("path").alias("doc_uid"),
+                    # file corpora carry no crawl URL; the path stands
+                    # in so the downstream schema is shared (host-keyed
+                    # stages like --cap-per-host are only meaningful on
+                    # real URLs)
+                    F.col("path").alias("url"),
+                    F.lit(None).cast("string").alias("warc_date"),
+                    F.col("content").cast("string").alias("html"),
+                )
+            )
+        df = extract_html(pages).select(
+            "doc_uid", "url", "warc_date",
+            "text", "title", "license", "noindex",
+        )
+    else:
+        df = read_wet(spark, args.input).select(
+            F.concat_ws(":", "source_part", "record_idx").alias("doc_uid"),
+            F.col("target_uri").alias("url"),
+            "warc_date",
+            "text",
+        )
     funnel: dict[str, int] = {}
     rows_in = df.count()
 
@@ -99,6 +157,10 @@ def main() -> None:
             funnel[name] = out.count()
         return out
 
+    if args.drop_noindex:
+        df = stage("drop_noindex", df.filter(~F.col("noindex")))
+    if args.licensed_only:
+        df = stage("licensed_only", df.filter(F.col("license") != ""))
     if args.cap_per_host > 0:
         df = stage("cap_per_host",
                    cap_per_host(df, args.cap_per_host, ["doc_uid"]))
@@ -106,11 +168,13 @@ def main() -> None:
         df = stage("normalize",
                    df.withColumn("text", normalize_text_expr(F.col("text"))))
     df = identify_staged(df)
-    df = df.select(
-        "doc_uid", "url", "warc_date", "text",
-        F.col("identification.label").alias("lang"),
-        F.col("identification.prob").alias("lang_prob"),
-    )
+    # column-preserving: html mode carries title/license/noindex lineage
+    df = df.withColumns(
+        {
+            "lang": F.col("identification.label"),
+            "lang_prob": F.col("identification.prob"),
+        }
+    ).drop("identification")
     if args.langs:
         df = stage(
             "langid_filter",
@@ -144,6 +208,9 @@ def main() -> None:
         "rows_out": rows_out,
         "funnel": funnel,
         "stages": {
+            "input_format": args.input_format,
+            "drop_noindex": args.drop_noindex,
+            "licensed_only": args.licensed_only,
             "cap_per_host": args.cap_per_host,
             "normalize": args.normalize,
             "langs": args.langs,

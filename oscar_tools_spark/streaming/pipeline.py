@@ -222,3 +222,41 @@ def run_to_parquet(
     if once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_html_pages(spark: SparkSession, path: str) -> DataFrame:
+    """Continuous raw-page ingest: a binaryFile file-source stream (one
+    row per arriving page, real `path` data column — the same
+    input_file_name()-free contract as the batch html ingest job).
+    ``pathGlobFilter`` keeps non-page droppings (sidecars, partial
+    uploads named differently) out of the stream."""
+    # streaming file sources require an explicit schema; binaryFile's
+    # is fixed by the format
+    schema = T.StructType(
+        [
+            T.StructField("path", T.StringType()),
+            T.StructField("modificationTime", T.TimestampType()),
+            T.StructField("length", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+        ]
+    )
+    return (
+        spark.readStream.format("binaryFile")
+        .schema(schema)
+        .option("pathGlobFilter", "*.html")
+        .load(path)
+        .select(
+            F.col("path").alias("doc_uid"),
+            F.col("content").cast("string").alias("html"),
+        )
+    )
+
+
+def extract_html_stream(stream: DataFrame) -> DataFrame:
+    """extract_html over a page stream — every rule is a stateless
+    narrow column expression, so the batch operator applies to a
+    streaming frame UNCHANGED (no watermark, no state store): the
+    whole extraction tier rides inside the source's codegen stage."""
+    from ..operators.extract_html import extract_html
+
+    return extract_html(stream).drop("html")

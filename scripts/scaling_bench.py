@@ -34,6 +34,9 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 LEVELS = (2, 8, 32)
 PIPELINES = ("pipeline_model", "pipeline_expr")
+# row-local round-7 ops measured alongside the pipelines in the --sf1
+# run (narrow/Arrow per-row work — the flat-in-n property is the claim)
+SF1_EXTRAS = ("html_extract", "lid_trained", "dedup_paragraphs")
 
 
 def _oracle_counts() -> str:
@@ -54,6 +57,9 @@ def run_bench(sf_dir: str, cpus: int, only: str | None = None, pin: bool = False
         # retry budget (4 attempts) would turn a loud 1-core pinned run
         # into a ~45-minute capture for no extra signal
         env.setdefault("SPARK_GRAFT_BENCH_ATTEMPTS", "2")
+        # a pinned 1-core suite is ~11 min/attempt; min-of-reps inside
+        # one attempt already rides out noise at ladder levels
+        env.setdefault("SPARK_GRAFT_BENCH_MIN_ATTEMPTS", "1")
     cmd = [sys.executable, str(REPO / "bench.py")]
     if pin:
         # Pin the WHOLE process tree (JVM task threads, GC, and the
@@ -166,7 +172,7 @@ def measure_sf1(sf_dir: str) -> None:
         SPARK_GRAFT_SF_DIR=sf_dir,
         SPARK_GRAFT_CPUS="32",
         SPARK_GRAFT_SF_FORCE="1.0",
-        SPARK_GRAFT_BENCH_ONLY=",".join(PIPELINES),
+        SPARK_GRAFT_BENCH_ONLY=",".join(PIPELINES + SF1_EXTRAS),
     )
     out = subprocess.run(
         [sys.executable, str(REPO / "bench.py")],
@@ -202,6 +208,14 @@ def _sf1_section(full32: dict) -> list[str]:
                    ("pipeline_expr", "turns_per_sec_expr")):
         a, b = full32[key], sf1[key]
         lines.append(f"| {q} | {a:,.0f} | {b:,.0f} | {b / a:.2f} |")
+    # row-local extras: turns/s derived from per-query seconds; ratio
+    # >= ~0.8 means per-row cost held (fixed costs amortize past 1.0)
+    fq, sq = full32.get("queries", {}), sf1.get("queries", {})
+    for q in SF1_EXTRAS:
+        if q in fq and q in sq:
+            a = full32["n_turns"] / fq[q]
+            b = sf1["n_turns"] / sq[q]
+            lines.append(f"| {q} | {a:,.0f} | {b:,.0f} | {b / a:.2f} |")
     return lines
 
 

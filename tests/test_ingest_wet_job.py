@@ -106,3 +106,103 @@ def test_ingest_wet_job_flag_validation(tmp_path, capsys):
             ["--input", "x", "--output", str(tmp_path / "o"),
              "--langid-threshold", "0.5"],  # without --langs
         )
+
+
+def test_ingest_html_mode(spark, tmp_path, capsys):
+    """--input-format html: raw pages -> extract_html -> robots/license
+    gates -> the shared curation recipe; signal columns land in the
+    parquet as lineage."""
+    pages = {
+        # licensed, indexable: survives everything
+        "keep.html": (
+            "<html><head><title>Keep</title></head><body>"
+            f"<p>{_para('alpha')}</p>"
+            '<a href="https://creativecommons.org/licenses/by/4.0/">CC</a>'
+            "</body></html>"
+        ),
+        # noindex: dropped by --drop-noindex
+        "noidx.html": (
+            '<html><head><meta name="robots" content="noindex"></head>'
+            f"<body><p>{_para('bravo')}</p>"
+            '<a href="https://creativecommons.org/licenses/by/4.0/">CC</a>'
+            "</body></html>"
+        ),
+        # no license marker: dropped by --licensed-only
+        "nolic.html": f"<html><body><p>{_para('carol')}</p></body></html>",
+        # script/style junk page, licensed: extraction strips to prose
+        "script.html": (
+            "<html><body><script>var x = '<p>fake</p>';</script>"
+            f"<div>{_para('delta')}</div>"
+            '<a href="https://creativecommons.org/publicdomain/zero/1.0/">z</a>'
+            "</body></html>"
+        ),
+    }
+    src = tmp_path / "pages"
+    src.mkdir()
+    for name, html in pages.items():
+        (src / name).write_text(html)
+    out_path = str(tmp_path / "out_html")
+    rep = _run_job(
+        capsys,
+        ["--input", str(src), "--output", out_path,
+         "--input-format", "html", "--drop-noindex", "--licensed-only",
+         "--c4-clean", "--gopher", "--dedup-exact", "--funnel"],
+    )
+    assert rep["rows_in"] == 4
+    assert rep["funnel"]["drop_noindex"] == 3
+    assert rep["funnel"]["licensed_only"] == 2
+    got = {r.title: r for r in spark.read.parquet(out_path).collect()}
+    assert rep["rows_out"] == 2 and len(got) == 2
+    keep = got["Keep"]
+    assert keep.license == "cc-by" and keep.noindex is False
+    assert "alpha0" in keep.text and "<" not in keep.text
+    script = got[""]  # script.html has no title
+    assert script.license == "cc0"
+    assert "fake" not in script.text and "delta0" in script.text
+
+
+def test_ingest_html_flags_require_html_mode(capsys, tmp_path):
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):
+        _run_job(
+            capsys,
+            ["--input", "x", "--output", str(tmp_path / "o"),
+             "--drop-noindex"],
+        )
+
+
+def test_ingest_warc_mode(spark, tmp_path, capsys):
+    """--input-format warc: raw crawl -> 2xx text/html responses ->
+    extract_html -> the shared recipe, with real crawl URLs feeding
+    --cap-per-host."""
+    import gzip as _gzip
+
+    from oscar_tools_spark.sources.warc import synth_warc
+
+    date = "2024-01-01T00:00:00Z"
+    pages = [
+        *[(f"https://bighost.example/p{i}", date,
+           f"<html><body><p>{_para(f'big{i}')}</p></body></html>")
+          for i in range(3)],
+        ("https://ok.example/1", date,
+         "<html><head><title>Ok</title>"
+         '<meta name="robots" content="noindex"></head>'
+         f"<body><p>{_para('ok')}</p></body></html>"),
+    ]
+    src = tmp_path / "crawl"
+    src.mkdir()
+    (src / "shard0.warc.gz").write_bytes(_gzip.compress(synth_warc(pages)))
+    out_path = str(tmp_path / "out_warc")
+    rep = _run_job(
+        capsys,
+        ["--input", str(src), "--output", out_path,
+         "--input-format", "warc", "--cap-per-host", "2", "--funnel"],
+    )
+    assert rep["rows_in"] == 4
+    assert rep["funnel"]["cap_per_host"] == 3  # bighost capped 3 -> 2
+    got = spark.read.parquet(out_path)
+    assert rep["rows_out"] == 3
+    ok = got.filter("url = 'https://ok.example/1'").first()
+    assert ok.title == "Ok" and ok.noindex is True
+    assert "ok0" in ok.text and "<" not in ok.text

@@ -200,3 +200,50 @@ def test_wet_record_walker_contract():
     assert len(recs) == 2  # warcinfo + 1 conversion, garbage ignored
     bad = b"WARC/1.0\r\nWARC-Type: conversion\r\n\r\nbody"
     assert list(iter_wet_records(bad)) == []
+
+
+WARC_PAGES = [
+    ("https://a.example/1", "2024-01-01T00:00:00Z",
+     "<html><head><title>One</title></head><body><p>first page body</p></body></html>"),
+    ("https://b.example/2", "2024-01-02T00:00:00Z",
+     "<html><body><script>x()</script><p>second page body</p></body></html>"),
+    ("https://c.example/404", "2024-01-03T00:00:00Z",
+     "<html><body><p>not found page</p></body></html>"),
+]
+
+
+def test_read_warc_round_trip_and_filters(spark, tmp_path):
+    """synth -> .gz -> read_warc keeps only 2xx text/html responses
+    (request/warcinfo records and the 404 skipped), payload intact."""
+    import gzip as _gzip
+
+    from oscar_tools_spark.sources.warc import read_warc, synth_warc
+
+    raw = synth_warc(WARC_PAGES, statuses=[200, 206, 404])
+    (tmp_path / "part0.warc.gz").write_bytes(_gzip.compress(raw))
+    out = {r.target_uri: r for r in read_warc(spark, str(tmp_path)).collect()}
+    assert set(out) == {"https://a.example/1", "https://b.example/2"}
+    a = out["https://a.example/1"]
+    assert a.http_status == 200 and a.content_type.startswith("text/html")
+    assert a.html == WARC_PAGES[0][2]
+    assert a.record_idx == 0 and out["https://b.example/2"].record_idx == 1
+    # ok_only=False keeps the 404 too
+    assert read_warc(spark, str(tmp_path), ok_only=False).count() == 3
+
+
+def test_split_http_response_contract():
+    from oscar_tools_spark.sources.warc import split_http_response
+
+    s, h, p = split_http_response(
+        b"HTTP/1.1 301 Moved\r\nLocation: /x\r\ncontent-type: text/html\r\n\r\nBODY"
+    )
+    assert (s, h["location"], h["content-type"], p) == (301, "/x", "text/html", b"BODY")
+    # LF-only block; payload may contain blank lines and HTTP/ text
+    s, _, p = split_http_response(b"HTTP/1.0 200 OK\n\nA\n\nHTTP/9 fake")
+    assert s == 200 and p == b"A\n\nHTTP/9 fake"
+    import pytest as _pytest
+
+    for bad in (b"NOTHTTP", b"HTTP/1.1 200 OK\r\nno-terminator",
+                b"HTTP/1.1 abc\r\n\r\nx"):
+        with _pytest.raises(ValueError):
+            split_http_response(bad)

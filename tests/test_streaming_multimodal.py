@@ -186,3 +186,51 @@ def test_streaming_dedup_with_bloom_history(spark, tmp_path):
     }
     assert got2 == got | {(8, 2)}
     assert _committed_state_versions(spark, state)[-1] == 2
+
+
+def test_streaming_html_extraction_matches_batch(spark, tmp_path):
+    """Raw pages arriving as files -> extract_html over the stream ==
+    the batch operator on the same pages (stateless narrow tier)."""
+    from oscar_tools_spark.operators.extract_html import extract_html
+    from oscar_tools_spark.streaming.pipeline import (
+        extract_html_stream,
+        run_to_parquet,
+        stream_html_pages,
+    )
+
+    src = tmp_path / "pages"
+    src.mkdir()
+    for i in range(6):
+        lic = (
+            '<a href="https://creativecommons.org/licenses/by/4.0/">c</a>'
+            if i % 2 == 0 else ""
+        )
+        (src / f"p{i}.html").write_text(
+            f"<html><head><title>T{i}</title></head><body>"
+            f"<script>var j = {i};</script><p>page {i} body text</p>{lic}"
+            "</body></html>"
+        )
+    (src / "ignore.tmp").write_text("<p>not a page</p>")
+
+    stream = stream_html_pages(spark, str(src))
+    assert stream.isStreaming
+    q = run_to_parquet(
+        extract_html_stream(stream),
+        str(tmp_path / "out"), str(tmp_path / "ckpt"), once=True,
+    )
+    q.awaitTermination(120)
+    got = {r.doc_uid: r for r in spark.read.parquet(str(tmp_path / "out")).collect()}
+    assert len(got) == 6  # the .tmp file never entered the stream
+
+    pages = spark.read.format("binaryFile").option(
+        "pathGlobFilter", "*.html"
+    ).load(str(src)).selectExpr(
+        "path as doc_uid", "cast(content as string) as html"
+    )
+    want = {r.doc_uid: r for r in extract_html(pages).collect()}
+    assert set(got) == set(want)
+    for k in want:
+        assert (got[k].text, got[k].title, got[k].license, got[k].noindex) == (
+            want[k].text, want[k].title, want[k].license, want[k].noindex,
+        )
+        assert "var j" not in got[k].text
