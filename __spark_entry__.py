@@ -1907,20 +1907,9 @@ def q_text_extraction(spark, sf_dir):
         F.col("line_idx").cast("bigint").alias("line_idx"),
         "line",
     )
-    p = O.HTML_PLANT
-    sid = F.col("doc_id").cast("string")
     hdocs = d.select(
         "doc_id",
-        F.concat(
-            F.lit(p["prefix"]), sid, F.lit(p["after_id_title"]),
-            F.when(F.col("doc_id") % 5 == 0, F.lit(p["noindex"])).otherwise(F.lit("")),
-            F.lit(p["mid"]), sid, F.lit(p["after_id_h1"]),
-            F.col("text"), F.lit(p["after_text"]),
-            F.when(F.col("doc_id") % 3 == 0, F.lit(p["cc_by"]))
-            .when(F.col("doc_id") % 7 == 0, F.lit(p["cc0"]))
-            .otherwise(F.lit("")),
-            F.lit(p["suffix"]),
-        ).alias("html"),
+        O.synth_html_expr(F.col("doc_id"), F.col("text")).alias("html"),
     )
     ext = extract_html(hdocs)
     h = ext.select(

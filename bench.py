@@ -403,23 +403,14 @@ def main() -> None:
         # ~10 regexp_replace + entity replace chain per row, no shuffle,
         # no Python worker; this is the raw-crawl ingest hot path.
         from oscar_tools_spark.operators.extract_html import extract_html
-        from oscar_tools_spark.oracles import HTML_PLANT as _HP
+        from oscar_tools_spark.oracles import synth_html_expr
 
         if only_set is None or "html_extract" in only_set:
-            _tid = F.col("turn_idx").cast("string")
             pages = transcripts.select(
                 "conv_id",
                 "turn_idx",
-                F.concat(
-                    F.lit(_HP["prefix"]), _tid, F.lit(_HP["after_id_title"]),
-                    F.when(F.col("turn_idx") % 5 == 0, F.lit(_HP["noindex"]))
-                    .otherwise(F.lit("")),
-                    F.lit(_HP["mid"]), _tid, F.lit(_HP["after_id_h1"]),
-                    F.coalesce("text", F.lit("")), F.lit(_HP["after_text"]),
-                    F.when(F.col("turn_idx") % 3 == 0, F.lit(_HP["cc_by"]))
-                    .when(F.col("turn_idx") % 7 == 0, F.lit(_HP["cc0"]))
-                    .otherwise(F.lit("")),
-                    F.lit(_HP["suffix"]),
+                synth_html_expr(
+                    F.col("turn_idx"), F.coalesce("text", F.lit(""))
                 ).alias("html"),
             )
             timed(
@@ -583,8 +574,9 @@ def main() -> None:
         loud = probes_loud(max(p0, p1), max(y0, y1))
         if not loud and attempt + 1 >= min_attempts:
             break
-        if attempt + 1 < max_attempts:
-            # no backoff after the final attempt — it can't buy another
+        if loud and attempt + 1 < max_attempts:
+            # backoff only waits out LOUD windows; a quiet attempt that
+            # continues merely to satisfy min_attempts re-runs at once
             time.sleep(20.0 * (attempt + 1))
     timings = {
         k: min(t[k] for t in attempts if k in t) for k in attempts[0]

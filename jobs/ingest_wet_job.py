@@ -94,6 +94,11 @@ def main() -> None:
         ap.error("--langid-threshold does nothing without --langs")
     if args.input_format == "wet" and (args.drop_noindex or args.licensed_only):
         ap.error("--drop-noindex/--licensed-only need --input-format html/warc")
+    if args.input_format == "html" and args.cap_per_host > 0:
+        # file paths carry no URL host: HOST_REGEX extracts '' for every
+        # page, so the cap would silently collapse the WHOLE corpus into
+        # one host group and keep N docs total
+        ap.error("--cap-per-host needs real crawl URLs (wet/warc input)")
 
     from pyspark.sql import functions as F
 

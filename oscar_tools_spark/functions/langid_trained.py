@@ -69,7 +69,13 @@ def _mix64(x: np.ndarray) -> np.ndarray:
 
 
 def _norm(t: str | None) -> str:
-    return " " + _WS.sub(" ", (t or "").lower().replace("\x00", " ")) + " "
+    """Space-padded lowercased text — or '' for empty/whitespace-only
+    input, so such docs yield NO n-grams at all. Padding unconditionally
+    would hand every empty doc a '  ' bigram, making the scorer's
+    documented (unknown, 0.0) branch unreachable and letting the pad
+    weights assign empty turns an arbitrary confident class."""
+    core = _WS.sub(" ", (t or "").lower().replace("\x00", " ")).strip()
+    return f" {core} " if core else ""
 
 
 def _window_pack(b: np.ndarray, n: int) -> np.ndarray:
@@ -143,7 +149,10 @@ def fit_langid_classifier(
             F.col(text_col).alias("t"),
             F.md5(F.concat_ws(":", F.lit(seed), F.col(text_col))).alias("rk"),
         )
-        .filter(F.col("y").isNotNull() & (F.length(F.coalesce("t", F.lit(""))) > 0))
+        .filter(
+            F.col("y").isNotNull()
+            & (F.length(F.trim(F.coalesce("t", F.lit("")))) > 0)
+        )
         .withColumn(
             "rn", F.row_number().over(Window.partitionBy("y").orderBy("rk", "t"))
         )
@@ -238,10 +247,17 @@ def score_lid_batch(texts, model: dict) -> tuple[list[str], list[float]]:
 def make_batch_scorer(model: dict):
     """The `(pd.Series) -> (labels, probs)` callable for the existing
     seams (`langid.langid_model_udf(score_batch=...)`,
-    `CurationConfig.langid_score_batch`). Returned as a closure so
-    cloudpickle ships it BY VALUE to the Python workers (a top-level
-    function of a non---py-files module would ship by reference and
-    die with ModuleNotFoundError — tests/test_model_swap.py)."""
+    `CurationConfig.langid_score_batch`).
+
+    Shipping semantics, precisely: the closure captures the MODEL
+    (weights/labels/dim) by value, but the scoring CODE
+    (score_lid_batch and its helpers) is a module global that
+    cloudpickle serializes by reference — workers must be able to
+    import this module, which both deployment paths guarantee (the
+    session factory addPyFile's the package zip; the jobs ship it via
+    spark-submit --py-files). A scorer living OUTSIDE the shipped
+    package must instead be a self-contained closure
+    (tests/test_model_swap.py pins that contract)."""
     W = model["W"]
     b = model["b"]
     labels = list(model["labels"])

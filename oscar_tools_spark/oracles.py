@@ -1544,6 +1544,28 @@ HTML_PLANT = {
 }
 
 
+def synth_html_expr(id_col, text_col):
+    """Spark-side twin of the hdocs CTE: the synthetic page as ONE
+    concat expression over an integer id column and a text column —
+    the single assembly shared by the driver row (doc_id) and the
+    bench corpus (turn_idx), so the plant structure can never diverge
+    between the measured corpus and the cross-engine-verified one."""
+    from pyspark.sql import functions as F
+
+    p = HTML_PLANT
+    sid = id_col.cast("string")
+    return F.concat(
+        F.lit(p["prefix"]), sid, F.lit(p["after_id_title"]),
+        F.when(id_col % 5 == 0, F.lit(p["noindex"])).otherwise(F.lit("")),
+        F.lit(p["mid"]), sid, F.lit(p["after_id_h1"]),
+        text_col, F.lit(p["after_text"]),
+        F.when(id_col % 3 == 0, F.lit(p["cc_by"]))
+        .when(id_col % 7 == 0, F.lit(p["cc0"]))
+        .otherwise(F.lit("")),
+        F.lit(p["suffix"]),
+    )
+
+
 def _html_plant_cte() -> str:
     """CTE 'hdocs(doc_id, html)': the synthetic pages over documents."""
     from .operators.normalize import sql_quote as q

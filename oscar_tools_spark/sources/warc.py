@@ -27,7 +27,7 @@ from typing import Iterator
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .wet import iter_wet_records
+from .wet import find_blank_line, iter_wet_records
 
 WARC_SCHEMA = (
     "source_part string, record_idx int, record_id string, "
@@ -45,14 +45,9 @@ def split_http_response(body: bytes) -> tuple[int, dict[str, str], bytes]:
     unparseable status code)."""
     if not body.startswith(b"HTTP/"):
         raise ValueError("not an HTTP response block")
-    he_crlf = body.find(b"\r\n\r\n")
-    he_lf = body.find(b"\n\n")
-    if he_crlf == -1 and he_lf == -1:
+    he, sep = find_blank_line(body)
+    if he == -1:
         raise ValueError("no header terminator in HTTP block")
-    if he_crlf != -1 and (he_lf == -1 or he_crlf <= he_lf):
-        he, sep = he_crlf, 4
-    else:
-        he, sep = he_lf, 2
     lines = body[:he].decode("utf-8", "replace").splitlines()
     parts = lines[0].split(None, 2)
     if len(parts) < 2 or not parts[1].isdigit():

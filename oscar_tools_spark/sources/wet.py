@@ -41,6 +41,21 @@ WET_SCHEMA = (
 _CONVERSION = "conversion"
 
 
+def find_blank_line(data: bytes, pos: int = 0) -> tuple[int, int]:
+    """(offset, separator_width) of the earliest blank line at/after
+    ``pos`` — CRLF (``\\r\\n\\r\\n``, width 4) or LF (``\\n\\n``, width
+    2), whichever comes first; ``(-1, 0)`` when none exists. The one
+    header/body boundary rule shared by the WARC record walker and the
+    HTTP response splitter (sources/warc.py)."""
+    he_crlf = data.find(b"\r\n\r\n", pos)
+    he_lf = data.find(b"\n\n", pos)
+    if he_crlf == -1 and he_lf == -1:
+        return -1, 0
+    if he_crlf != -1 and (he_lf == -1 or he_crlf <= he_lf):
+        return he_crlf, 4
+    return he_lf, 2
+
+
 def iter_wet_records(data: bytes) -> Iterator[tuple[int, dict[str, str], bytes]]:
     """Walk WARC records in ``data``: yields ``(record_idx, headers,
     body)`` with header names lowercased. ``Content-Length`` drives the
@@ -66,15 +81,10 @@ def iter_wet_records(data: bytes) -> Iterator[tuple[int, dict[str, str], bytes]]
                 raise ValueError("not a WARC/WET stream (no WARC/ version line)")
             return  # garbage after valid records: stop at the last good one
         first = False
-        he_crlf = data.find(b"\r\n\r\n", pos)
-        he_lf = data.find(b"\n\n", pos)
-        if he_crlf == -1 and he_lf == -1:
-            return  # truncated header block
         # the earliest blank line ends the headers, whatever its flavor
-        if he_crlf != -1 and (he_lf == -1 or he_crlf <= he_lf):
-            he, sep = he_crlf, 4
-        else:
-            he, sep = he_lf, 2
+        he, sep = find_blank_line(data, pos)
+        if he == -1:
+            return  # truncated header block
         headers: dict[str, str] = {}
         for line in data[pos:he].decode("utf-8", "replace").splitlines()[1:]:
             name, _, value = line.partition(":")

@@ -702,6 +702,6 @@ def test_job_langid_model_artifact(spark, transcripts_path, tmp_path, capsys):
     out = spark.read.parquet(out_path)
     assert out.count() > 0
     labels = {r.label for r in out.select("identification.label").collect()}
-    assert labels <= set(model["labels"]) | {"unknown"}
+    assert labels <= set(model["labels"]) | {"und"}
     versions = {r.model_versions for r in out.select("model_versions").collect()}
     assert all(model["version"] in v for v in versions)

@@ -98,16 +98,14 @@ def test_empty_null_and_whitespace_are_unknown(spark, model):
         [(1, ""), (2, None), (3, "   \n\t ")], "doc_id bigint, text string"
     )
     got = {r.doc_id: r for r in identify_trained(df, model).collect()}
-    # '' and whitespace normalize to the ' ' pad: featurizable (the pad
-    # grams exist) is NOT the rule — lens counts grams of the padded
-    # form, which is >0 even for whitespace. The unknown rule is
-    # "no features at all", which only NULL-ish empty bytes hit; accept
-    # either unknown or a (meaningless, low-information) class label,
-    # but prob must be finite and label non-null for non-null text.
-    for i in (1, 3):
-        assert got[i].identification.label is not None
-        assert 0.0 <= got[i].identification.prob <= 1.0
-    assert got[2].identification is None or got[2].identification.label is not None
+    # featureless inputs ('' / NULL / whitespace-only — _norm yields ''
+    # so NO n-grams exist) must take the (unknown, 0.0) branch: through
+    # the pipeline seam a language filter then drops them exactly like
+    # the built-in scorer would, instead of an arbitrary confident
+    # class driven by pad-bigram weights.
+    for i in (1, 2, 3):
+        assert got[i].identification.label == "und", got[i]
+        assert got[i].identification.prob == 0.0
 
 
 def test_pipeline_seam_records_version(spark, corpus, model):
