@@ -1031,24 +1031,38 @@ def _planted_embeddings(spark, sf_dir):
 
 
 def q_dedup_embedding(spark, sf_dir):
-    """Embedding-cosine near-dup survivors via banded hyperplane LSH —
-    the scale path (no all-pairs join; the O(n²) brute force remains in
-    dedup.py only as the test baseline). Value-checked against a DuckDB
-    brute-force survivor-set oracle on the planted-clone fixture
-    (_planted_embeddings): exact clones collide in every band, so LSH
-    recall on the planted pairs is 1.0 by construction and the
-    approximate survivor set equals brute force."""
+    """Two embedding-tier sections over the planted-clone fixture
+    (_planted_embeddings), both value-checked against DuckDB
+    brute-force twins:
+    'dedup' — cosine near-dup survivors via banded hyperplane LSH, the
+    scale path (no all-pairs join); exact clones collide in every
+    band, so LSH recall on the planted pairs is 1.0 by construction
+    and the approximate survivor set equals brute force.
+    'decon' — r7 semantic decontamination survivors: eval = base
+    embeddings with vec_id % DECON_EVAL_MOD = REM, broadcast as a
+    normalized matrix into one Arrow matmul per batch; eval originals
+    (cosine exactly 1.0 with themselves) and every clone of an eval id
+    drop, nothing else approaches the threshold."""
+    from oscar_tools_spark.operators.decontaminate import decontaminate_semantic
     from oscar_tools_spark.operators.dedup import dedup_embedding_lsh
 
     _ensure_shipped(spark)
     emb = _planted_embeddings(spark, sf_dir)
-    return (
+    dedup = (
         dedup_embedding_lsh(
             emb, "vec_id", dim=64, threshold=O.EMB_DEDUP_THRESHOLD
         )
-        .select("vec_id")
-        .orderBy("vec_id")
+        .select(F.lit("dedup").alias("section"), "vec_id")
     )
+    ev = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .filter(F.col("vec_id") % O.DECON_EVAL_MOD == O.DECON_EVAL_REM)
+        .select("embedding")
+    )
+    decon = decontaminate_semantic(
+        emb, ev, key_col="vec_id", threshold=O.EMB_DEDUP_THRESHOLD
+    ).select(F.lit("decon").alias("section"), "vec_id")
+    return dedup.unionAll(decon).orderBy("section", "vec_id")
 
 
 def q_media_features(spark, sf_dir):

@@ -235,3 +235,68 @@ def decontaminate_bloom(
     )
     dirty = hits.filter(F.col("hits") >= min_hits).select(key_col)
     return df.join(dirty, key_col, "left_anti")
+
+
+# --------------------------------------------------------- semantic tier
+
+
+def decontaminate_semantic(
+    df: DataFrame,
+    eval_df: DataFrame,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.98,
+    keep_scores: bool = False,
+    max_eval: int = 200_000,
+) -> DataFrame:
+    """Drop corpus rows whose embedding sits within ``threshold``
+    cosine of ANY evaluation-set embedding — the paraphrase-robust
+    complement of the n-gram tier above (shingle overlap misses
+    reworded eval items; embedding similarity catches them — the
+    SemDeDup/Phi decontamination recipe).
+
+    Scale shape, mirroring the n-gram tier: the eval side is SMALL by
+    definition, so its vectors are collected ONCE into a normalized
+    float32 matrix that rides the Arrow-UDF closure to executors
+    (moral broadcast, ~50 MB at the 200k cap for dim 64), and the
+    corpus streams through one vectorized matmul per Arrow batch — no
+    shuffle, no corpus x eval join, no all-pairs anything. An eval
+    table above ``max_eval`` raises: at that point it is not an eval
+    suite, and the banded-LSH dedup family is the right tool.
+
+    ``keep_scores`` retains ``max_eval_cos`` (and the survivors-only
+    frame otherwise drops it) — per-row lineage for audit thresholds.
+    """
+    rows = (
+        eval_df.select(F.col(vec_col).alias("v"))
+        .limit(max_eval + 1)
+        .collect()
+    )
+    if len(rows) > max_eval:
+        raise ValueError(
+            f"eval side exceeds max_eval={max_eval}: decontaminate_semantic "
+            "broadcasts the eval matrix; use the LSH dedup family for "
+            "corpus-scale sides"
+        )
+    if not rows:
+        return df if not keep_scores else df.withColumn(
+            "max_eval_cos", F.lit(0.0)
+        )
+    ev = np.array([r.v for r in rows], dtype=np.float32)
+    norms = np.linalg.norm(ev, axis=1)
+    norms[norms == 0.0] = 1.0
+    ev = (ev / norms[:, None]).T.copy()  # (dim, n_eval), normalized
+
+    @F.pandas_udf("double")
+    def _max_cos(vecs: pd.Series) -> pd.Series:
+        m = np.array(list(vecs), dtype=np.float32)
+        if m.size == 0:
+            return pd.Series(np.empty(0, dtype=np.float64))
+        n = np.linalg.norm(m, axis=1)
+        n[n == 0.0] = 1.0
+        cos = (m / n[:, None]) @ ev  # (batch, n_eval)
+        return pd.Series(cos.max(axis=1).astype(np.float64))
+
+    scored = df.withColumn("max_eval_cos", _max_cos(F.col(vec_col)))
+    out = scored.filter(F.col("max_eval_cos") < F.lit(float(threshold)))
+    return out if keep_scores else out.drop("max_eval_cos")

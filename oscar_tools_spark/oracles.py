@@ -913,6 +913,14 @@ PLANT_LO_MOD = 11
 PLANT_LO_REM = 3
 PLANT_HI_OFFSET = 100_000
 EMB_DEDUP_THRESHOLD = 0.98
+# semantic-decontamination eval draw (distinct modulus from the plant
+# moduli so eval membership and clone structure cross-cut): eval =
+# base embeddings with vec_id % MOD = REM; every planted clone of an
+# eval id AND every eval original (cosine exactly 1.0 with itself) is
+# contaminated, everything else sits at <= ~0.51 — float-stable on
+# both engines.
+DECON_EVAL_MOD = 13
+DECON_EVAL_REM = 5
 
 
 def planted_embeddings_cte() -> str:
@@ -930,13 +938,45 @@ def planted_embeddings_cte() -> str:
 
 
 def q_dedup_embedding() -> str:
-    """Brute-force cosine near-dup survivors over the planted-clone
-    table: a key survives iff NO smaller key sits at cosine >=
-    threshold. This is the exact semantics of both Spark scale paths
-    (dedup_embedding_lsh's band-join and semdedup's within-cell join),
-    which on this fixture have provably perfect recall (exact clones
-    collide in every band and share every k-means cell), so the
-    approximate survivors equal the brute-force survivors."""
+    """Two embedding-tier sections over the planted-clone table:
+    'dedup' — brute-force cosine near-dup survivors (a key survives
+    iff NO smaller key sits at cosine >= threshold), the exact
+    semantics of both Spark scale paths (dedup_embedding_lsh's
+    band-join and semdedup's within-cell join), which on this fixture
+    have provably perfect recall (exact clones collide in every band
+    and share every k-means cell); 'decon' — semantic-decontamination
+    survivors (no EVAL vector within the threshold), the brute-force
+    twin of decontaminate_semantic's broadcast-matmul path."""
+    return f"""
+with {planted_embeddings_cte()},
+dup as (
+  select distinct a.vec_id
+  from emb a join emb b on b.vec_id < a.vec_id
+  where list_cosine_similarity(a.embedding, b.embedding) >= {EMB_DEDUP_THRESHOLD}
+),
+ev as (
+  select embedding from embeddings
+  where vec_id % {DECON_EVAL_MOD} = {DECON_EVAL_REM}
+)
+select 'dedup' as section, vec_id
+from emb where vec_id not in (select vec_id from dup)
+union all
+select 'decon' as section, e.vec_id
+from emb e where not exists (
+  select 1 from ev
+  where list_cosine_similarity(e.embedding, ev.embedding)
+          >= {EMB_DEDUP_THRESHOLD}
+)
+order by section, vec_id
+"""
+
+
+def q_semdedup() -> str:
+    """SemDeDup survivors on the planted fixture == brute force (exact
+    clones share a k-means cell deterministically; nothing else crosses
+    the threshold), so the dedup-section survivor-set oracle applies
+    (without q_dedup_embedding's decon section — semdedup has no eval
+    side)."""
     return f"""
 with {planted_embeddings_cte()},
 dup as (
@@ -947,13 +987,6 @@ dup as (
 select vec_id from emb where vec_id not in (select vec_id from dup)
 order by vec_id
 """
-
-
-def q_semdedup() -> str:
-    """SemDeDup survivors on the planted fixture == brute force (exact
-    clones share a k-means cell deterministically; nothing else crosses
-    the threshold), so the same survivor-set oracle applies."""
-    return q_dedup_embedding()
 
 
 def q_topk_cosine_ids(k: int = 10) -> str:

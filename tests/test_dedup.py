@@ -865,3 +865,46 @@ def test_dedup_paragraphs_excise_and_accounting(spark):
         for r in dedup_paragraphs(df.repartition(7), ["doc_id"]).collect()
     }
     assert got2 == got
+
+
+def test_decontaminate_semantic(spark):
+    """Broadcast-matmul semantic decontamination: rows within the
+    cosine threshold of ANY eval vector drop; scores kept on demand;
+    an oversized eval side raises instead of silently broadcasting."""
+    import pytest as _pytest
+
+    from oscar_tools_spark.operators.decontaminate import decontaminate_semantic
+
+    def v(*xs):
+        return [float(x) for x in xs]
+
+    corpus = spark.createDataFrame(
+        [
+            (1, v(1, 0, 0, 0)),      # exact eval clone -> drop
+            (2, v(0.99, 0.14, 0, 0)),  # ~0.990 cos to eval[0] -> drop
+            (3, v(0, 1, 0, 0)),      # orthogonal -> keep
+            (4, v(0.5, 0.5, -0.5, 0.5)),  # max cos 0.5 (to eval[0]) -> keep
+            (5, v(0, 0, 0, 0)),      # zero vector: norm-guarded, keep
+        ],
+        "vec_id bigint, embedding array<float>",
+    )
+    ev = spark.createDataFrame(
+        [(v(2, 0, 0, 0),), (v(0, 1, 1, 0),)], "embedding array<float>"
+    )
+    kept = sorted(
+        r.vec_id
+        for r in decontaminate_semantic(corpus, ev, threshold=0.95).collect()
+    )
+    assert kept == [3, 4, 5]
+
+    scored = decontaminate_semantic(corpus, ev, threshold=0.95, keep_scores=True)
+    got = {r.vec_id: r.max_eval_cos for r in scored.collect()}
+    assert set(got) == {3, 4, 5}
+    assert abs(got[4] - 0.5) < 1e-5 and got[5] == 0.0
+
+    # empty eval side: everything survives
+    empty = ev.filter("false")
+    assert decontaminate_semantic(corpus, empty).count() == 5
+
+    with _pytest.raises(ValueError):
+        decontaminate_semantic(corpus, ev, max_eval=1)
