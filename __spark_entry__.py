@@ -303,14 +303,35 @@ def q_url_pipeline(spark, sf_dir):
     kept = cap_per_host(u, cap=O.URL_HOST_CAP, key_cols=["doc_id"]).select(
         "doc_id", F.lit(True).alias("host_kept")
     )
+    # r7 robots section: planted per-host robots.txt (shared pure
+    # function O.robots_txt_for_host) -> distributed Arrow parse ->
+    # broadcast rules -> RFC 9309 verdict over url_canonical. The
+    # oracle replays the parse locally into a VALUES rules table, so
+    # this row proves distributed parse == local AND the verdict
+    # aggregation end-to-end.
+    from oscar_tools_spark.operators.robots import annotate_robots, robots_rules
+
+    hosts = spark.createDataFrame(
+        [
+            (f"example{i}.com", O.robots_txt_for_host(i))
+            for i in range(O.ROBOTS_N_HOSTS)
+        ],
+        "host string, robots_txt string",
+    )
+    rules = robots_rules(hosts)
     return (
-        annotate_url_blocklist(u, bl, ["doc_id"])
-        .join(kept, "doc_id", "left")
+        annotate_robots(
+            annotate_url_blocklist(u, bl, ["doc_id"]).join(kept, "doc_id", "left"),
+            rules,
+            ["doc_id"],
+            url_col="url_canonical",
+        )
         .select(
             "doc_id",
             "url_canonical",
             "url_blocked",
             F.coalesce("host_kept", F.lit(False)).alias("host_kept"),
+            "robots_allowed",
         )
         .orderBy("doc_id")
     )

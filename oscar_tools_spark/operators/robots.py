@@ -1,0 +1,199 @@
+"""robots.txt crawl-governance rules (RFC 9309, from scratch).
+
+The fourth crawl-governance signal next to the UT1 blocklist
+(urlblock.py), the meta-noindex flag and the license marker
+(extract_html.py): whether the site itself allows the path to be
+fetched. A training-data ingest that republishes crawl content wants
+this as lineage at minimum and as a filter at best.
+
+Split, Spark-first:
+* PARSING is a pure function (group selection, Allow/Disallow rules,
+  ``*``/``$`` wildcards -> anchored regex) applied per host inside one
+  Arrow batch UDF — a robots.txt is a few KB and each host has exactly
+  one, so the parse side is trivially small;
+* MATCHING is the scale side: the rules table (a handful of rows per
+  host) broadcasts, URLs stream through a host equi-join + a per-rule
+  regexp over the path, and ONE map-side-combinable ``max(struct)``
+  aggregation picks the RFC verdict — longest-match wins, allow wins
+  length ties, no matching rule means allowed. No corpus shuffle
+  beyond the verdict aggregation on the caller's row key.
+
+RFC 9309 semantics implemented (and pinned by tests):
+  * group selection: all rules under the LONGEST user-agent token that
+    is a case-insensitive substring of the product token; fall back to
+    the ``*`` group; a group ends at the next user-agent line that
+    follows at least one rule;
+  * empty ``Disallow:`` is a no-op (allow all), comments (#) and
+    unknown directives are ignored;
+  * rule specificity = raw rule length (octets), ``*`` matches any
+    run, trailing ``$`` anchors the end.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .urlblock import host_of_url_expr
+
+# path of a URL: everything from the first '/' after the authority;
+# missing path -> '' (normalized to '/' below)
+URL_PATH_REGEX = "^[a-z][a-z0-9+.-]*://[^/?#]*([/?#].*)?$"
+
+RULES_SCHEMA = "host string, allow boolean, rule_len int, pattern string"
+
+
+def rule_pattern(rule: str) -> str:
+    """Anchored regex for one Allow/Disallow value: '*' -> '.*',
+    trailing '$' anchors, every other char is escaped literally.
+    Stays inside the Java∩RE2∩`re` subset."""
+    anchored = rule.endswith("$")
+    body = rule[:-1] if anchored else rule
+    parts = [re.escape(p) for p in body.split("*")]
+    return "^" + ".*".join(parts) + ("$" if anchored else "")
+
+
+def parse_robots_txt(txt: str | None, agent: str = "*") -> list[tuple[bool, str]]:
+    """[(allow, rule), ...] for the group governing ``agent``.
+
+    Group selection per RFC 9309 §2.2.1: among groups whose user-agent
+    token is '*' or a case-insensitive substring of ``agent``, the
+    longest non-'*' token wins; '*' is the fallback. Consecutive
+    user-agent lines share one group; a user-agent line after rules
+    starts a new group. Empty rule values are dropped (no-ops)."""
+    agent_l = agent.lower()
+    groups: list[tuple[list[str], list[tuple[bool, str]]]] = []
+    cur_agents: list[str] = []
+    cur_rules: list[tuple[bool, str]] = []
+    seen_rule = False
+
+    def flush():
+        nonlocal cur_agents, cur_rules, seen_rule
+        if cur_agents:
+            groups.append((cur_agents, cur_rules))
+        cur_agents, cur_rules, seen_rule = [], [], False
+
+    for raw in (txt or "").splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line:
+            continue
+        name, mid, value = line.partition(":")
+        if not mid:
+            continue
+        name = name.strip().lower()
+        value = value.strip()
+        if name == "user-agent":
+            if seen_rule:
+                flush()
+            cur_agents.append(value.lower())
+        elif name in ("allow", "disallow"):
+            seen_rule = True
+            if value:
+                cur_rules.append((name == "allow", value))
+    flush()
+
+    best: list[tuple[bool, str]] | None = None
+    best_len = -1
+    fallback: list[tuple[bool, str]] | None = None
+    for agents, rules in groups:
+        for a in agents:
+            if a == "*":
+                if fallback is None:
+                    fallback = rules
+            elif a and a in agent_l and len(a) > best_len:
+                best, best_len = rules, len(a)
+    chosen = best if best is not None else fallback
+    return list(chosen) if chosen else []
+
+
+def robots_rules(
+    df: DataFrame,
+    host_col: str = "host",
+    txt_col: str = "robots_txt",
+    agent: str = "*",
+) -> DataFrame:
+    """(host, allow, rule_len, pattern) — one row per governing rule,
+    parsed inside an Arrow batch UDF wrapping the pure function."""
+    agent_ = agent
+
+    def op(batches):
+        for pdf in batches:
+            out = {"host": [], "allow": [], "rule_len": [], "pattern": []}
+            for host, txt in zip(pdf[host_col], pdf[txt_col]):
+                for allow, rule in parse_robots_txt(txt, agent_):
+                    out["host"].append(host)
+                    out["allow"].append(allow)
+                    out["rule_len"].append(len(rule))
+                    out["pattern"].append(rule_pattern(rule))
+            yield pd.DataFrame(out)
+
+    return df.select(F.col(host_col), F.col(txt_col)).mapInPandas(
+        op, RULES_SCHEMA
+    )
+
+
+def annotate_robots(
+    df: DataFrame,
+    rules: DataFrame,
+    key_cols: list[str],
+    url_col: str = "url",
+    out_col: str = "robots_allowed",
+) -> DataFrame:
+    """Add ``out_col``: the RFC 9309 verdict for each row's URL.
+
+    Plan shape: host equi-join against the BROADCAST rules table, a
+    per-candidate-rule regexp over the path, then one max(struct)
+    aggregation on the row key — longest rule wins, allow wins length
+    ties (allow sorts above disallow at equal length in the struct),
+    no matching rule (or no robots.txt for the host) means allowed.
+    """
+    url = F.col(url_col)
+    keyed = df.select(
+        *key_cols,
+        host_of_url_expr(url).alias("_rb_host"),
+        # paths are case-SENSITIVE under RFC 9309 (only the host is
+        # case-insensitive, handled inside host_of_url_expr) — extract
+        # from the RAW url with an (?i) scheme match, never lower it
+        F.coalesce(
+            F.nullif(
+                F.regexp_extract(url, "(?i)" + URL_PATH_REGEX, 1), F.lit("")
+            ),
+            F.lit("/"),
+        ).alias("_rb_path"),
+    )
+    j = keyed.join(
+        F.broadcast(rules.withColumnRenamed("host", "_rb_host")),
+        "_rb_host",
+        "left",
+    )
+    cand = F.when(
+        F.col("pattern").isNotNull()
+        & F.regexp_like(F.col("_rb_path"), F.col("pattern")),
+        F.struct(
+            F.col("rule_len").alias("l"),
+            F.col("allow").cast("int").alias("a"),
+        ),
+    )
+    verdict = (
+        j.groupBy(*key_cols)
+        .agg(F.max(cand).alias("_v"))
+        .select(
+            *key_cols,
+            (F.col("_v").isNull() | (F.col("_v.a") == 1)).alias(out_col),
+        )
+    )
+    return df.join(verdict, key_cols, "left")
+
+
+def filter_robots(
+    df: DataFrame,
+    rules: DataFrame,
+    key_cols: list[str],
+    url_col: str = "url",
+) -> DataFrame:
+    """Keep only rows whose URL the governing robots rules allow."""
+    out = annotate_robots(df, rules, key_cols, url_col)
+    return out.filter(F.col("robots_allowed")).drop("robots_allowed")

@@ -790,15 +790,104 @@ select doc_id, rn <= {cap} as host_kept from r
 """
 
 
+# robots.txt plant for the url_pipeline robots section: one pure
+# function of the host index, shared verbatim with __spark_entry__.
+# Five shapes cycle: block-all, prefix-block + longer allow override,
+# wildcard+anchored rule, no rules, and a specific-agent group the '*'
+# fallback must skip.
+def robots_txt_for_host(i: int) -> str:
+    m = i % 5
+    if m == 0:
+        return "User-agent: *\nDisallow: /"
+    if m == 1:
+        return "User-agent: *\nDisallow: /p\nAllow: /p/1"
+    if m == 2:
+        # '*2$' genuinely fires on this corpus: doc paths are
+        # /p/{doc_id}, these hosts carry doc_id % 20 in {2, 7, 12, 17},
+        # and ids ending in 2 land here (2, 22, 12, ...) — a '3$'
+        # variant would never match anything (ids ending in 3 have
+        # doc_id % 20 in {3, 13}) and silently verify less
+        return "User-agent: *\nDisallow: /p/*2$"
+    if m == 3:
+        return ""  # robots.txt exists but has no rules
+    return (
+        "User-agent: megabot\nDisallow: /\n\n"
+        "User-agent: *\nAllow: /p\nDisallow: /p/1"
+    )
+
+
+ROBOTS_N_HOSTS = 20  # example{0..19}.com — the q_canonical_url hosts
+
+
+def robots_rules_values() -> str:
+    """VALUES table of the governing '*' rules for every planted host,
+    computed by the SAME pure parser the Spark side ships into its
+    Arrow UDF (operators/robots.py) — comparing against the driver row
+    proves the distributed parse == the local one (the media_features
+    trick). Hosts with no rules contribute no row (left join + null
+    pattern on the SQL side = allowed)."""
+    from .operators.normalize import sql_quote
+    from .operators.robots import parse_robots_txt, rule_pattern
+
+    rows = []
+    for i in range(ROBOTS_N_HOSTS):
+        host = f"example{i}.com"
+        for allow, rule in parse_robots_txt(robots_txt_for_host(i)):
+            rows.append(
+                f"({sql_quote(host)}, {str(allow).lower()}, "
+                f"{len(rule)}, {sql_quote(rule_pattern(rule))})"
+            )
+    return (
+        "select * from (values " + ", ".join(rows)
+        + ") t(host, allow, rule_len, pattern)"
+    )
+
+
 def q_url_pipeline() -> str:
-    """Canonicalization + blocklist + per-host cap twins joined on
-    doc_id (merged driver entry)."""
+    """Canonicalization + blocklist + per-host cap + r7 robots verdict
+    twins joined on doc_id (merged driver entry). The robots section
+    replays annotate_robots exactly: host equi-join against the parsed
+    rules, per-rule regexp over the case-preserved path, max(struct)
+    longest-match/allow-ties verdict, null (no rule / no robots) =
+    allowed."""
+    from .operators.robots import URL_PATH_REGEX
+
+    host_re = "^[a-z][a-z0-9+.-]*://([^/:?#]+)"
+    return f"""
+with cc as ({q_url_pipeline_base()}),
+rbu as (
+  select doc_id,
+         regexp_extract(lower(url_canonical), '{host_re}', 1) as h,
+         coalesce(nullif(regexp_extract(url_canonical,
+                    '(?i){URL_PATH_REGEX.replace("'", "''")}', 1), ''),
+                  '/') as pth
+  from cc
+),
+rbr as ({robots_rules_values()}),
+rbv as (
+  select u.doc_id,
+         max(case when r.pattern is not null
+                   and regexp_matches(u.pth, r.pattern)
+                  then struct_pack(l := r.rule_len,
+                                   a := cast(r.allow as int)) end) as v
+  from rbu u left join rbr r on r.host = u.h
+  group by u.doc_id
+)
+select cc.doc_id, cc.url_canonical, cc.url_blocked, cc.host_kept,
+       (rbv.v is null or struct_extract(rbv.v, 'a') = 1) as robots_allowed
+from cc join rbv using (doc_id)
+order by cc.doc_id
+"""
+
+
+def q_url_pipeline_base() -> str:
+    """The pre-robots url_pipeline sections (kept as its own unit so
+    the robots CTE can consume url_canonical)."""
     return f"""
 select c.doc_id, c.url_canonical, b.url_blocked, k.host_kept
 from ({q_canonical_url()}) c
 join ({q_url_blocklist()}) b using (doc_id)
 join ({q_host_cap()}) k using (doc_id)
-order by c.doc_id
 """
 
 

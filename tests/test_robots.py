@@ -1,0 +1,102 @@
+"""robots.txt parsing + RFC 9309 verdict matching."""
+
+from __future__ import annotations
+
+from oscar_tools_spark.operators.robots import (
+    annotate_robots,
+    filter_robots,
+    parse_robots_txt,
+    robots_rules,
+    rule_pattern,
+)
+
+ROBOTS = """
+# governance fixture
+User-agent: megabot
+Disallow: /
+
+User-agent: *
+Disallow: /private
+Allow: /private/ok
+Disallow: /*.zip$
+Disallow: /Case
+Allow:
+Crawl-delay: 10
+
+User-agent: oscarbot
+User-agent: otherbot
+Disallow: /oscar-only
+"""
+
+
+def test_group_selection():
+    star = parse_robots_txt(ROBOTS, agent="somebot")
+    assert (False, "/private") in star and (True, "/private/ok") in star
+    assert all(r != "/" for _, r in star)  # megabot group not chosen
+    assert all(r != "/oscar-only" for _, r in star)
+    # longest substring token wins over '*' (product token contains it)
+    oscar = parse_robots_txt(ROBOTS, agent="OscarBot/2.1")
+    assert oscar == [(False, "/oscar-only")]
+    mega = parse_robots_txt(ROBOTS, agent="megabot")
+    assert mega == [(False, "/")]
+    # empty Disallow was a no-op; comments/unknown directives ignored
+    assert all(rule for _, rule in star)
+    assert parse_robots_txt(None) == [] and parse_robots_txt("junk") == []
+
+
+def test_rule_pattern_wildcards_and_escaping():
+    assert rule_pattern("/a*b$") == "^/a.*b$"
+    assert rule_pattern("/p") == "^/p"
+    # regex metacharacters in the rule are literal
+    pat = rule_pattern("/p?x.y")
+    import re
+
+    assert re.match(pat, "/p?x.y") and not re.match(pat, "/pAxzy")
+
+
+def test_annotate_and_filter_robots(spark):
+    hosts = spark.createDataFrame(
+        [("a.example", ROBOTS), ("empty.example", "")],
+        "host string, robots_txt string",
+    )
+    rules = robots_rules(hosts, agent="somebot")
+    got_rules = rules.collect()
+    assert all(r.host == "a.example" for r in got_rules)
+
+    urls = spark.createDataFrame(
+        [
+            (0, "https://a.example/open/page"),        # no rule -> allow
+            (1, "https://a.example/private/x"),        # longest: /private
+            (2, "https://a.example/private/ok/x"),     # longer Allow wins
+            (3, "https://a.example/data/file.zip"),    # wildcard+anchor
+            (4, "https://a.example/data/file.zip.txt"),  # $ must NOT match
+            (5, "https://a.example/case"),             # path case-sensitive
+            (6, "https://a.example/Case/x"),           # blocked
+            (7, "https://norobots.example/anything"),  # host w/o robots
+            (8, "https://EMPTY.example/x"),            # robots w/o rules
+        ],
+        "doc_id bigint, url string",
+    )
+    got = {
+        r.doc_id: r.robots_allowed
+        for r in annotate_robots(urls, rules, ["doc_id"]).collect()
+    }
+    assert got == {
+        0: True, 1: False, 2: True, 3: False, 4: True,
+        5: True, 6: False, 7: True, 8: True,
+    }
+    kept = {r.doc_id for r in filter_robots(urls, rules, ["doc_id"]).collect()}
+    assert kept == {0, 2, 4, 5, 7, 8}
+    # annotate preserves the input columns
+    cols = annotate_robots(urls, rules, ["doc_id"]).columns
+    assert set(cols) == {"doc_id", "url", "robots_allowed"}
+
+
+def test_allow_wins_length_ties(spark):
+    txt = "User-agent: *\nDisallow: /dir\nAllow: /dir"
+    hosts = spark.createDataFrame([("h.example", txt)], "host string, robots_txt string")
+    urls = spark.createDataFrame(
+        [(1, "https://h.example/dir/x")], "doc_id bigint, url string"
+    )
+    out = annotate_robots(urls, robots_rules(hosts), ["doc_id"]).first()
+    assert out.robots_allowed is True
