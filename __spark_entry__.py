@@ -1081,7 +1081,7 @@ def q_dedup_embedding(spark, sf_dir):
         .select("embedding")
     )
     decon = decontaminate_semantic(
-        emb, ev, key_col="vec_id", threshold=O.EMB_DEDUP_THRESHOLD
+        emb, ev, threshold=O.EMB_DEDUP_THRESHOLD
     ).select(F.lit("decon").alias("section"), "vec_id")
     return dedup.unionAll(decon).orderBy("section", "vec_id")
 

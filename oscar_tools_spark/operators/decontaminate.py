@@ -243,7 +243,6 @@ def decontaminate_bloom(
 def decontaminate_semantic(
     df: DataFrame,
     eval_df: DataFrame,
-    key_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.98,
     keep_scores: bool = False,

@@ -39,11 +39,38 @@ from pyspark.sql import functions as F
 
 from .urlblock import host_of_url_expr
 
-# path of a URL: everything from the first '/' after the authority;
-# missing path -> '' (normalized to '/' below)
-URL_PATH_REGEX = "^[a-z][a-z0-9+.-]*://[^/?#]*([/?#].*)?$"
+# path+query of a URL (fragment already stripped): everything from the
+# first '/' or '?' after the authority; missing -> '' (normalized
+# below: bare '?q' gets the '/' prefix it is requested with, empty
+# becomes '/')
+URL_PATH_REGEX = "^[a-z][a-z0-9+.-]*://[^/?#]*([/?].*)?$"
 
 RULES_SCHEMA = "host string, allow boolean, rule_len int, pattern string"
+
+
+def robots_path_expr(url):
+    """The string robots rules match against, per REP practice: PATH +
+    QUERY, never the fragment (fragments are not sent to servers),
+    empty path normalized to '/', query-only URLs to '/?...'. Shared
+    with the DuckDB twin below so both engines move together."""
+    nofrag = F.regexp_replace(url, "#.*$", "")
+    raw = F.regexp_extract(nofrag, "(?i)" + URL_PATH_REGEX, 1)
+    return (
+        F.when(raw == "", F.lit("/"))
+        .when(raw.startswith("?"), F.concat(F.lit("/"), raw))
+        .otherwise(raw)
+    )
+
+
+def robots_path_sql(expr: str) -> str:
+    """DuckDB twin of robots_path_expr."""
+    nofrag = f"regexp_replace({expr}, '#.*$', '')"
+    raw = f"regexp_extract({nofrag}, '(?i){URL_PATH_REGEX}', 1)"
+    return (
+        f"case when {raw} = '' then '/' "
+        f"when {raw} like '?%' then '/' || {raw} "
+        f"else {raw} end"
+    )
 
 
 def rule_pattern(rule: str) -> str:
@@ -61,10 +88,16 @@ def parse_robots_txt(txt: str | None, agent: str = "*") -> list[tuple[bool, str]
 
     Group selection per RFC 9309 §2.2.1: among groups whose user-agent
     token is '*' or a case-insensitive substring of ``agent``, the
-    longest non-'*' token wins; '*' is the fallback. Consecutive
-    user-agent lines share one group; a user-agent line after rules
-    starts a new group. Empty rule values are dropped (no-ops)."""
+    longest non-'*' token wins; '*' is the fallback — and ALL groups
+    carrying the winning token are COMBINED (the RFC MUST for repeated
+    groups; sectioned robots files repeat 'User-agent: *' routinely).
+    Consecutive user-agent lines share one group; a user-agent line
+    after rules starts a new group. Empty rule values are dropped
+    (no-ops). A leading UTF-8 BOM is stripped (BOM-prefixed files are
+    common; without this the first directive name reads
+    '\\ufeffuser-agent' and a block-all site parses as allow-all)."""
     agent_l = agent.lower()
+    txt = (txt or "").lstrip("﻿")
     groups: list[tuple[list[str], list[tuple[bool, str]]]] = []
     cur_agents: list[str] = []
     cur_rules: list[tuple[bool, str]] = []
@@ -76,7 +109,7 @@ def parse_robots_txt(txt: str | None, agent: str = "*") -> list[tuple[bool, str]
             groups.append((cur_agents, cur_rules))
         cur_agents, cur_rules, seen_rule = [], [], False
 
-    for raw in (txt or "").splitlines():
+    for raw in txt.splitlines():
         line = raw.split("#", 1)[0].strip()
         if not line:
             continue
@@ -95,18 +128,27 @@ def parse_robots_txt(txt: str | None, agent: str = "*") -> list[tuple[bool, str]
                 cur_rules.append((name == "allow", value))
     flush()
 
-    best: list[tuple[bool, str]] | None = None
-    best_len = -1
-    fallback: list[tuple[bool, str]] | None = None
+    best_len = max(
+        (
+            len(a)
+            for agents, _ in groups
+            for a in agents
+            if a and a != "*" and a in agent_l
+        ),
+        default=-1,
+    )
+    combined: list[tuple[bool, str]] = []
     for agents, rules in groups:
-        for a in agents:
-            if a == "*":
-                if fallback is None:
-                    fallback = rules
-            elif a and a in agent_l and len(a) > best_len:
-                best, best_len = rules, len(a)
-    chosen = best if best is not None else fallback
-    return list(chosen) if chosen else []
+        if best_len >= 0:
+            hit = any(
+                a and a != "*" and a in agent_l and len(a) == best_len
+                for a in agents
+            )
+        else:
+            hit = "*" in agents
+        if hit:
+            combined.extend(rules)
+    return combined
 
 
 def robots_rules(
@@ -123,8 +165,12 @@ def robots_rules(
         for pdf in batches:
             out = {"host": [], "allow": [], "rule_len": [], "pattern": []}
             for host, txt in zip(pdf[host_col], pdf[txt_col]):
+                # hosts are case-insensitive; the match side
+                # (host_of_url_expr) lowercases, so the rules side must
+                # too or mixed-case hosts silently never join
+                h = host.lower() if isinstance(host, str) else host
                 for allow, rule in parse_robots_txt(txt, agent_):
-                    out["host"].append(host)
+                    out["host"].append(h)
                     out["allow"].append(allow)
                     out["rule_len"].append(len(rule))
                     out["pattern"].append(rule_pattern(rule))
@@ -154,15 +200,10 @@ def annotate_robots(
     keyed = df.select(
         *key_cols,
         host_of_url_expr(url).alias("_rb_host"),
-        # paths are case-SENSITIVE under RFC 9309 (only the host is
-        # case-insensitive, handled inside host_of_url_expr) — extract
-        # from the RAW url with an (?i) scheme match, never lower it
-        F.coalesce(
-            F.nullif(
-                F.regexp_extract(url, "(?i)" + URL_PATH_REGEX, 1), F.lit("")
-            ),
-            F.lit("/"),
-        ).alias("_rb_path"),
+        # path+query are case-SENSITIVE under RFC 9309 (only the host
+        # is case-insensitive, handled inside host_of_url_expr) —
+        # robots_path_expr extracts from the RAW url, never lowered
+        robots_path_expr(url).alias("_rb_path"),
     )
     j = keyed.join(
         F.broadcast(rules.withColumnRenamed("host", "_rb_host")),

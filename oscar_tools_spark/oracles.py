@@ -850,7 +850,7 @@ def q_url_pipeline() -> str:
     rules, per-rule regexp over the case-preserved path, max(struct)
     longest-match/allow-ties verdict, null (no rule / no robots) =
     allowed."""
-    from .operators.robots import URL_PATH_REGEX
+    from .operators.robots import robots_path_sql
 
     host_re = "^[a-z][a-z0-9+.-]*://([^/:?#]+)"
     return f"""
@@ -858,9 +858,7 @@ with cc as ({q_url_pipeline_base()}),
 rbu as (
   select doc_id,
          regexp_extract(lower(url_canonical), '{host_re}', 1) as h,
-         coalesce(nullif(regexp_extract(url_canonical,
-                    '(?i){URL_PATH_REGEX.replace("'", "''")}', 1), ''),
-                  '/') as pth
+         {robots_path_sql('url_canonical')} as pth
   from cc
 ),
 rbr as ({robots_rules_values()}),
@@ -1026,6 +1024,22 @@ def planted_embeddings_cte() -> str:
 )"""
 
 
+def _emb_survivor_sql() -> str:
+    """Brute-force cosine near-dup survivor SQL over the planted-clone
+    table — the ONE spelling of the dup-CTE both q_dedup_embedding's
+    dedup section and q_semdedup compose (a threshold/semantics edit
+    must move them together)."""
+    return f"""
+with {planted_embeddings_cte()},
+dup as (
+  select distinct a.vec_id
+  from emb a join emb b on b.vec_id < a.vec_id
+  where list_cosine_similarity(a.embedding, b.embedding) >= {EMB_DEDUP_THRESHOLD}
+)
+select vec_id from emb where vec_id not in (select vec_id from dup)
+"""
+
+
 def q_dedup_embedding() -> str:
     """Two embedding-tier sections over the planted-clone table:
     'dedup' — brute-force cosine near-dup survivors (a key survives
@@ -1038,17 +1052,11 @@ def q_dedup_embedding() -> str:
     twin of decontaminate_semantic's broadcast-matmul path."""
     return f"""
 with {planted_embeddings_cte()},
-dup as (
-  select distinct a.vec_id
-  from emb a join emb b on b.vec_id < a.vec_id
-  where list_cosine_similarity(a.embedding, b.embedding) >= {EMB_DEDUP_THRESHOLD}
-),
 ev as (
   select embedding from embeddings
   where vec_id % {DECON_EVAL_MOD} = {DECON_EVAL_REM}
 )
-select 'dedup' as section, vec_id
-from emb where vec_id not in (select vec_id from dup)
+select 'dedup' as section, vec_id from {_sub(_emb_survivor_sql())}
 union all
 select 'decon' as section, e.vec_id
 from emb e where not exists (
@@ -1066,16 +1074,7 @@ def q_semdedup() -> str:
     the threshold), so the dedup-section survivor-set oracle applies
     (without q_dedup_embedding's decon section — semdedup has no eval
     side)."""
-    return f"""
-with {planted_embeddings_cte()},
-dup as (
-  select distinct a.vec_id
-  from emb a join emb b on b.vec_id < a.vec_id
-  where list_cosine_similarity(a.embedding, b.embedding) >= {EMB_DEDUP_THRESHOLD}
-)
-select vec_id from emb where vec_id not in (select vec_id from dup)
-order by vec_id
-"""
+    return f"select vec_id from {_sub(_emb_survivor_sql())} order by vec_id"
 
 
 def q_topk_cosine_ids(k: int = 10) -> str:

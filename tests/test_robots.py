@@ -100,3 +100,44 @@ def test_allow_wins_length_ties(spark):
     )
     out = annotate_robots(urls, robots_rules(hosts), ["doc_id"]).first()
     assert out.robots_allowed is True
+
+
+def test_bom_and_repeated_groups_combine():
+    """RFC 9309 MUSTs the second review wave caught: a UTF-8 BOM must
+    not disable the first directive, and ALL groups matching the agent
+    combine (sectioned files repeat 'User-agent: *')."""
+    bom = "﻿User-agent: *\nDisallow: /"
+    assert parse_robots_txt(bom) == [(False, "/")]
+    split = "User-agent: *\nDisallow: /a\n\nUser-agent: *\nDisallow: /b"
+    assert sorted(parse_robots_txt(split)) == [(False, "/a"), (False, "/b")]
+    # equal-length specific tokens combine too; '*' groups are excluded
+    multi = (
+        "User-agent: abot\nDisallow: /x\n\nUser-agent: bbot\nDisallow: /y\n"
+        "\nUser-agent: *\nDisallow: /z"
+    )
+    assert parse_robots_txt(multi, agent="abot-and-bbot") == [
+        (False, "/x"), (False, "/y"),
+    ]
+
+
+def test_query_matched_fragment_ignored(spark):
+    """Rules match PATH+QUERY; fragments never reach the server and are
+    excluded; an empty path is requested as '/'."""
+    txt = "User-agent: *\nDisallow: /\nAllow: /ok"
+    hosts = spark.createDataFrame(
+        [("Q.example", txt)], "host string, robots_txt string"
+    )  # mixed-case rules host must still join (lowercased at parse)
+    urls = spark.createDataFrame(
+        [
+            (1, "https://q.example?q=1"),      # path '/?q=1' -> blocked
+            (2, "https://q.example"),           # '/' -> blocked
+            (3, "https://q.example/ok?x=2"),    # Allow /ok wins
+            (4, "https://q.example/ok#/frag"),  # fragment ignored
+        ],
+        "doc_id bigint, url string",
+    )
+    got = {
+        r.doc_id: r.robots_allowed
+        for r in annotate_robots(urls, robots_rules(hosts), ["doc_id"]).collect()
+    }
+    assert got == {1: False, 2: False, 3: True, 4: True}
