@@ -103,17 +103,18 @@ def dedup_paragraphs(
     Returns ``key_cols + [out_col (reassembled), n_paras,
     n_paras_kept]``.
 
-    Scale shape: posexplode -> map-side-combinable ``min(struct)`` per
-    paragraph DIGEST (the winner shuffle carries 16-byte digests +
-    keys, not paragraph text) -> winner semi-join back -> one
-    doc-keyed reassembly agg. Two key shuffles, no window over the
-    corpus, no driver collect; the reassembly HOF runs once per
-    surviving doc row, not in the exploded hot path. The exploded
-    frame feeds two shuffling consumers, so the split+md5 Generate
-    deliberately runs TWICE (column pruning forfeits exchange reuse
-    here): re-scanning the narrow source column is the cheaper side
-    of the trade against persisting an exploded copy of the whole
-    corpus — the same call dedup_docs_exact makes."""
+    Scale shape (r8): ONE posexplode -> one digest-keyed min-window
+    (first-occurrence test: a paragraph row survives iff its
+    (key, position) IS the min over its digest partition) -> one
+    doc-keyed reassembly agg. Two shuffles total, one Generate, no
+    driver collect; the reassembly HOF runs once per surviving doc
+    row, not in the exploded hot path. The r7 shape (digest min-agg
+    + winner semi-join back) ran the split+md5 Generate TWICE (two
+    shuffling consumers, exchange reuse broken by column pruning) and
+    shuffled the exploded text in the semi-join anyway, so the window
+    strictly removes one explode pass and one exchange (bench
+    dedup_paragraphs at sf0.1/32: see OPTIMIZATION_r08.md; plan:
+    2 Generate -> 1, digest agg + semi-join -> 1 Window)."""
     out_col = out_col or text_col
     split_arr = F.split(F.coalesce(F.col(text_col), F.lit("")), sep, -1)
     # n_paras rides the explode as a per-doc constant so no second
@@ -125,12 +126,12 @@ def dedup_paragraphs(
     )
     paras = staged.withColumn("_pd", F.md5(F.col("_para")))
     pos = F.struct(*[F.col(c) for c in key_cols], F.col("_pidx"))
-    winners = paras.groupBy("_pd").agg(F.min(pos).alias("_w")).select(
-        "_pd",
-        *[F.col(f"_w.{c}").alias(c) for c in key_cols],
-        F.col("_w._pidx").alias("_pidx"),
+    wd = Window.partitionBy("_pd")
+    kept = (
+        paras.withColumn("_w", F.min(pos).over(wd))
+        .filter(pos == F.col("_w"))
+        .drop("_w", "_pd")
     )
-    kept = paras.join(winners, ["_pd", *key_cols, "_pidx"], "left_semi")
     return kept.groupBy(*key_cols).agg(
         F.array_join(
             F.transform(
@@ -286,15 +287,25 @@ def dedup_minhash_lsh(
     pass is the exhaustive variant — see graph note in SURVEY.md §7).
     """
     bands = minhash_bands(df, [key_col], text_col, num_hashes, band_size, shingle_k)
-    a, b = bands.alias("a"), bands.alias("b")
+    # r8: "shares any band with a lower-keyed doc" == "key > min(key)
+    # of some band bucket", so ONE min-window over the band table
+    # replaces the band self-join. The join formulation evaluated the
+    # whole shingle-explode + md5 + signature-agg pipeline TWICE (the
+    # two join inputs canonicalize differently, no ReusedExchange —
+    # 2 Generate chains in the r7 plan) and emitted O(|bucket|²)
+    # candidate rows per bucket before the distinct; the window
+    # evaluates the pipeline once, shuffles the band table once, and
+    # emits each dup key at most n_bands times. Same greedy
+    # lowest-key-wins survivors (A/B at sf0.1/32: 1.44s -> 1.35s —
+    # modest here because the band pipeline is cheap at 50k docs, but
+    # the duplicated evaluation it removes grows with the corpus;
+    # plan: 2 band-pipeline evaluations + join -> 1 evaluation + 1
+    # window; guide §2.4/§3).
+    w = Window.partitionBy("band_idx", "band_key")
     dup_keys = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col(f"a.{key_col}") > F.col(f"b.{key_col}")),
-        )
-        .select(F.col(f"a.{key_col}").alias(key_col))
+        bands.withColumn("_min_k", F.min(key_col).over(w))
+        .filter(F.col(key_col) > F.col("_min_k"))
+        .select(key_col)
         .distinct()
     )
     return df.join(dup_keys, key_col, "left_anti")
@@ -824,6 +835,11 @@ def dedup_incremental_minhash(
         .distinct()
     )
     surv_bands = bands.join(hist_keys, key_col, "left_anti")
+    # (r8 note: the dedup_minhash_lsh min-window rewrite was A/B'd
+    # here too and measured slightly SLOWER — the band frame is
+    # already materialized, so the self-join never re-ran the
+    # pipeline, and the window's sort costs more than the hash join
+    # at this shape; the join form stays.)
     a, b = surv_bands.alias("a"), surv_bands.alias("b")
     batch_keys = (
         a.join(

@@ -28,7 +28,7 @@ same packed-key arithmetic, exact in bigints in both engines
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .vocab import word_grams_expr
@@ -73,49 +73,70 @@ def winnow_fingerprints(
     """
     if window < 1:
         raise ValueError("window must be >= 1")
-    grams = df.select(
-        F.col(key_col),
-        F.posexplode(word_grams_expr(F.col(text_col), k)).alias(
-            "_pos", "_g"
+    # r8 SHUFFLE-FREE shape (guide §2.4): winnowing is a purely
+    # per-document computation, but the previous posexplode + Window
+    # formulation forced a full (key, pos, packed-key) exchange + sort
+    # + THREE window passes over every gram occurrence (~24M shuffled
+    # gram rows at sf0.1 — the single biggest exchange in the bench
+    # suite). Keeping the gram array IN the row and computing the
+    # sliding-window minima with array expressions removes the exchange
+    # outright — the only rows that ever leave the projection are the
+    # final fingerprints. Values are bit-identical: same md5-based
+    # packed key (hash * POS_CAP - pos: min picks smallest hash, then
+    # RIGHTMOST position), same [0, max(n-window, 0)] window-start
+    # range, same contiguous-duplicate selection rule. The HOF lambdas
+    # are interpreted (no codegen), so the per-start min MUST be the
+    # allocation-free least-of-w-gets form below: the natural
+    # array_min(slice(keys, p+1, window)) allocates a w-array per
+    # window start and measured 8.2s where least(get...) measures 1.9s
+    # (the old exchange+window shape: 3.6s; all sf0.1/32 cores,
+    # min-of-3, same session). Out-of-range gets return NULL and both
+    # least() and array_min() skip nulls, so the degenerate
+    # fewer-grams-than-window doc keeps its whole-doc-window value.
+    grams = F.slice(word_grams_expr(F.col(text_col), k), 1, WINNOW_POS_CAP)
+    staged = df.select(F.col(key_col), grams.alias("_grams"))
+    keys = F.transform(
+        F.col("_grams"),
+        lambda g, i: gram_hash_expr(g) * WINNOW_POS_CAP - i.cast("bigint"),
+    )
+    keyed = staged.select(key_col, keys.alias("_keys"))
+    # window starts run [0, n-window]; a doc with fewer than `window`
+    # grams degenerates to one whole-doc window at start 0.
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size("_keys") - window, F.lit(0))
+    )
+    if window == 1:
+        sel = F.transform(starts, lambda p: F.get(F.col("_keys"), p))
+    else:
+        sel = F.transform(
+            starts,
+            lambda p: F.least(
+                *[F.get(F.col("_keys"), p + j) for j in range(window)]
+            ),
+        )
+    selected = keyed.select(key_col, sel.alias("_sel"))
+    # dedupe repeated selections: if windows j and j+d (d >= 2) select
+    # the same (hash, pos), every window between them must too (the
+    # shared position lies in all of them and nothing in between can
+    # be smaller, or j/j+d would not have picked it) — duplicate
+    # selections are CONTIGUOUS, so keeping entries that differ from
+    # their predecessor replaces a distinct. The n == 0 degenerate
+    # start (array_min of an empty slice -> NULL) is dropped by the
+    # not-null filter, matching the old no-gram-rows behavior.
+    fps = F.filter(
+        F.transform(
+            F.col("_sel"),
+            lambda w, i: F.when(
+                (i == F.lit(0)) | (w != F.get(F.col("_sel"), i - 1)), w
+            ),
         ),
-    ).filter(F.col("_pos") < WINNOW_POS_CAP)
-    keyed = grams.select(
-        key_col,
-        "_pos",
-        (gram_hash_expr(F.col("_g")) * WINNOW_POS_CAP - F.col("_pos")).alias(
-            "_key"
-        ),
+        lambda v: v.isNotNull(),
     )
-    by_doc = Window.partitionBy(key_col)
-    frame = (
-        Window.partitionBy(key_col)
-        .orderBy("_pos")
-        .rowsBetween(0, window - 1)
-    )
-    sel = keyed.select(
-        F.col(key_col),
-        "_pos",
-        F.min("_key").over(frame).alias("_wkey"),
-        F.count(F.lit(1)).over(by_doc).alias("_n"),
-    ).filter(
-        # window starts run [0, n-window]; a doc with fewer than
-        # `window` grams degenerates to one whole-doc window at pos 0
-        F.col("_pos") <= F.greatest(F.col("_n") - window, F.lit(0))
-    )
-    # dedupe repeated selections WITHOUT a second shuffle: if windows
-    # j and j+d (d >= 2) select the same (hash, pos), every window
-    # between them must too (the shared position lies in all of them
-    # and nothing in between can be smaller, or j/j+d would not have
-    # picked it) — so duplicate selections are CONTIGUOUS in window-
-    # start order and a lag() != test on the existing doc exchange
-    # replaces what .distinct() would do with a full extra shuffle of
-    # the fingerprint set
-    run = Window.partitionBy(key_col).orderBy("_pos")
-    first = sel.withColumn("_prev", F.lag("_wkey").over(run)).filter(
-        F.col("_prev").isNull() | (F.col("_prev") != F.col("_wkey"))
+    out = selected.select(
+        key_col, F.explode(fps).alias("_wkey")
     )
     pos = F.pmod(-F.col("_wkey"), F.lit(WINNOW_POS_CAP))
-    return first.select(
+    return out.select(
         F.col(key_col),
         pos.alias("fp_pos"),
         F.expr(

@@ -70,9 +70,15 @@ def test_sentence_ids_runs_each_regex_once(spark):
         assert plan.count(pat) == 1, (lang, plan.count(pat))
 
 
-def test_minhash_and_simhash_self_joins_reuse_exchange(spark):
-    """Both sides of the band self-join shuffle identically, so the
-    signature computation must run once (ReusedExchange), not twice."""
+def test_minhash_window_single_pipeline_and_simhash_reuses_exchange(spark):
+    """dedup_minhash_lsh (r8): the band self-join became a min-window,
+    so the shingle-explode + signature pipeline must appear exactly
+    ONCE — two Generate nodes total (shingle explode + band explode)
+    and one Window; the join formulation evaluated the pipeline twice
+    whenever ReusedExchange failed to fire (observed at bench sizes
+    under AQE, where one side broadcast). dedup_simhash_hamming keeps
+    the self-join (its verification is pairwise), so both sides must
+    still share one exchange (ReusedExchange)."""
     from oscar_tools_spark.operators.dedup import (
         dedup_minhash_lsh,
         dedup_simhash_hamming,
@@ -83,8 +89,10 @@ def test_minhash_and_simhash_self_joins_reuse_exchange(spark):
     # parallelism; the static rule is the deterministic thing to pin
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
-        for op in (dedup_minhash_lsh, dedup_simhash_hamming):
-            assert "ReusedExchange" in _plan(op(docs, "doc_id")), op.__name__
+        mh = _plan(dedup_minhash_lsh(docs, "doc_id"))
+        assert mh.count("Generate") == 2, mh[:3000]
+        assert "Window" in mh
+        assert "ReusedExchange" in _plan(dedup_simhash_hamming(docs, "doc_id"))
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
 
