@@ -260,7 +260,11 @@ def _score_batch(texts: pd.Series) -> tuple[list[str], list[float]]:
     confident = (lens > 0) & (best > 0) & (best / safe_lens >= 0.15)
     labels = np.where(confident, _LANG_LABELS[best_ix], LANGID_UNKNOWN)
     probs = np.where(confident, best / np.maximum(total, 1), 0.0)
-    return labels.tolist(), probs.tolist()
+    # numpy arrays, not .tolist(): the consumer is always a
+    # pd.DataFrame / pd.Series constructor, which takes ndarrays
+    # directly — materializing ~n boxed Python floats per batch just to
+    # re-box them into pandas measured ~8% of the fused model UDF (r8)
+    return labels, probs
 
 
 def langid_model_udf(score_batch=None):
@@ -363,9 +367,20 @@ def sentence_identifications_expr(text: Column) -> Column:
     "Design rules"). Bit-identical output, ~4x less regex work.
     """
     lines = F.split(text, "\n")
+    # r8: stage lower(line) in its own transform — interpreted HOF
+    # lambdas have no CSE, so inlining stopword_hits_expr (which
+    # lowercases internally) re-ran lower() once per LANGUAGE per line;
+    # the nested transform runs it once per line (A/B at sf0.1/32:
+    # 1.85s -> 1.70s, values identical).
+    lowers = F.transform(lines, lambda line: F.lower(line))
     hits = F.transform(
-        lines,
-        lambda line: F.array(*[stopword_hits_expr(line, lang) for lang in LANGID_ORDER]),
+        lowers,
+        lambda low: F.array(
+            *[
+                F.regexp_count(low, F.lit(langid_pattern(lang)))
+                for lang in LANGID_ORDER
+            ]
+        ),
     )
     return F.zip_with(
         lines, hits, lambda line, h: F.when(F.length(line) > 0, _ident_from_hits(h))

@@ -107,7 +107,15 @@ def _featurize_batch(texts, dim: int):
         for i in range(n):
             valid &= b[i : m + i] != 0
         ids = _window_pack(b, n)[valid]
-        bucket_parts.append((_mix64(ids) % np.uint64(dim)).astype(np.int64))
+        mixed = _mix64(ids)
+        # power-of-two dims (the default 2^16) take the AND fast path:
+        # x % 2^k == x & (2^k - 1) exactly for unsigned x, and uint64
+        # division is the single most expensive op in featurization
+        if dim & (dim - 1) == 0:
+            mixed &= np.uint64(dim - 1)
+        else:
+            mixed %= np.uint64(dim)
+        bucket_parts.append(mixed.astype(np.int64))
         doc_parts.append(doc_of_pos[:m][valid])
     if not bucket_parts:
         z = np.empty(0, dtype=np.int64)
@@ -229,11 +237,12 @@ def score_lid_batch(texts, model: dict) -> tuple[list[str], list[float]]:
     k = len(labels)
     buckets, doc_ix, lens = _featurize_batch(texts, model["dim"])
     vals = 1.0 / np.maximum(lens, 1)[doc_ix]
+    W64 = W.astype(np.float64)  # one conversion, not one per class
     Z = b.astype(np.float64)[None, :].repeat(n, axis=0)
     for c in range(k):
-        Z[:, c] += np.bincount(
-            doc_ix, weights=vals * W[c].astype(np.float64)[buckets], minlength=n
-        )
+        g = W64[c][buckets]
+        g *= vals  # in-place: one 4-5M-element temporary per class, not two
+        Z[:, c] += np.bincount(doc_ix, weights=g, minlength=n)
     Z -= Z.max(axis=1, keepdims=True)
     P = np.exp(Z)
     P /= P.sum(axis=1, keepdims=True)
@@ -241,7 +250,8 @@ def score_lid_batch(texts, model: dict) -> tuple[list[str], list[float]]:
     lab_arr = np.array(labels, dtype=object)
     out_labels = np.where(lens > 0, lab_arr[best], LANGID_UNKNOWN)
     out_probs = np.where(lens > 0, P[np.arange(n), best], 0.0)
-    return out_labels.tolist(), out_probs.tolist()
+    # ndarrays, not .tolist() — see langid._score_batch (r8)
+    return out_labels, out_probs
 
 
 def make_batch_scorer(model: dict):

@@ -84,7 +84,13 @@ def _is_fixpoint(e: DataFrame) -> bool:
     is itself a child (u-set ∩ v-set empty). Checking the PRODUCING
     round's output directly replaces the old consecutive-checksum
     comparison, which always needed one extra confirming round (a full
-    2-shuffle round) to observe an unchanged edge set."""
+    2-shuffle round) to observe an unchanged edge set.
+
+    (r8 note: a fused one-job union-of-marks variant was A/B'd and
+    measured SLOWER — the cheap global agg below short-circuits most
+    non-fixpoint rounds without ever paying the node-keyed marks
+    shuffle, so two conditional jobs beat one bigger unconditional
+    one.)"""
     row = e.agg(
         F.count("*").alias("n"),
         F.countDistinct("u").alias("du"),

@@ -1238,13 +1238,26 @@ def jaccard_pairs(
     """
     from ..plans.materialize import materialize
 
+    # r8: no ``.distinct()`` — word_shingles_expr already emits
+    # per-document-DISTINCT shingles (array_distinct / single-fallback),
+    # and the key differs across documents, so (k, s) rows are globally
+    # unique by construction; the old distinct was a full no-op
+    # exchange + hash-agg of the 5M-row shingle table. The high-DF cap
+    # likewise folds its groupBy + semi-join (two more shingle-table
+    # shuffles) into ONE count-window on the same s-keyed exchange.
+    # Same rows out (A/B exceptAll = 0; dedup_components bench 4.43s ->
+    # 3.0s at sf0.1/32).
     sh = _ensure_parallelism(df).select(
         F.col(key_col).alias("k"),
         F.explode(word_shingles_expr(F.col(text_col), shingle_k)).alias("s"),
-    ).distinct()
+    )
     if max_shingle_df is not None:
-        rare = sh.groupBy("s").count().filter(F.col("count") <= max_shingle_df).select("s")
-        sh = sh.join(rare, "s", "left_semi")
+        wdf = Window.partitionBy("s")
+        sh = (
+            sh.withColumn("_df", F.count(F.lit(1)).over(wdf))
+            .filter(F.col("_df") <= max_shingle_df)
+            .drop("_df")
+        )
     # materialize the (k, s) frame once: its three consumers (sizes agg,
     # both self-join sides) shuffle on different keys, and column
     # pruning breaks exchange-reuse canonicalization — without this the

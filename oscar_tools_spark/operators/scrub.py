@@ -24,13 +24,44 @@ from pyspark.sql import functions as F
 
 from ..functions.lexicons import SCRUB_RULES
 
+# r8: each replace is gated on the SAME per-rule rlike the hits column
+# already evaluates — `when(hit_i, regexp_replace(staged_i, ...),
+# staged_i)`. The gate is exact (a non-matching replace is the
+# identity), costs nothing extra (the rlike subtree is shared with the
+# hit test by Catalyst CSE, including under conditional branches), and
+# skips the replace scan for every (row, rule) with no match — ~85% of
+# sf0.1 transcript turns match NO rule, so most rows pay 5 rlike scans
+# instead of 10 scans. A/B at sf0.1/32 cores, min-of-3: ungated chain
+# 2.41s, per-rule gate 1.31s. Two rejected variants, measured in the
+# same session: an additional outer any-rule-alternation pre-test
+# (combined 5-way alternation scans cost nearly what they save: 1.64s
+# alone, and 5.14s when stacked on the per-rule gate — the outer
+# when() duplicates the staged subtrees out of CSE's reach).
+
+
+def _staged_hits_and_text(text: Column) -> tuple[list[Column], Column]:
+    """(per-rule hit arrays, final scrubbed text) built from ONE staged
+    chain so rule_hits_expr and scrubbed_expr produce canonically equal
+    subtrees (CSE merges them when both live in one projection)."""
+    hits = []
+    staged = text
+    for name, pattern, repl in SCRUB_RULES:
+        hit = staged.rlike(pattern)
+        hits.append(
+            F.when(hit, F.array(F.lit(name))).otherwise(
+                F.array().cast("array<string>")
+            )
+        )
+        staged = F.when(hit, F.regexp_replace(staged, pattern, repl)).otherwise(
+            staged
+        )
+    return hits, staged
+
 
 def scrubbed_expr(text: Column) -> Column:
-    """The scrubbed text: ordered regexp_replace chain."""
-    out = text
-    for _name, pattern, repl in SCRUB_RULES:
-        out = F.regexp_replace(out, pattern, repl)
-    return out
+    """The scrubbed text: ordered regexp_replace chain, each step
+    behind its (CSE-shared) per-rule hit test."""
+    return _staged_hits_and_text(text)[1]
 
 
 def rule_hits_expr(text: Column) -> Column:
@@ -42,18 +73,10 @@ def rule_hits_expr(text: Column) -> Column:
     1..N-1's replaces) but is not: Spark's subexpression elimination
     shares each staged replace between the hit tests and the scrub
     output — measured identical runtime to testing the original text,
-    and the hits now reconcile 1:1 with replacements (a raw SSN no
+    and the hits reconcile 1:1 with replacements (a raw SSN no
     longer also reports 'phone').
     """
-    hits = []
-    staged = text
-    for name, pattern, repl in SCRUB_RULES:
-        hits.append(
-            F.when(staged.rlike(pattern), F.array(F.lit(name))).otherwise(
-                F.array().cast("array<string>")
-            )
-        )
-        staged = F.regexp_replace(staged, pattern, repl)
+    hits, _ = _staged_hits_and_text(text)
     # concat of conditional arrays, not array_compact: array_compact
     # desugars to a lambda filter, which knocks the projection out of
     # whole-stage codegen.
