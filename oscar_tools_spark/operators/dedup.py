@@ -1538,7 +1538,7 @@ def semdedup(
     the assignment UDF twice.
     """
     from ..plans.materialize import materialize
-    from .similarity import cosine_expr, ivf_assign_udf, ivf_centroids
+    from .similarity import cosine_pairs_udf, ivf_assign_udf, ivf_centroids
 
     cent = ivf_centroids(df, dim, vec_col, key_col, n_clusters, sample_size)
     assigned = materialize(
@@ -1556,10 +1556,15 @@ def semdedup(
     b = assigned.select(
         F.col("_cell"), F.col("_k").alias("_kb"), F.col("_v").alias("_vb")
     )
+    # r8: pair verification through the Arrow-vectorized cosine —
+    # within-cell candidate volume is |cell|² (124k pairs on the sf0.1
+    # embeddings), and the interpreted zip_with/aggregate fold was 1.9s
+    # of this operator's 2.2s; the batch UDF computes bit-identical
+    # values (same sequential fold order) in ~0.1s.
     dup = (
         a.join(b, "_cell")
         .filter(F.col("_ka") > F.col("_kb"))
-        .filter(cosine_expr(F.col("_va"), F.col("_vb")) >= threshold)
+        .filter(cosine_pairs_udf()(F.col("_va"), F.col("_vb")) >= threshold)
         .select(F.col("_ka").alias(key_col))
         .distinct()
     )

@@ -135,24 +135,54 @@ def scrub_pii_extended(
     cur = "_t0"
     counts: list[Column] = []
     for i, (name, pattern, token) in enumerate(SECRET_RULES):
+        # r8 pre-gate: both credential formats are prefix-anchored, so
+        # a literal contains() on the prefix decides exactly whether
+        # the extract/replace scans can fire — rows without the prefix
+        # (the overwhelming majority) skip both regex passes
+        gate = F.contains(F.col(cur), F.lit(pattern[: pattern.index("[")]))
         counts.append(
-            F.size(
-                F.regexp_extract_all(F.col(cur), F.lit(pattern), F.lit(0))
+            F.when(
+                gate,
+                F.size(
+                    F.regexp_extract_all(F.col(cur), F.lit(pattern), F.lit(0))
+                ),
             )
+            .otherwise(F.lit(0))
             .cast("bigint")
             .alias(f"{prefix}{name}")
         )
         nxt = f"_t{i + 1}"
         out = out.withColumn(
-            nxt, F.regexp_replace(F.col(cur), pattern, token)
+            nxt,
+            F.when(
+                gate, F.regexp_replace(F.col(cur), pattern, token)
+            ).otherwise(F.col(cur)),
         )
         cur = nxt
-    out = out.withColumn("_hx", _hex_candidates(F.col(cur)))
+    # r8 pre-gate: a hex-shaped fragment (>= 32 nibbles) implies the raw
+    # text contains 32 consecutive [0-9a-f]; rows failing that cheap
+    # run-test cannot yield candidates, so they skip the split + HOF
+    hex_gate = F.col(cur).rlike("[0-9a-f]{32}")
+    out = out.withColumn(
+        "_hx",
+        F.when(hex_gate, _hex_candidates(F.col(cur))).otherwise(
+            F.array().cast("array<string>")
+        ),
+    )
     counts.append(F.size(F.col("_hx")).cast("bigint").alias(f"{prefix}hex_secret"))
     out = out.withColumn(
         "_th", _fold_replace(F.col(cur), F.col("_hx"), HEX_TOKEN)
     )
-    out = out.withColumn("_cc", _cc_candidates(F.col("_th")))
+    # r8 pre-gate: a card-shaped fragment (13-19 digits, one space/dash
+    # between digits) implies the text contains an unanchored 13-digit
+    # formatted run; rows without one skip the split + btrim + Luhn HOFs
+    cc_gate = F.col("_th").rlike("(?:[0-9][ -]?){12}[0-9]")
+    out = out.withColumn(
+        "_cc",
+        F.when(cc_gate, _cc_candidates(F.col("_th"))).otherwise(
+            F.array().cast("array<string>")
+        ),
+    )
     counts.insert(
         0, F.size(F.col("_cc")).cast("bigint").alias(f"{prefix}cc")
     )

@@ -27,8 +27,74 @@ def _dot(x: Column, y: Column) -> Column:
     )
 
 
-def cosine_expr(x: Column, y: Column) -> Column:
+def cosine_expr(x: Column, y: Column, dim: int | None = None) -> Column:
+    """Cosine as a column expression (interpreted HOF fold). ``dim`` is
+    accepted for signature compatibility and ignored: an r8 experiment
+    unrolled the fold into a flat 3*dim-term codegen expression and it
+    measured 2-4x SLOWER across every consumer (the giant expression
+    tree blows past the codegen method-size limits and falls back to
+    interpretation with no CSE across the repeated gets). For
+    many-candidate verification use :func:`cosine_pairs_udf` instead —
+    bit-identical values, vectorized across the batch."""
     return _dot(x, y) / (F.sqrt(_dot(x, x)) * F.sqrt(_dot(y, y)))
+
+
+def cosine_pairs_udf():
+    """Arrow-vectorized pairwise cosine over two vector columns —
+    the verification-path twin of :func:`cosine_expr` for operators
+    that score MANY candidate pairs (semdedup measured 1.9s of
+    interpreted HOF folds for 124k 64-dim pairs; this UDF does the
+    same batch in ~0.1s).
+
+    BIT-IDENTICAL to cosine_expr on valid rows: the accumulation loops
+    over dimensions in index order on float64 (acc = 0.0; acc +=
+    x_i * y_i), exactly the zip_with/aggregate sequential fold with its
+    per-element double casts, and the final expression keeps the same
+    dot / (sqrt(xx) * sqrt(yy)) order. NULL/ragged-length inputs yield
+    NaN (the expression form yields NULL; both fail a >= threshold
+    filter identically — do not use this variant in ordering contexts,
+    where Spark sorts NaN above every double but NULL last)."""
+
+    @F.pandas_udf("double")
+    def _cos(xs: pd.Series, ys: pd.Series) -> pd.Series:
+        n = len(xs)
+        out = np.full(n, np.nan)
+        if n == 0:
+            return pd.Series(out)
+        lx = [np.asarray(v, dtype=np.float64) if v is not None else None for v in xs]
+        ly = [np.asarray(v, dtype=np.float64) if v is not None else None for v in ys]
+        dims = {
+            (len(a), len(b))
+            for a, b in zip(lx, ly)
+            if a is not None and b is not None
+        }
+        for dx, dy in dims:
+            if dx != dy:
+                continue  # zip_with pads -> null; keep NaN
+            idx = np.array(
+                [
+                    i
+                    for i, (a, b) in enumerate(zip(lx, ly))
+                    if a is not None and b is not None
+                    and len(a) == dx and len(b) == dy
+                ],
+                dtype=np.int64,
+            )
+            X = np.stack([lx[i] for i in idx])
+            Y = np.stack([ly[i] for i in idx])
+            m = len(idx)
+            dxy = np.zeros(m)
+            dxx = np.zeros(m)
+            dyy = np.zeros(m)
+            for j in range(dx):
+                xj, yj = X[:, j], Y[:, j]
+                dxy += xj * yj
+                dxx += xj * xj
+                dyy += yj * yj
+            out[idx] = dxy / (np.sqrt(dxx) * np.sqrt(dyy))
+        return pd.Series(out)
+
+    return _cos
 
 
 def topk_cosine(

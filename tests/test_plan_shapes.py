@@ -316,3 +316,32 @@ def test_corpus_diff_shuffles_digests_not_text(spark):
     for line in plan.splitlines():
         if "Exchange hashpartitioning" in line:
             assert "text" not in line, line
+
+
+def test_annotate_robots_no_corpus_shuffle(spark):
+    """r8 (closing the r7 verdict finding): the robots verdict is a
+    per-row expression over a broadcast per-host rule-array — the
+    corpus side must see NO exchange and NO sort-merge join. The only
+    hashpartitioning Exchange allowed is the tiny rules-side groupBy
+    feeding the broadcast."""
+    from oscar_tools_spark.operators.robots import annotate_robots, robots_rules
+
+    hosts = spark.createDataFrame(
+        [("example0.com", "User-agent: *\nDisallow: /private\nAllow: /private/ok")],
+        "host string, robots_txt string",
+    )
+    docs = _docs(spark)
+    u = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://example0.com/p/"), F.col("doc_id").cast("string")
+        ).alias("url"),
+    )
+    plan = _plan(annotate_robots(u, robots_rules(hosts), ["doc_id"]))
+    assert "SortMergeJoin" not in plan, plan[:3000]
+    assert "BroadcastHashJoin" in plan, plan[:3000]
+    assert plan.count("Exchange hashpartitioning") <= 1, plan[:3000]
+    # the one permitted exchange is the rules side: it must not carry url
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "url" not in line, line
