@@ -1,0 +1,264 @@
+"""Round-8 optimization harness: isolated per-query noop timing + plan
+dumps. bench.py is FROZEN for measurement; this file exists so single
+queries can be timed in isolation (guide §1.4) and their
+``.explain("formatted")`` captured for plans/r08/ without touching the
+frozen harness. Query definitions MIRROR bench.py exactly (same inputs,
+same calls, same noop sink); numbers quoted in OPTIMIZATION_r08.md cite
+this file.
+
+Usage:
+    python bench_extra.py --only winnow_fp,minhash_dedup --reps 3
+    python bench_extra.py --only winnow_fp --explain plans/r08 --tag before
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+import __spark_entry__ as E  # noqa: E402
+from oscar_tools_spark.session import get_spark  # noqa: E402
+
+import bench as B  # noqa: E402  (frozen harness: reuse its constants only)
+
+
+def build_queries(spark, sf_dir: str, cpus: int):
+    """name -> zero-arg callable returning the query DataFrame; mirrors
+    bench.py's run_suite constructions 1:1."""
+    from oscar_tools_spark.functions.langid import (
+        langid_model_udf,
+        sentence_identifications_expr,
+    )
+    from oscar_tools_spark.operators.components import dedup_components
+    from oscar_tools_spark.operators.dedup import (
+        dedup_embedding_lsh,
+        dedup_lines,
+        dedup_minhash_lsh,
+        dedup_paragraphs,
+        dedup_simhash_hamming,
+        jaccard_pairs,
+        semdedup,
+    )
+    from oscar_tools_spark.operators.extract_html import extract_html
+    from oscar_tools_spark.operators.fingerprint import winnow_fingerprints
+    from oscar_tools_spark.operators.normalize import normalize_corpus
+    from oscar_tools_spark.operators.pii import scrub_pii_extended
+    from oscar_tools_spark.operators.sampling import global_shuffle, sample_by_budget
+    from oscar_tools_spark.operators.similarity import topk_cosine
+    from oscar_tools_spark.operators.transcripts import (
+        merge_consecutive_roles,
+        render_chat,
+        truncate_to_token_budget,
+    )
+    from oscar_tools_spark.oracles import synth_html_expr
+    from oscar_tools_spark.plans.pipeline import CurationConfig, curate
+
+    sf = float(os.environ.get("SPARK_GRAFT_SF_FORCE") or B.sf_of(sf_dir))
+    tpath = B.transcripts_cache(spark, sf)
+    transcripts = spark.read.parquet(tpath).repartition(cpus * 2).persist()
+    transcripts.count()
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = list(emb.filter(F.col("vec_id") == 0).first().embedding)
+
+    q = {}
+    q["pipeline_model"] = lambda: curate(
+        transcripts, CurationConfig(exclude=frozenset({"adult", "noisy"}))
+    )
+    q["pipeline_expr"] = lambda: curate(
+        transcripts,
+        CurationConfig(
+            exclude=frozenset({"adult", "noisy"}),
+            use_model_langid=False,
+            with_perplexity=False,
+        ),
+    )
+    q["dedup_lines"] = lambda: dedup_lines(docs, ["doc_id"])
+    q["minhash_dedup"] = lambda: dedup_minhash_lsh(docs, "doc_id")
+    q["sample_budget"] = lambda: sample_by_budget(
+        docs, ["doc_id"], 50_000, size_col="n_chars"
+    )
+    q["topk_cosine"] = lambda: topk_cosine(emb, qvec, k=10)
+    q["curation_docs"] = lambda: E.q_curation_pipeline(spark, sf_dir)
+    q["dedup_embedding"] = lambda: dedup_embedding_lsh(
+        emb, "vec_id", dim=64, threshold=0.98
+    )
+    q["semdedup"] = lambda: semdedup(
+        emb, "vec_id", dim=64, n_clusters=16, threshold=0.98
+    )
+    q["dedup_components"] = lambda: dedup_components(
+        docs, jaccard_pairs(docs, "doc_id", threshold=0.5), "doc_id"
+    )
+    q["simhash_hamming_dedup"] = lambda: dedup_simhash_hamming(
+        docs, "doc_id", chunks=4
+    )
+    q["decontaminate"] = lambda: E.q_decontaminate(spark, sf_dir)
+    q["repetition_stats"] = lambda: E.q_repetition_stats(spark, sf_dir)
+    q["dedup_substring"] = lambda: E.q_dedup_substring(spark, sf_dir)
+    q["dedup_substring_excise"] = lambda: E.q_dedup_substring_excise(spark, sf_dir)
+    q["gopher_quality"] = lambda: E.q_gopher_quality(spark, sf_dir)
+    q["c4_clean"] = lambda: E.q_c4_clean(spark, sf_dir)
+    q["pack_sequences"] = lambda: E.q_pack_sequences(spark, sf_dir)
+    q["vocab_stats"] = lambda: E.q_vocab_stats(spark, sf_dir)
+    q["winnow_fp"] = lambda: winnow_fingerprints(
+        transcripts.withColumn("_tid", F.concat_ws(":", "conv_id", "turn_idx")),
+        "_tid",
+    )
+    q["dedup_incremental_minhash"] = lambda: E.q_dedup_incremental_minhash(
+        spark, sf_dir
+    )
+    q["remove_boilerplate"] = lambda: E.q_remove_boilerplate(spark, sf_dir)
+
+    def _bpe():
+        from oscar_tools_spark.functions.bpe import tokenize, train_bpe
+
+        model = train_bpe(docs, vocab_size=256 + 128, sample_cap=500)
+        return tokenize(transcripts, model).select(
+            "conv_id", "turn_idx", "n_bpe_tokens"
+        )
+
+    q["bpe_encode"] = _bpe
+
+    def _lid():
+        from oscar_tools_spark.datagen import synth_labeled_docs
+        from oscar_tools_spark.functions.langid_trained import (
+            fit_langid_classifier,
+            make_batch_scorer,
+        )
+
+        model = fit_langid_classifier(
+            synth_labeled_docs(spark, 2400), per_class_cap=300
+        )
+        udf = langid_model_udf(make_batch_scorer(model))
+        return transcripts.select(
+            "conv_id", "turn_idx", udf(F.col("text")).alias("ident")
+        )
+
+    q["lid_trained"] = _lid
+
+    def _paras():
+        conv_docs = transcripts.groupBy("conv_id").agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("turn_idx", "text"))),
+                    lambda s: F.coalesce(s.getField("text"), F.lit("")),
+                ),
+                "\n\n",
+            ).alias("text")
+        )
+        return dedup_paragraphs(conv_docs, ["conv_id"])
+
+    q["dedup_paragraphs"] = _paras
+
+    def _html():
+        pages = transcripts.select(
+            "conv_id",
+            "turn_idx",
+            synth_html_expr(F.col("turn_idx"), F.coalesce("text", F.lit(""))).alias(
+                "html"
+            ),
+        )
+        return extract_html(pages).select(
+            "conv_id", "turn_idx", "text", "title", "license", "noindex"
+        )
+
+    q["html_extract"] = _html
+    q["transcript_repair"] = lambda: truncate_to_token_budget(
+        merge_consecutive_roles(transcripts), budget=2048
+    )
+
+    def _dsir():
+        from oscar_tools_spark.operators.dsir import (
+            dsir_select,
+            fit_dsir_log_ratios,
+            score_dsir,
+        )
+
+        lam = fit_dsir_log_ratios(
+            docs, target_expr=F.col("source") == "src0", n_buckets=4096
+        )
+        return dsir_select(score_dsir(docs, lam), 10_000)
+
+    q["dsir_select"] = _dsir
+    q["pii_scrub"] = lambda: scrub_pii_extended(transcripts)
+    q["normalize"] = lambda: normalize_corpus(transcripts).select(
+        "conv_id", "turn_idx", "text", "n_chars_removed"
+    )
+    q["chat_render"] = lambda: render_chat(transcripts)
+    q["global_shuffle"] = lambda: global_shuffle(
+        transcripts, ["conv_id", "turn_idx"]
+    ).select("conv_id", "turn_idx", "position")
+    q["sentence_ids"] = lambda: transcripts.select(
+        "conv_id",
+        "turn_idx",
+        F.posexplode(sentence_identifications_expr(F.col("text"))).alias(
+            "line_idx", "ident"
+        ),
+    )
+    # driver-registry rows worth isolating (not in bench.py's suite)
+    q["url_pipeline"] = lambda: E.q_url_pipeline(spark, sf_dir)
+    return q
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only", default=None, help="comma-separated query names")
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--explain", default=None, help="dir for plan dumps")
+    ap.add_argument("--tag", default="before", help="plan filename suffix")
+    ap.add_argument("--no-time", action="store_true")
+    args = ap.parse_args()
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark(
+        f"bench-extra-{cpus}",
+        cores=cpus,
+        shuffle_partitions=max(cpus, 8),
+        extra_conf={
+            "spark.sql.files.maxPartitionBytes": "4m",
+            "spark.sql.files.openCostInBytes": "262144",
+        },
+    )
+    queries = build_queries(spark, sf_dir, cpus)
+    names = args.only.split(",") if args.only else list(queries)
+
+    timings: dict[str, float] = {}
+    for name in names:
+        fn = queries[name]
+        if args.explain:
+            Path(args.explain).mkdir(parents=True, exist_ok=True)
+            out = Path(args.explain) / f"{name}_{args.tag}.txt"
+            out.write_text(fn()._jdf.queryExecution().explainString(
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                    "formatted"
+                )
+            ))
+        if args.no_time:
+            continue
+        spark.sparkContext.setJobDescription(f"x:{name}")
+        B.run_noop(fn())  # warm
+        best = float("inf")
+        for _ in range(args.reps):
+            t0 = time.perf_counter()
+            B.run_noop(fn())
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
+        spark.sparkContext.setJobDescription(None)
+        print(json.dumps({name: timings[name]}), flush=True)
+    print(json.dumps({"timings": timings, "reps": args.reps}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

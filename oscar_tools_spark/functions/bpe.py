@@ -326,9 +326,18 @@ def bpe_udf(model: dict, encode_batch=None):
     if encode_batch is None:
         ranks = _rank_table(model)
         ids = _token_ids(model)
+        # r8: the word cache lives in the CLOSURE, not per batch — the
+        # UDF object persists across every Arrow batch of a task (and
+        # across tasks under worker reuse), so each distinct word pays
+        # the merge loop once per worker instead of once per batch
+        # (values unchanged: encode_word is a pure function). Capped so
+        # an adversarial vocabulary cannot grow it unboundedly.
+        cache: dict = {}
+        cache_cap = 1 << 20
 
         def encode_batch(texts: list[str]) -> list[list[int]]:
-            cache: dict = {}
+            if len(cache) > cache_cap:
+                cache.clear()
             out = []
             for t in texts:
                 row: list[int] = []

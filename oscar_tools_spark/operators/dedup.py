@@ -1046,35 +1046,62 @@ def excise_exact_substring(
     # single-space-normalized text: split(" ") then aligns raw token
     # positions 1:1 with the per-token normalization below
     nws = F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")
-    toks = _ensure_parallelism(df).select(
+    # r8 SHUFFLE-FREE gram stage (the winnow_fingerprints pattern,
+    # guide §2.4): gram keys are a purely per-document computation, but
+    # the previous posexplode + doc-keyed Window formulation paid a
+    # full token exchange + sort + ``gram_k-1`` separate lead() frame
+    # passes (the single most expensive stage of this operator:
+    # 0.99s of the 3.3s total at sf0.1/32). Keeping the token arrays
+    # in the row and building each gram with ``gram_k`` allocation-free
+    # gets removes the exchange and the lead passes outright; only the
+    # final (key, pos, hash, span-end) gram rows are exploded. Values
+    # are identical: ``_words`` (non-empty normalized tokens, in
+    # order) aligns 1:1 with ``_ps`` (their raw positions), so
+    # gram j = words[j..j+k-1] joined by ' ' == the old
+    # concat_ws(nt, lead(nt,1..k-1)) over the filtered token stream,
+    # and span_end = ps[j+k-1] == lead(p, k-1).
+    base = _ensure_parallelism(df).select(
         F.col(key_col).alias("_k"),
-        F.posexplode(F.split(nws, " ")).alias("_p", "_t"),
+        F.transform(
+            F.split(nws, " "),
+            # per-token normalization; interpreted here (HOF), which
+            # profiles fine at ~tokens-per-corpus regex calls — the
+            # 10-20x char-class pitfall is about FUSED codegen stages
+            lambda t: F.regexp_replace(F.lower(t), "[^a-z0-9]", ""),
+        ).alias("_ntoks"),
     )
-    # per-token normalization staged in its OWN projection: fusing a
-    # char-class regex into a larger codegen stage measured 10-20x
-    # slower elsewhere in this repo (see functions/textstats.py)
-    ntoks = toks.select(
-        "_k",
-        "_p",
-        "_t",
-        F.regexp_replace(F.lower("_t"), "[^a-z0-9]", "").alias("_nt"),
+    ps = F.filter(
+        F.transform("_ntoks", lambda x, i: F.when(x != "", i)),
+        lambda v: v.isNotNull(),
     )
-    wtoks = ntoks.filter(F.col("_nt") != "")
-    w = Window.partitionBy("_k").orderBy("_p")
-    gram = F.concat_ws(
-        " ", F.col("_nt"), *[F.lead("_nt", j).over(w) for j in range(1, gram_k)]
+    words = F.filter("_ntoks", lambda x: x != "")
+    staged = base.select("_k", ps.alias("_ps"), words.alias("_words"))
+    m = F.size("_ps")
+    starts = F.when(
+        m >= gram_k, F.sequence(F.lit(0), m - gram_k)
+    ).otherwise(F.array().cast("array<int>"))
+    gram_txt = lambda j: F.concat_ws(  # noqa: E731
+        " ", *[F.get("_words", j + i) for i in range(gram_k)]
     )
-    span_end = F.lead("_p", gram_k - 1).over(w)
-    grams = materialize(
-        wtoks.select(
-            "_k",
-            "_p",
-            F.conv(F.substring(F.md5(gram), 1, 15), 16, 10)
+    entries = F.transform(
+        starts,
+        lambda j: F.struct(
+            F.get("_ps", j).alias("_p"),
+            F.conv(F.substring(F.md5(gram_txt(j)), 1, 15), 16, 10)
             .cast("bigint")
             .alias("_gh"),
-            span_end.alias("_pe"),
-        ).filter(F.col("_pe").isNotNull())
+            F.get("_ps", j + gram_k - 1).alias("_pe"),
+        ),
     )
+    grams = materialize(
+        staged.select("_k", F.explode(entries).alias("_e")).select(
+            "_k",
+            F.col("_e._p").alias("_p"),
+            F.col("_e._gh").alias("_gh"),
+            F.col("_e._pe").alias("_pe"),
+        )
+    )
+    w = Window.partitionBy("_k").orderBy("_p")
     winners = grams.groupBy("_gh").agg(F.min("_k").alias("_w"))
     flagged = (
         grams.join(winners, "_gh")
