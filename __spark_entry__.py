@@ -459,18 +459,27 @@ def q_sample_budget(spark, sf_dir):
 
 
 def q_langid(spark, sf_dir):
-    """Staged shape (repo design rule): the per-language regex counts
+    """Staged shape (repo design rule): the per-language hit counts
     materialize ONCE into a hit array; label and best-hits both read
     that array. The previous langid_expr + separate greatest() pair
     re-ran every regex scan per conditional reference (measured 6.0s
-    vs 1.6s at sf0.1/32 cores for the staged form)."""
-    from oscar_tools_spark.functions.langid import _ident_from_hits
+    vs 1.6s at sf0.1/32 cores for the staged form). r8: the hit array
+    comes from ONE combined stopword scan + per-language membership
+    counts (langid.COMBINED_STOPWORD_PATTERN — exact equivalence note
+    there), not five alternation scans."""
+    from oscar_tools_spark.functions.langid import (
+        COMBINED_STOPWORD_PATTERN,
+        _hits_from_matches,
+        _ident_from_hits,
+    )
 
     df = _docs(spark, sf_dir)
-    hits = F.array(
-        *[stopword_hits_expr(F.col("text"), lang) for lang in lx.LANGID_ORDER]
-    )
-    staged = df.withColumn("_h", hits)
+    staged = df.withColumn(
+        "_m",
+        F.regexp_extract_all(
+            F.lower(F.col("text")), F.lit(COMBINED_STOPWORD_PATTERN), 1
+        ),
+    ).withColumn("_h", _hits_from_matches(F.col("_m")))
     return staged.select(
         "doc_id",
         _ident_from_hits(F.col("_h")).getField("label").alias("label"),

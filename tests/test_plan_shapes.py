@@ -51,12 +51,17 @@ def test_identify_staged_keeps_hits_projection_separate(spark):
     assert "_lid_hits" in plan  # alias survives as a real intermediate
 
 
-def test_sentence_ids_runs_each_regex_once(spark):
-    """The per-line langid must stage hit counts in an inner transform:
-    inlining langid_expr in the lambda re-ran every stopword regex ~5x
-    per line (interpreted HOFs have no CSE; measured 7.3s vs 1.8s on
-    574k transcript turns at 32 cores)."""
-    from oscar_tools_spark.functions.langid import sentence_identifications_expr
+def test_sentence_ids_scans_each_line_once(spark):
+    """The per-line langid must run exactly ONE combined stopword scan
+    per line (r8): the staged inner transform pins the no-CSE HOF
+    pitfall (inlining re-ran scans ~5x per line, measured 7.3s vs 1.8s
+    on 574k turns at 32 cores), and the combined-alternation +
+    membership-count shape replaced the five per-language scans — no
+    per-language pattern may appear in the plan at all."""
+    from oscar_tools_spark.functions.langid import (
+        COMBINED_STOPWORD_PATTERN,
+        sentence_identifications_expr,
+    )
     from oscar_tools_spark.functions.lexicons import LANGID_ORDER, langid_pattern
 
     spark.conf.set("spark.sql.maxToStringFields", "2000")
@@ -65,9 +70,10 @@ def test_sentence_ids_runs_each_regex_once(spark):
         F.posexplode(sentence_identifications_expr(F.col("text"))).alias("i", "ident")
     )
     plan = _plan(out)
+    assert plan.count(COMBINED_STOPWORD_PATTERN[:60]) == 1, plan[:3000]
     for lang in LANGID_ORDER:
         pat = langid_pattern(lang)[:40]
-        assert plan.count(pat) == 1, (lang, plan.count(pat))
+        assert plan.count(pat) == 0, (lang, plan.count(pat))
 
 
 def test_minhash_window_single_pipeline_and_simhash_reuses_exchange(spark):
