@@ -837,26 +837,60 @@ def q_sample_per_group(spark, sf_dir):
 def q_repetition_stats(spark, sf_dir):
     """Gopher-family repetition signals per document: duplicate 2-/3-
     gram fractions (pure expressions over the shared shingle machinery)
-    plus the most-repeated-line fraction (explode -> two map-side-
-    combinable aggs)."""
+    plus the most-repeated-line fraction.
+
+    r8: max_line_frac is computed IN-ROW — max(count)/sum(count) over a
+    doc's lines is max run length in the sorted line array over the
+    line count, both exact integers, so the old explode ->
+    groupBy(doc_id, line) -> regroup -> join (two corpus-line
+    Exchanges + a join that re-shuffles every doc) collapses into one
+    fold over array_sort(split(text)). The inner join dropped
+    null-text docs (explode of a null array emits nothing); the
+    explicit isNotNull filter preserves that. Heavy expressions sit
+    ABOVE the narrow (doc_id, text) sort so the range-sampling pass
+    never runs them (the r5/r8 curation_pipeline lesson). Verified
+    value- AND order-identical to the join shape at sf0.1
+    (exceptAll 0 both ways, ordered collect equal)."""
     from oscar_tools_spark.functions.textstats import dup_ngram_frac_expr
 
     df = _docs(spark, sf_dir)
-    fr = df.select(
-        "doc_id",
-        F.round(dup_ngram_frac_expr(F.col("text"), 2), 6).alias("dup_2gram_frac"),
-        F.round(dup_ngram_frac_expr(F.col("text"), 3), 6).alias("dup_3gram_frac"),
+    lines = F.split(F.col("text"), "\n")
+    sorted_lines = F.array_sort(lines)
+    # fold state: (prev line, current run length, best run length);
+    # lines are never NULL (split output), so prev=NULL marks "first"
+    bump = lambda acc, x: F.when(  # noqa: E731 — local expr builder
+        x.eqNullSafe(acc.getField("prev")),
+        acc.getField("run") + F.lit(1).cast("bigint"),
+    ).otherwise(F.lit(1).cast("bigint"))
+    max_line_count = F.aggregate(
+        sorted_lines,
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).cast("bigint").alias("run"),
+            F.lit(0).cast("bigint").alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            bump(acc, x).alias("run"),
+            F.greatest(acc.getField("best"), bump(acc, x)).alias("best"),
+        ),
+        lambda acc: acc.getField("best"),
     )
-    lines = df.select(
-        "doc_id", F.explode(F.split(F.col("text"), "\n")).alias("line")
+    return (
+        df.filter(F.col("text").isNotNull())
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .select(
+            "doc_id",
+            F.round(dup_ngram_frac_expr(F.col("text"), 2), 6).alias(
+                "dup_2gram_frac"
+            ),
+            F.round(dup_ngram_frac_expr(F.col("text"), 3), 6).alias(
+                "dup_3gram_frac"
+            ),
+            F.round(max_line_count / F.size(lines), 6).alias("max_line_frac"),
+        )
     )
-    lr = (
-        lines.groupBy("doc_id", "line")
-        .count()
-        .groupBy("doc_id")
-        .agg(F.round(F.max("count") / F.sum("count"), 6).alias("max_line_frac"))
-    )
-    return fr.join(lr, "doc_id").orderBy("doc_id")
 
 
 def q_curation_funnel(spark, sf_dir):

@@ -101,3 +101,58 @@ def test_query_matches_oracle(spark, duck, name):
     assert list(got.columns) == list(want.columns)
     assert len(got) == len(want)
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_repetition_stats_inrow_fold_matches_join_shape(spark, tmp_path):
+    """r8: q_repetition_stats computes max_line_frac in-row (fold over
+    the sorted line array) instead of explode -> groupBy(doc_id, line)
+    -> regroup -> join. The fold must reproduce the join shape's
+    values AND its null-text drop semantics on every edge case the
+    old shape handled implicitly."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "a\nb\nc"),          # all distinct -> 1/3
+        (2, "x\nx\nx"),          # all same -> 3/3
+        (3, "a\na\nb\nb\nb"),    # max run 3 of 5
+        (4, ""),                 # split('') = [''] -> 1/1
+        (5, "\n\n"),             # three empty lines -> 3/3
+        (6, None),               # null text: dropped by the old inner join
+        (7, "z"),                # single line -> 1/1
+        (8, "b\na\nb\na\nb"),    # interleaved dups: max count 3 of 5
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    sf_dir = str(tmp_path)
+    df.write.mode("overwrite").parquet(f"{sf_dir}/documents.parquet")
+
+    got = E.q_repetition_stats(spark, sf_dir)
+
+    # the pre-r8 join formulation, verbatim
+    from oscar_tools_spark.functions.textstats import dup_ngram_frac_expr
+
+    src = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    fr = src.select(
+        "doc_id",
+        F.round(dup_ngram_frac_expr(F.col("text"), 2), 6).alias("dup_2gram_frac"),
+        F.round(dup_ngram_frac_expr(F.col("text"), 3), 6).alias("dup_3gram_frac"),
+    )
+    lines = src.select(
+        "doc_id", F.explode(F.split(F.col("text"), "\n")).alias("line")
+    )
+    lr = (
+        lines.groupBy("doc_id", "line")
+        .count()
+        .groupBy("doc_id")
+        .agg(F.round(F.max("count") / F.sum("count"), 6).alias("max_line_frac"))
+    )
+    want = fr.join(lr, "doc_id").orderBy("doc_id")
+
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in want.collect()]
+    # shape guard: the in-row form has no join and only the orderBy
+    # range exchange
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    # the only exchange is the orderBy's range partitioning (the AQE
+    # plan string repeats it in the initial-plan section)
+    assert "hashpartitioning" not in plan
+    assert "rangepartitioning" in plan
